@@ -1,0 +1,216 @@
+"""dBase (.dbf) attribute table reader/writer over numpy fixed-width slices.
+
+The reference delegates to the `dbase` crate (re-exported at src/lib.rs:60,
+zipped 1:1 with shapes in ShapeRecordIterator, src/reader.rs:164-193) and
+selects the text encoding by sniffing an optional `.cpg` sidecar
+(<=1025 bytes, BOM-trimmed — src/reader.rs:664-684; golden GBK test
+tests/read_tests.rs:832-845). This is an independent implementation of the
+public dBase III/IV layout, columnar: each field is decoded with one numpy
+fixed-width slice over the whole record block, not row by row.
+
+Supported field types (the dbase::FieldValue variants the reference surfaces):
+C (Character -> utf8), N (Numeric -> f64 or None), F (Float -> f64),
+L (Logical -> bool/None), D (Date -> date32), I (Integer, binary LE -> int32).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+
+@dataclass
+class DbfField:
+    name: str
+    ftype: str
+    length: int
+    decimals: int
+
+
+def sniff_cpg(path_like: str) -> str | None:
+    """Read a `.cpg` sidecar next to `path_like` (any extension) and map its
+    label to a Python codec. Mirrors src/reader.rs:664-684: at most 1025
+    bytes, BOM trimmed, whitespace stripped; unknown label -> None."""
+    cpg = os.path.splitext(path_like)[0] + ".cpg"
+    if not os.path.exists(cpg):
+        return None
+    with open(cpg, "rb") as f:
+        raw = f.read(1025)
+    label = raw.decode("utf-8", "replace").lstrip("﻿").strip().lower()
+    aliases = {
+        "utf-8": "utf-8", "utf8": "utf-8", "65001": "utf-8",
+        "gbk": "gbk", "cp936": "gbk", "936": "gbk",
+        "big5": "big5", "cp950": "big5",
+        "cp1252": "cp1252", "1252": "cp1252", "windows-1252": "cp1252",
+        "iso-8859-1": "latin-1", "latin1": "latin-1", "8859part1": "latin-1",
+        "ascii": "ascii",
+    }
+    return aliases.get(label)
+
+
+def read_dbf_bytes(buf: bytes, encoding: str = "utf-8") -> pa.Table:
+    """Decode a whole .dbf buffer into an Arrow table."""
+    if len(buf) < 32:
+        raise ValueError("dbf too short")
+    num_records = struct.unpack("<I", buf[4:8])[0]
+    header_size, record_size = struct.unpack("<HH", buf[8:12])
+    fields: list[DbfField] = []
+    pos = 32
+    while pos < header_size - 1 and buf[pos] != 0x0D:
+        desc = buf[pos:pos + 32]
+        name = desc[:11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(desc[11])
+        length = desc[16]
+        decimals = desc[17]
+        fields.append(DbfField(name, ftype, length, decimals))
+        pos += 32
+
+    start = header_size
+    block = np.frombuffer(buf, np.uint8, count=num_records * record_size,
+                          offset=start).reshape(num_records, record_size)
+    # deletion flag is column 0; '*' marks deleted (kept consistent with
+    # dbase crate which skips deleted records)
+    alive = block[:, 0] != ord("*")
+    block = block[alive]
+
+    cols: dict[str, pa.Array] = {}
+    off = 1
+    for f in fields:
+        raw = block[:, off:off + f.length]
+        off += f.length
+        cols[f.name] = _decode_field(raw, f, encoding)
+    return pa.table(cols)
+
+
+def _decode_field(raw: np.ndarray, f: DbfField, encoding: str) -> pa.Array:
+    n = len(raw)
+    if f.ftype == "I":
+        vals = raw[:, :4].copy().view("<i4").ravel()
+        return pa.array(vals, pa.int32())
+    texts = [bytes(raw[i]).decode(encoding, "replace") for i in range(n)]
+    if f.ftype == "C":
+        return pa.array([t.strip() for t in texts], pa.string())
+    if f.ftype in ("N", "F"):
+        out = []
+        for t in texts:
+            t = t.strip()
+            out.append(float(t) if t and t != "*" * len(t) else None)
+        if f.ftype == "N" and f.decimals == 0 and f.length < 10:
+            return pa.array([None if v is None else int(v) for v in out],
+                            pa.int64())
+        return pa.array(out, pa.float64())
+    if f.ftype == "L":
+        out = []
+        for t in texts:
+            c = t.strip()[:1].upper()
+            out.append(True if c in "YT" else False if c in "NF" else None)
+        return pa.array(out, pa.bool_())
+    if f.ftype == "D":
+        out = []
+        for t in texts:
+            t = t.strip()
+            if len(t) == 8 and t.isdigit():
+                out.append(_dt.date(int(t[:4]), int(t[4:6]), int(t[6:8])))
+            else:
+                out.append(None)
+        return pa.array(out, pa.date32())
+    # unknown type: surface raw text
+    return pa.array(texts, pa.string())
+
+
+def read_dbf(path: str, encoding: str | None = None) -> pa.Table:
+    if encoding is None:
+        encoding = sniff_cpg(path) or "utf-8"
+    with open(path, "rb") as f:
+        return read_dbf_bytes(f.read(), encoding)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+_ARROW_TO_DBF = [
+    (pa.types.is_integer, lambda: ("N", 18, 0)),
+    (pa.types.is_floating, lambda: ("N", 20, 8)),
+    (pa.types.is_boolean, lambda: ("L", 1, 0)),
+    (pa.types.is_date, lambda: ("D", 8, 0)),
+]
+
+
+def write_dbf(table: pa.Table, encoding: str = "utf-8",
+              date: tuple[int, int, int] = (2000, 1, 1)) -> bytes:
+    """Encode an Arrow table as dBase III. `date` is the header's last-update
+    stamp — fixed by default so outputs are deterministic/resumable."""
+    fields: list[DbfField] = []
+    pycols: list[list] = []
+    for name, col in zip(table.column_names, table.columns):
+        vals = col.to_pylist()
+        typ = col.type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            enc = [("" if v is None else v).encode(encoding) for v in vals]
+            ln = max([len(e) for e in enc] + [1])
+            fields.append(DbfField(name[:10], "C", min(ln, 254), 0))
+            pycols.append(enc)
+        elif pa.types.is_boolean(typ):
+            fields.append(DbfField(name[:10], "L", 1, 0))
+            pycols.append(vals)
+        elif pa.types.is_date(typ):
+            fields.append(DbfField(name[:10], "D", 8, 0))
+            pycols.append(vals)
+        elif pa.types.is_integer(typ):
+            fields.append(DbfField(name[:10], "N", 18, 0))
+            pycols.append(vals)
+        elif pa.types.is_floating(typ):
+            fields.append(DbfField(name[:10], "N", 20, 8))
+            pycols.append(vals)
+        else:
+            enc = [str(v).encode(encoding) for v in vals]
+            ln = max([len(e) for e in enc] + [1])
+            fields.append(DbfField(name[:10], "C", min(ln, 254), 0))
+            pycols.append(enc)
+
+    record_size = 1 + sum(f.length for f in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    n = table.num_rows
+    out = bytearray()
+    out += struct.pack("<BBBB", 0x03, date[0] % 100, date[1], date[2])
+    out += struct.pack("<IHH", n, header_size, record_size)
+    out += b"\x00" * 20
+    for f in fields:
+        name = f.name.encode("ascii", "replace")[:11]
+        out += name + b"\x00" * (11 - len(name))
+        out += f.ftype.encode("ascii")
+        out += b"\x00" * 4
+        out += struct.pack("<BB", f.length, f.decimals)
+        out += b"\x00" * 14
+    out += b"\x0d"
+
+    for i in range(n):
+        out += b" "
+        for f, col in zip(fields, pycols):
+            v = col[i]
+            if f.ftype == "C":
+                b = v[:f.length]
+                out += b + b" " * (f.length - len(b))
+            elif f.ftype == "L":
+                out += b"?" if v is None else (b"T" if v else b"F")
+            elif f.ftype == "D":
+                out += (v.strftime("%Y%m%d").encode() if v is not None
+                        else b" " * 8)
+            else:  # N
+                if v is None:
+                    out += b" " * f.length
+                else:
+                    if f.decimals:
+                        s = f"{float(v):.{f.decimals}f}"
+                    else:
+                        s = str(int(v))
+                    b = s.encode()[:f.length]
+                    out += b" " * (f.length - len(b)) + b
+    out += b"\x1a"
+    return bytes(out)
