@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+One entry per operator/pipeline from SURVEY.md §2 (+ the training-data
+suite). Each queries() callable takes `sf_dir` and returns a Dataset /
+pandas DataFrame / pyarrow Table; oracle_sql() carries the matching DuckDB
+SQL (omitted only for genuinely non-SQL-expressible ops — LSH/minhash/
+simhash/langid/fingerprint/s2 — which get the driver's rows-only check and
+are golden-tested in pytest instead).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,303 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+LAKES = "/root/reference/tests/data/ne_10m_lakes_north_america.shp"
+HOT_CELL_THRESHOLD = 200
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: pages -> stats -> tiling -> broadcast
+    R-tree PIP join; returns the joined Dataset (driver checks rows>=0)."""
+    from shapefile_rs_ray.pipelines.flagship import flagship
+    return flagship("/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _webpages(sf_dir: str):
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    return read_webpages(sf_dir)
+
+
+def _tile_cells(sf_dir: str):
+    from shapefile_rs_ray.pipelines.flagship import add_grid_cell
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    ds = read_webpages(sf_dir, with_html=False)
+    return (ds.map_batches(add_grid_cell, batch_format="pyarrow")
+              .select_columns(["page_id", "cell"]))
+
+
+def _hot_cells(sf_dir: str):
+    """Cells with page count above threshold (the skew pre-pass, J2)."""
+    from shapefile_rs_ray.stages.pip_join import detect_hot_cells
+    from shapefile_rs_ray.pipelines.flagship import GRID_ZOOM
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    ds = read_webpages(sf_dir, with_html=False)
+    hot = detect_hot_cells(ds, GRID_ZOOM, HOT_CELL_THRESHOLD)
+    # recompute exact counts for the hot set (detect returns salt counts)
+    from shapefile_rs_ray.pipelines.flagship import add_grid_cell
+    from ray.data.aggregate import Count
+    keyed = ds.map_batches(add_grid_cell, batch_format="pyarrow")
+    counts = keyed.groupby("cell").aggregate(Count(alias_name="n_pages"))
+    return counts.filter(expr=f"n_pages > {HOT_CELL_THRESHOLD}")
+
+
+def _pip_join(sf_dir: str):
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.pip_join import (broadcast_pip_join,
+                                                  load_polygons)
+    ds = read_webpages(sf_dir, with_html=False)
+    return broadcast_pip_join(ds, load_polygons(LAKES),
+                              keep_cols=("page_id", "url"))
+
+
+def _pip_join_cellpart(sf_dir: str):
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.pip_join import (cell_partitioned_pip,
+                                                  load_polygons)
+    ds = read_webpages(sf_dir, with_html=False)
+    return cell_partitioned_pip(ds, load_polygons(LAKES), zoom=7,
+                                keep_cols=("page_id", "url"),
+                                hot_threshold=2000)
+
+
+def _zonal_stats(sf_dir: str):
+    import pyarrow.compute as pc
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.pip_join import (broadcast_pip_join,
+                                                  load_polygons)
+    from shapefile_rs_ray.stages.zonal import zonal_stats
+
+    def add_n_chars(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_chars", pc.cast(pc.utf8_length(batch["text"]), pa.int64()))
+
+    ds = read_webpages(sf_dir, with_html=False)
+    ds = ds.map_batches(add_n_chars, batch_format="pyarrow")
+    joined = broadcast_pip_join(ds, load_polygons(LAKES),
+                                keep_cols=("page_id", "n_chars"))
+    return zonal_stats(joined, measure_col="n_chars", zone_col="geom_id")
+
+
+def _knn_sites(sf_dir: str):
+    from shapefile_rs_ray.functions.synth import sites
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.knn import knn_join
+    ds = read_webpages(sf_dir, with_html=False)
+    return knn_join(ds, sites(), k=3, keep_cols=("page_id",))
+
+
+def _exact_dedup(sf_dir: str):
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.dedup import exact_dedup
+    return exact_dedup(read_webpages(sf_dir, with_html=False))
+
+
+def _token_stats(sf_dir: str):
+    from shapefile_rs_ray.functions.text import token_stats
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    ds = read_webpages(sf_dir, with_html=False)
+    return (ds.map_batches(token_stats, batch_format="pyarrow")
+              .select_columns(["page_id", "n_chars", "n_tokens",
+                               "n_ws_tokens", "n_upper", "n_punct",
+                               "is_quality"]))
+
+
+def _text_fidelity(sf_dir: str):
+    """Byte-identical text per url THROUGH the pipeline: synthesize, shuffle
+    into keyed partitions, checkpoint to parquet, read back — the returned
+    (url, text) must still hash-match the oracle's direct synthesis."""
+    import shutil
+    import ray
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.state.lineage import write_partitioned
+
+    out = "/tmp/graft_fidelity_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_webpages(sf_dir, with_html=False)
+    write_partitioned(ds, out, key_col="page_id", text_col="text",
+                      url_col="url").materialize()
+    back = ray.data.read_parquet(out, file_extensions=["parquet"])
+    return back.select_columns(["url", "text"])
+
+
+def _langid(sf_dir: str):
+    from shapefile_rs_ray.functions.text import LangId
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    ds = read_webpages(sf_dir, with_html=False)
+    return (ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+              .select_columns(["page_id", "lang_pred"]))
+
+
+def _cells_multi(sf_dir: str):
+    """Grid + S2 + hex cell assignment per page (tiling operators; S2/hex
+    are engine-side encoders without SQL equivalents -> rows-only)."""
+    from shapefile_rs_ray.functions import cells as cm
+    from shapefile_rs_ray.sources.webpages import read_webpages
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], np.float64)
+        lat = np.asarray(batch["lat"], np.float64)
+        out = {"page_id": batch["page_id"]}
+        out["cell_z12"] = pa.array(cm.grid_cell(lon, lat, 12), pa.int64())
+        for lvl in (8, 12):
+            out[f"s2_l{lvl}"] = pa.array(
+                cm.s2_cell(lon, lat, lvl).view(np.int64), pa.int64())
+        for res in (4, 5, 6, 7, 8, 9):
+            out[f"hex_r{res}"] = pa.array(cm.hex_cell(lon, lat, res),
+                                          pa.int64())
+        return pa.table(out)
+
+    return read_webpages(sf_dir, with_html=False).map_batches(
+        assign, batch_format="pyarrow")
+
+
+def _minhash_pairs(sf_dir: str):
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(read_webpages(sf_dir, with_html=False))
+
+
+def _simhash_pairs(sf_dir: str):
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.dedup import simhash_pairs
+    return simhash_pairs(read_webpages(sf_dir, with_html=False))
+
+
+def _fingerprints(sf_dir: str):
+    from shapefile_rs_ray.functions.text import Fingerprinter
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    ds = read_webpages(sf_dir, with_html=False)
+    return (ds.map_batches(Fingerprinter, batch_format="pyarrow",
+                           concurrency=2)
+              .select_columns(["page_id", "fingerprint"]))
+
+
+def _ann_top1(sf_dir: str):
+    import os
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.ann import cosine_topk
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    corpus = pq.read_table(path, columns=["vec_id", "embedding"])
+    queries = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return cosine_topk(queries, corpus, k=1)
+
+
+def _ann_lsh_top1(sf_dir: str):
+    import os
+    import ray
+    from shapefile_rs_ray.stages.ann import lsh_topk
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return lsh_topk(ds, k=1)
+
+
+def _decode_lakes(sf_dir: str):
+    """Shapefile decode as a query surface: per-record geometry summary of
+    the 1162-lake corpus through the Ray datasource (golden values are
+    asserted in pytest; driver does the rows-only check)."""
+    import pyarrow.compute as pc
+    from shapefile_rs_ray.sources.shapefile import read_shapefile_dataset
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        bbox = batch["bbox"].combine_chunks()
+        return pa.table({
+            "geom_id": batch["geom_id"],
+            "shape_type": batch["shape_type"],
+            "n_parts": pc.cast(pc.list_value_length(batch["xy"]), pa.int64()),
+            "xmin": bbox.field("xmin"), "ymin": bbox.field("ymin"),
+            "xmax": bbox.field("xmax"), "ymax": bbox.field("ymax"),
+        })
+
+    ds = read_shapefile_dataset(LAKES, records_per_task=300)
+    return ds.map_batches(summarize, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "webpages": _webpages,
+        "tile_cells": _tile_cells,
+        "hot_cells": _hot_cells,
+        "pip_join": _pip_join,
+        "pip_join_cellpart": _pip_join_cellpart,
+        "zonal_stats": _zonal_stats,
+        "knn_sites": _knn_sites,
+        "exact_dedup": _exact_dedup,
+        "token_stats": _token_stats,
+        "text_fidelity": _text_fidelity,
+        "langid": _langid,
+        "cells_multi": _cells_multi,
+        "minhash_pairs": _minhash_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "fingerprints": _fingerprints,
+        "ann_top1": _ann_top1,
+        "ann_lsh_top1": _ann_lsh_top1,
+        "decode_lakes": _decode_lakes,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from shapefile_rs_ray.functions import synth
+    from shapefile_rs_ray.functions.cells import grid_cell_sql
+    from shapefile_rs_ray.functions.text import token_stats_sql
+    from shapefile_rs_ray.pipelines import oracles
+
+    oracles.ensure_artifacts()
+    pages = oracles.PAGES_CTE
+    cell12 = grid_cell_sql("lon", "lat", 12)
+    tok = token_stats_sql("text")
+
+    out = {
+        "webpages": f"WITH {pages} SELECT * FROM pages",
+        "tile_cells": (f"WITH {pages} SELECT page_id, {cell12} AS cell "
+                       f"FROM pages"),
+        "hot_cells": (
+            f"WITH {pages}, c AS (SELECT {cell12} AS cell FROM pages) "
+            f"SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_pages FROM c "
+            f"GROUP BY cell HAVING COUNT(*) > {HOT_CELL_THRESHOLD}"),
+        "pip_join": oracles.pip_join_sql(),
+        "pip_join_cellpart": oracles.pip_join_sql(),
+        "zonal_stats": oracles.zonal_sql(),
+        "knn_sites": f"""
+WITH {pages}, s AS ({synth.sites_sql()})
+SELECT page_id, rank, site_id, dist2 FROM (
+  SELECT p.page_id, s.site_id,
+         (p.lon - s.lon) * (p.lon - s.lon)
+           + (p.lat - s.lat) * (p.lat - s.lat) AS dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.page_id
+           ORDER BY (p.lon - s.lon) * (p.lon - s.lon)
+                      + (p.lat - s.lat) * (p.lat - s.lat), s.site_id
+         ) AS rank
+  FROM pages p CROSS JOIN s)
+WHERE rank <= 3""",
+        "exact_dedup": (
+            f"WITH {pages} SELECT MIN(page_id) AS page_id, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_copies FROM pages GROUP BY text"),
+        "token_stats": (
+            f"WITH {pages} SELECT page_id, "
+            + ", ".join(f"{expr} AS {name}" for name, expr in tok.items())
+            + " FROM pages"),
+        "text_fidelity": f"WITH {pages} SELECT url, text FROM pages",
+        "ann_top1": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT vec_id, rank, nn_id FROM (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id
+         ) AS rank
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+WHERE rank <= 1""",
+    }
+    return out

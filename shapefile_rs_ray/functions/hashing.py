@@ -1,0 +1,153 @@
+"""Deterministic hashing kernels: content hashes for exact dedup + lineage,
+MinHash signatures, SimHash — all seed-free and process-stable (no Python
+`hash()`: PYTHONHASHSEED would break distributed determinism).
+
+Token hashing uses crc32 (zlib, C speed) per shingle; signature math is
+vectorized numpy over a flat (all docs' shingles) array with per-doc offsets
+(`np.minimum.reduceat` / `np.add.reduceat`) — no per-permutation Python loop
+over documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+np.seterr(over="ignore")  # uint64 wraparound is intentional throughout (mixers)
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+")
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def sha256_hex(texts: list[str]) -> list[str]:
+    """Per-document sha256 (lineage invariant: byte-identical text per url)."""
+    return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def content_hash64(texts: list[str]) -> np.ndarray:
+    """64-bit content hash for dedup bucketing (first 8 bytes of sha256 —
+    collision-safe enough for bucketing; exact dedup still compares within
+    the bucket via group-by on the full key)."""
+    out = np.empty(len(texts), np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = np.frombuffer(
+            hashlib.sha256(t.encode("utf-8")).digest()[:8], np.uint64)[0]
+    return out
+
+
+def _shingle_crcs(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word-k-shingle crc32s of all docs, flat + (n_docs+1,) offsets."""
+    crcs: list[int] = []
+    offsets = np.zeros(len(texts) + 1, np.int64)
+    for i, t in enumerate(texts):
+        words = _WORD_RE.findall(t.lower())
+        if len(words) >= k:
+            sh = [" ".join(words[j:j + k]) for j in range(len(words) - k + 1)]
+        else:
+            sh = [" ".join(words)] if words else [""]
+        crcs.extend(zlib.crc32(s.encode("utf-8")) for s in set(sh))
+        offsets[i + 1] = len(crcs)
+    return np.asarray(crcs, np.uint64), offsets
+
+
+class MinHasher:
+    """num_perm-permutation MinHash over word k-shingles.
+
+    h_p(x) = (a_p * x + b_p) mod (2^61 - 1); signature = column-wise min per
+    doc. Permutation constants derive from a fixed seed so every actor in the
+    pool computes identical signatures.
+    """
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, int(_MERSENNE), num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = k
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signatures."""
+        crcs, off = _shingle_crcs(texts, self.k)
+        n = len(texts)
+        sig = np.empty((n, self.num_perm), np.uint64)
+        nonempty = off[1:] > off[:-1]
+        starts = off[:-1][nonempty]
+        for p in range(self.num_perm):
+            hp = (self.a[p] * crcs + self.b[p]) % _MERSENNE
+            sig[nonempty, p] = np.minimum.reduceat(hp, starts)
+            sig[~nonempty, p] = _MERSENNE
+        return sig
+
+    def band_keys(self, sig: np.ndarray, bands: int) -> np.ndarray:
+        """(n_docs, bands) int64 LSH bucket keys (hash of each band's rows)."""
+        n, num_perm = sig.shape
+        rows = num_perm // bands
+        out = np.empty((n, bands), np.int64)
+        for b in range(bands):
+            seg = sig[:, b * rows:(b + 1) * rows]
+            acc = np.zeros(n, np.uint64)
+            for c in range(rows):
+                acc = (acc * np.uint64(1000003) + seg[:, c]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            # fold band index in so buckets from different bands never merge
+            out[:, b] = ((acc >> np.uint64(1)).astype(np.int64) * np.int64(bands)
+                         + np.int64(b))
+        return out
+
+
+def text_shingles(t: str, k: int = 3) -> set[str]:
+    """Word-k-shingle set of one text (shared by MinHash and the exact
+    Jaccard verify so both see the same shingling)."""
+    w = _WORD_RE.findall(t.lower())
+    if len(w) >= k:
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+    return {" ".join(w)} if w else set()
+
+
+def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-shingle Jaccard (verification step after LSH candidates)."""
+    wa = _WORD_RE.findall(a.lower())
+    wb = _WORD_RE.findall(b.lower())
+    sa = {" ".join(wa[i:i + k]) for i in range(max(len(wa) - k + 1, 0))} or ({" ".join(wa)} if wa else set())
+    sb = {" ".join(wb[i:i + k]) for i in range(max(len(wb) - k + 1, 0))} or ({" ".join(wb)} if wb else set())
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def simhash64(texts: list[str], chunk: int = 200_000) -> np.ndarray:
+    """64-bit SimHash over word unigram crc32-derived 64-bit hashes
+    (crc folded through splitmix-style mixing to fill 64 bits)."""
+    tok_hashes: list[int] = []
+    offsets = np.zeros(len(texts) + 1, np.int64)
+    for i, t in enumerate(texts):
+        words = _WORD_RE.findall(t.lower())
+        for w in words:
+            c = np.uint64(zlib.crc32(w.encode("utf-8")))
+            # uint64 wraparound below is intentional (splitmix64)
+            # splitmix64 mix to spread crc into 64 bits
+            z = (c + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z = z ^ (z >> np.uint64(31))
+            tok_hashes.append(int(z))
+        offsets[i + 1] = len(tok_hashes)
+    flat = np.asarray(tok_hashes, np.uint64)
+    n = len(texts)
+    acc = np.zeros((n, 64), np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    nonempty = offsets[1:] > offsets[:-1]
+    starts = offsets[:-1][nonempty]
+    if len(flat):
+        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1))
+        contrib = bits.astype(np.int32) * 2 - 1
+        acc[nonempty] = np.add.reduceat(contrib, starts, axis=0)
+    sign = acc > 0
+    weights = np.uint64(1) << shifts
+    vals = (sign.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return vals.view(np.int64)

@@ -1,0 +1,158 @@
+"""Text-analysis kernels for the web-page table: token/char counting, quality
+scoring, language ID, document fingerprinting. All per-batch vectorized
+(pyarrow.compute RE2 kernels + numpy); the regex-countable stats use patterns
+that DuckDB's RE2 evaluates identically, so they have exact SQL oracles
+(see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+np.seterr(over="ignore")  # rolling-hash uint64 wraparound is intentional
+
+TOKEN_RE = "[A-Za-z0-9]+"
+WS_TOKEN_RE = "[^ \\t\\n\\r]+"
+UPPER_RE = "[A-Z]"
+PUNCT_RE = "[.,;:!?]"
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_chars / n_tokens / n_ws_tokens / n_upper / n_punct /
+    is_quality columns. Integer outputs only -> exact oracle parity."""
+    t = batch[text_col]
+    n_chars = pc.utf8_length(t)
+    n_tokens = pc.count_substring_regex(t, TOKEN_RE)
+    n_ws = pc.count_substring_regex(t, WS_TOKEN_RE)
+    n_upper = pc.count_substring_regex(t, UPPER_RE)
+    n_punct = pc.count_substring_regex(t, PUNCT_RE)
+    is_quality = pc.and_(
+        pc.and_(pc.greater_equal(n_tokens, 10), pc.less(n_chars, 100000)),
+        pc.less_equal(pc.multiply(n_upper, 2), n_chars))
+    out = batch
+    for name, col in [("n_chars", n_chars), ("n_tokens", n_tokens),
+                      ("n_ws_tokens", n_ws), ("n_upper", n_upper),
+                      ("n_punct", n_punct), ("is_quality", is_quality)]:
+        out = out.append_column(name, pc.cast(col, pa.int64())
+                                if name != "is_quality" else col)
+    return out
+
+
+def token_stats_sql(text_expr: str = "text") -> dict[str, str]:
+    """The DuckDB expressions matching token_stats (RE2 on both sides)."""
+    n_chars = f"length({text_expr})"
+    n_tokens = f"length(regexp_extract_all({text_expr}, '{TOKEN_RE}'))"
+    n_ws = f"length(regexp_extract_all({text_expr}, '[^ \\t\\n\\r]+'))"
+    n_upper = f"length(regexp_extract_all({text_expr}, '{UPPER_RE}'))"
+    n_punct = f"length(regexp_extract_all({text_expr}, '{PUNCT_RE}'))"
+    return {
+        "n_chars": f"CAST({n_chars} AS BIGINT)",
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "n_ws_tokens": f"CAST({n_ws} AS BIGINT)",
+        "n_upper": f"CAST({n_upper} AS BIGINT)",
+        "n_punct": f"CAST({n_punct} AS BIGINT)",
+        "is_quality": (f"({n_tokens} >= 10 AND {n_chars} < 100000 "
+                       f"AND {n_upper} * 2 <= {n_chars})"),
+    }
+
+
+# --------------------------------------------------------------------------
+# language ID (stopword-hit heuristic; engine-only, rows-only oracle)
+# --------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "dans", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "en"},
+    "zh": set(),   # CJK handled by script detection below
+}
+
+
+class LangId:
+    """Stateful language-ID stage: stopword tables + compiled tokenizer built
+    once per actor (__init__), scored per batch (__call__). Ties broken by
+    language code; CJK-dominant text -> 'zh'; no tokens -> 'und'."""
+
+    def __init__(self):
+        import re
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.langs = sorted(k for k in STOPWORDS if STOPWORDS[k])
+
+    def predict(self, texts: list[str]) -> list[str]:
+        out = []
+        for t in texts:
+            cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
+            if cjk * 4 > min(len(t), 400):
+                out.append("zh")
+                continue
+            words = [w.lower() for w in self.word_re.findall(t)]
+            if not words:
+                out.append("und")
+                continue
+            best_lang, best = "und", 0
+            for lang in self.langs:
+                hits = sum(1 for w in words if w in STOPWORDS[lang])
+                if hits > best:
+                    best_lang, best = lang, hits
+            out.append(best_lang if best > 0 else "en")
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = self.predict(batch["text"].to_pylist())
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+# --------------------------------------------------------------------------
+# fingerprinting (winnowing-style rolling hash; engine-only)
+# --------------------------------------------------------------------------
+
+_FP_K = 16       # char k-grams
+_FP_WIN = 32     # winnowing window
+_FP_BASE = np.uint64(1000003)
+_FP_MASK = np.uint64((1 << 61) - 1)
+
+
+def doc_fingerprints(texts: list[str]) -> np.ndarray:
+    """One int64 winnowing fingerprint per document: min k-gram rolling hash
+    per window, xor-folded. Deterministic across processes (no PYTHONHASHSEED
+    dependence)."""
+    out = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode("utf-8"), np.uint8)
+        if len(b) < _FP_K:
+            h = np.uint64(14695981039346656037)
+            for c in b.tolist():
+                h = (h ^ np.uint64(c)) * np.uint64(1099511628211)
+            out[i] = np.int64(h & np.uint64((1 << 62) - 1))
+            continue
+        # polynomial rolling hash of all k-grams, vectorized via cumulative
+        # products trick: h[j] = sum_{c=0..k-1} b[j+c]*BASE^(k-1-c) mod 2^64
+        powers = np.empty(_FP_K, np.uint64)
+        powers[-1] = np.uint64(1)
+        for c in range(_FP_K - 2, -1, -1):
+            powers[c] = powers[c + 1] * _FP_BASE
+        n = len(b) - _FP_K + 1
+        h = np.zeros(n, np.uint64)
+        for c in range(_FP_K):
+            h += b[c:c + n].astype(np.uint64) * powers[c]
+        h &= _FP_MASK
+        if n <= _FP_WIN:
+            mins = np.array([h.min()], np.uint64)
+        else:
+            # sliding window min via stride trick
+            sw = np.lib.stride_tricks.sliding_window_view(h, _FP_WIN)
+            mins = np.unique(sw.min(axis=1))
+        fp = np.uint64(0)
+        for m in mins.tolist():
+            fp ^= np.uint64(m) * np.uint64(0x9E3779B97F4A7C15) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        out[i] = np.int64(fp & np.uint64((1 << 62) - 1))
+    return out
+
+
+class Fingerprinter:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = doc_fingerprints(batch["text"].to_pylist())
+        return batch.append_column("fingerprint", pa.array(fps, pa.int64()))

@@ -1,0 +1,156 @@
+"""kNN stage (J3 in SURVEY.md §2.6): each page -> its k nearest sites.
+
+Actor-pool map_batches: the site set is broadcast once (`ray.put`), each
+actor builds a grid-bucketed spatial index in `__init__` (the per-cell
+"kd-tree" of the north star — buckets are the cells, candidates come from
+expanding neighbor rings), and batches are answered with vectorized numpy.
+For small site sets (< `brute_threshold`) the actor uses exact blockwise
+brute force — same result, fewer branches.
+
+Distances are planar squared euclidean on (lon, lat), computed as
+``(dx*dx + dy*dy)`` in f64 — the identical expression the DuckDB oracle
+uses, ties broken by site_id ascending (deterministic under ties).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class GridKnnIndex:
+    """Uniform-grid bucket index over sites with expanding-ring search."""
+
+    def __init__(self, lon: np.ndarray, lat: np.ndarray, site_ids: np.ndarray,
+                 cell_size: float):
+        self.lon = np.asarray(lon, np.float64)
+        self.lat = np.asarray(lat, np.float64)
+        self.ids = np.asarray(site_ids, np.int64)
+        self.cs = float(cell_size)
+        gx = np.floor(self.lon / self.cs).astype(np.int64)
+        gy = np.floor(self.lat / self.cs).astype(np.int64)
+        key = gx * 1_000_003 + gy
+        order = np.argsort(key, kind="stable")
+        self.sorted_keys = key[order]
+        self.order = order
+        self.gx, self.gy = gx, gy
+
+    def _bucket(self, gx: int, gy: int) -> np.ndarray:
+        key = gx * 1_000_003 + gy
+        lo = np.searchsorted(self.sorted_keys, key, "left")
+        hi = np.searchsorted(self.sorted_keys, key, "right")
+        return self.order[lo:hi]
+
+    def query_one(self, x: float, y: float, k: int) -> np.ndarray:
+        gx = int(np.floor(x / self.cs))
+        gy = int(np.floor(y / self.cs))
+        best: list[int] = []
+        ring = 0
+        while True:
+            cand = []
+            if ring == 0:
+                cand.append(self._bucket(gx, gy))
+            else:
+                for dx in range(-ring, ring + 1):
+                    for dy in (-ring, ring):
+                        cand.append(self._bucket(gx + dx, gy + dy))
+                for dy in range(-ring + 1, ring):
+                    for dx in (-ring, ring):
+                        cand.append(self._bucket(gx + dx, gy + dy))
+            new = np.concatenate(cand) if cand else np.empty(0, np.int64)
+            best.append(new)
+            have = np.concatenate(best)
+            if len(have) >= k:
+                dx = self.lon[have] - x
+                dy = self.lat[have] - y
+                d2 = dx * dx + dy * dy
+                kth = np.partition(d2, k - 1)[k - 1]
+                # safe stop: ring boundary distance exceeds kth-best
+                if (ring * self.cs) ** 2 >= kth:
+                    order = np.lexsort((self.ids[have], d2))
+                    return have[order[:k]]
+            ring += 1
+            if ring > 1_000:   # degenerate fallback
+                have = np.arange(len(self.lon))
+                dx = self.lon[have] - x
+                dy = self.lat[have] - y
+                d2 = dx * dx + dy * dy
+                order = np.lexsort((self.ids[have], d2))
+                return have[order[:k]]
+
+
+class KnnStage:
+    """map_batches actor: k nearest sites per page row.
+
+    Output columns: keep_cols + rank (1-based), site_id, dist2.
+    """
+
+    def __init__(self, sites_ref, k: int = 3, keep_cols=("page_id",),
+                 lon_col="lon", lat_col="lat", brute_threshold: int = 10_000,
+                 block: int = 2048):
+        import ray
+        sites = (ray.get(sites_ref)
+                 if isinstance(sites_ref, ray.ObjectRef) else sites_ref)
+        self.site_ids, self.slon, self.slat = sites
+        self.k = k
+        self.keep_cols = list(keep_cols)
+        self.lon_col, self.lat_col = lon_col, lat_col
+        self.block = block
+        self.brute = len(self.site_ids) <= brute_threshold
+        if not self.brute:
+            span = max(self.slon.max() - self.slon.min(),
+                       self.slat.max() - self.slat.min())
+            cell = span / max(np.sqrt(len(self.site_ids)), 1.0)
+            self.grid = GridKnnIndex(self.slon, self.slat, self.site_ids, cell)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch[self.lon_col], np.float64)
+        lat = np.asarray(batch[self.lat_col], np.float64)
+        n = len(lon)
+        k = min(self.k, len(self.site_ids))
+        nn_sites = np.empty((n, k), np.int64)
+        nn_d2 = np.empty((n, k), np.float64)
+        if self.brute:
+            for s in range(0, n, self.block):
+                e = min(s + self.block, n)
+                dx = lon[s:e, None] - self.slon[None, :]
+                dy = lat[s:e, None] - self.slat[None, :]
+                d2 = dx * dx + dy * dy
+                part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+                pd2 = np.take_along_axis(d2, part, axis=1)
+                pid = self.site_ids[part]
+                # row-wise lexsort by (d2, site_id): stable sort by site_id
+                # first, then stable sort by d2 (vectorized, no row loop)
+                o1 = np.argsort(pid, axis=1, kind="stable")
+                pd2 = np.take_along_axis(pd2, o1, axis=1)
+                pid = np.take_along_axis(pid, o1, axis=1)
+                o2 = np.argsort(pd2, axis=1, kind="stable")
+                nn_sites[s:e] = np.take_along_axis(pid, o2, axis=1)
+                nn_d2[s:e] = np.take_along_axis(pd2, o2, axis=1)
+        else:
+            for i in range(n):
+                idx = self.grid.query_one(lon[i], lat[i], k)
+                dx = self.slon[idx] - lon[i]
+                dy = self.slat[idx] - lat[i]
+                nn_sites[i] = self.site_ids[idx]
+                nn_d2[i] = dx * dx + dy * dy
+        take = pa.array(np.repeat(np.arange(n), k))
+        out = {c: pc.take(batch[c], take) for c in self.keep_cols}
+        out["rank"] = pa.array(np.tile(np.arange(1, k + 1), n), pa.int64())
+        out["site_id"] = pa.array(nn_sites.ravel(), pa.int64())
+        out["dist2"] = pa.array(nn_d2.ravel(), pa.float64())
+        return pa.table(out)
+
+
+def knn_join(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray], *,
+             k: int = 3, keep_cols=("page_id",), concurrency=4,
+             batch_size=16384):
+    import ray
+    ref = ray.put(sites)
+    return ds.map_batches(
+        KnnStage,
+        fn_constructor_kwargs={"sites_ref": ref, "k": k,
+                               "keep_cols": keep_cols},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

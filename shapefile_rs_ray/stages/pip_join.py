@@ -1,0 +1,189 @@
+"""Point-in-polygon join stages (J1/J2 in SURVEY.md §2.6).
+
+Two scalable realizations of the reference's nested-loop example
+(examples/geotype-example/src/main.rs:16-38), both with identical output:
+
+J1 `PIPJoinStage` — broadcast join: the polygon side (small: decoded
+    shapefile fixtures) is decoded + grouped ONCE on the driver, `ray.put`
+    into the object store, and every actor of the `map_batches` pool builds
+    the immutable STR R-tree in `__init__` (one build per actor, zero per
+    batch). Probe batches stay zero-copy Arrow. No shuffle at all — the
+    right default when the polygon side fits in memory (even 10M polygons is
+    ~GBs; Common-Crawl-scale doc sides never are).
+
+J2 `cell_partitioned_pip` — shuffle join for a polygon side too big to
+    broadcast: both sides get a grid-cell key (docs: point cell; polygons:
+    bbox cell cover), hot cells are salted into sub-keys from a cheap
+    count pre-pass, and `groupby(cell_salt).map_groups` joins co-partitioned
+    groups locally. Documented partitioning assumption: a polygon appears in
+    every cell its bbox covers, so each (doc-cell) group sees every polygon
+    that could contain its docs; results are deduped by construction since a
+    doc belongs to exactly one cell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import cells as cells_mod
+from ..geometry.pip import PIPIndex
+from ..geometry.rings import SimplePolygon, group_rings
+from ..geometry.shp import read_shp
+
+
+def load_polygons(paths: list[str] | str) -> list[SimplePolygon]:
+    """Decode + ring-group shapefile polygon fixtures on the driver (small
+    side). Multiple files get geom_id offsets of 1_000_000 per file."""
+    if isinstance(paths, str):
+        paths = [paths]
+    out: list[SimplePolygon] = []
+    for fi, p in enumerate(paths):
+        _, st = read_shp(p)
+        for sp in group_rings(st):
+            sp.geom_id = sp.geom_id + fi * 1_000_000
+            out.append(sp)
+    return out
+
+
+class PIPJoinStage:
+    """Actor-pool map_batches callable for the broadcast PIP join.
+
+    __init__ (once per actor): fetch broadcast polygons, build R-tree + edge
+    arrays. __call__ (per batch): R-tree candidate pairs -> exact even-odd
+    refine -> emit matched rows (input columns projected by `keep_cols` +
+    geom_id, poly_idx).
+    """
+
+    def __init__(self, polys_ref, keep_cols=("page_id", "url"),
+                 lon_col="lon", lat_col="lat"):
+        import ray
+        polys = (ray.get(polys_ref)
+                 if isinstance(polys_ref, ray.ObjectRef) else polys_ref)
+        self.index = PIPIndex(polys)
+        self.keep_cols = list(keep_cols)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch[self.lon_col], np.float64)
+        lat = np.asarray(batch[self.lat_col], np.float64)
+        pt, poly = self.index.query(lon, lat)
+        idx = pa.array(pt)
+        out = {c: pc.take(batch[c], idx) for c in self.keep_cols}
+        out["geom_id"] = pa.array(self.index.geom_ids[poly], pa.int64())
+        out["poly_idx"] = pa.array(self.index.poly_idx[poly], pa.int64())
+        return pa.table(out)
+
+
+def broadcast_pip_join(ds, polys: list[SimplePolygon], *,
+                       keep_cols=("page_id", "url"), concurrency=4,
+                       batch_size=16384, num_cpus=1):
+    """ds (with lon/lat) x polys -> joined Dataset via the actor pool."""
+    import ray
+    ref = ray.put(polys)
+    return ds.map_batches(
+        PIPJoinStage,
+        fn_constructor_kwargs={"polys_ref": ref, "keep_cols": keep_cols},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=num_cpus)
+
+
+# --------------------------------------------------------------------------
+# J2: cell-partitioned shuffle join with skew salting
+# --------------------------------------------------------------------------
+
+
+def detect_hot_cells(ds, zoom: int, threshold: int,
+                     lon_col="lon", lat_col="lat") -> dict[int, int]:
+    """Cheap pre-pass: per-batch partial cell counts -> tiny groupby ->
+    {hot_cell: n_salts}. n_salts scales with the overflow factor, so a cell
+    with 50x the threshold gets ~50 sub-keys."""
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c = cells_mod.grid_cell(np.asarray(batch[lon_col], np.float64),
+                                np.asarray(batch[lat_col], np.float64), zoom)
+        uniq, counts = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(partial_counts, batch_format="pyarrow")
+             .groupby("cell").aggregate(Sum("n", alias_name="n")))
+    hot = {}
+    for row in agg.filter(expr=f"n > {threshold}").take_all():
+        hot[int(row["cell"])] = max(2, int(np.ceil(row["n"] / threshold)))
+    return hot
+
+
+def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
+                         keep_cols=("page_id", "url"),
+                         hot_threshold: int = 50_000,
+                         lon_col="lon", lat_col="lat"):
+    """Shuffle-based PIP join: groupby(cell [+salt]) + per-group local join.
+
+    The polygon side is replicated to every cell its bbox covers (cell cover on
+    the driver, broadcast as {cell: poly_idx list}); the doc side shuffles
+    once by its point cell. Output rows match broadcast_pip_join exactly.
+    """
+    import ray
+
+    boxes = np.vstack([p.bbox for p in polys])
+    poly_idx, cover_cells = cells_mod.cover_bboxes(boxes, zoom)
+    cell_to_polys: dict[int, list[int]] = {}
+    for pi, cc in zip(poly_idx.tolist(), cover_cells.tolist()):
+        cell_to_polys.setdefault(cc, []).append(pi)
+    polys_ref = ray.put(polys)
+    map_ref = ray.put(cell_to_polys)
+
+    hot = detect_hot_cells(ds, zoom, hot_threshold,
+                           lon_col=lon_col, lat_col=lat_col)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch[lon_col], np.float64)
+        lat = np.asarray(batch[lat_col], np.float64)
+        cell = cells_mod.grid_cell(lon, lat, zoom)
+        salt = np.zeros(len(cell), np.int64)
+        if hot:
+            ids = np.asarray(batch["page_id"], np.int64)
+            for hc, ns in hot.items():
+                m = cell == hc
+                salt[m] = ids[m] % ns
+        key = cell * 1024 + salt  # cell_salt shuffle key (<=1024 salts)
+        return batch.append_column("cell_salt", pa.array(key, pa.int64()))
+
+    class CellJoin:
+        """Per-group local join; actor pool so the polygon side and the
+        cell->polys cover map are fetched once per actor, not per group."""
+
+        def __init__(self):
+            self.polys = ray.get(polys_ref)
+            self.cmap = ray.get(map_ref)
+            self.sub_indexes: dict[int, PIPIndex] = {}
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            key = int(group["cell_salt"][0].as_py())
+            cell = key // 1024
+            cand = self.cmap.get(cell, [])
+            empty = {c: group[c].slice(0, 0) for c in keep_cols}
+            empty["geom_id"] = pa.array([], pa.int64())
+            empty["poly_idx"] = pa.array([], pa.int64())
+            if not cand:
+                return pa.table(empty)
+            idx = self.sub_indexes.get(cell)
+            if idx is None:
+                idx = PIPIndex([self.polys[i] for i in cand])
+                if len(self.sub_indexes) > 4096:   # LRU-ish cap
+                    self.sub_indexes.clear()
+                self.sub_indexes[cell] = idx
+            lon = np.asarray(group[lon_col], np.float64)
+            lat = np.asarray(group[lat_col], np.float64)
+            pt, poly = idx.query(lon, lat)
+            out = {c: pc.take(group[c], pa.array(pt)) for c in keep_cols}
+            out["geom_id"] = pa.array(idx.geom_ids[poly], pa.int64())
+            out["poly_idx"] = pa.array(idx.poly_idx[poly], pa.int64())
+            return pa.table(out)
+
+    keyed = ds.map_batches(add_cell, batch_format="pyarrow")
+    return keyed.groupby("cell_salt").map_groups(
+        CellJoin, batch_format="pyarrow", concurrency=4)
