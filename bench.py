@@ -1,0 +1,168 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: the flagship spatial-join pipeline (synthesize CC-style pages ->
+token stats -> grid tiling -> broadcast R-tree PIP join vs the 1162-lake
+shapefile corpus -> consume) at $GRAFT_SF_DIR scale, with the page
+multiplier $GRAFT_REPL (default 100 -> 500k pages at sf0.1).
+
+`python bench.py`            one timed run, one JSON line
+`python bench.py --scaling`  same input at num_cpus=8 and 32 in fresh
+                             processes; prints throughputs + efficiency
+                             (the sandbox proxy for the N vs 4N node rule)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPL = int(os.environ.get("GRAFT_REPL", "100"))
+LAKES = "/root/reference/tests/data/ne_10m_lakes_north_america.shp"
+
+
+def run_queries() -> tuple[dict, dict]:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from shapefile_rs_ray.functions.synth import sites
+    from shapefile_rs_ray.functions.text import token_stats
+    from shapefile_rs_ray.pipelines.flagship import add_grid_cell
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.dedup import exact_dedup, minhash_lsh_pairs
+    from shapefile_rs_ray.stages.knn import knn_join
+    from shapefile_rs_ray.stages.pip_join import (broadcast_pip_join,
+                                                  cell_partitioned_pip,
+                                                  load_polygons)
+    from shapefile_rs_ray.stages.zonal import zonal_stats
+
+    polys = load_polygons(LAKES)
+    conc = (4, max(4, NUM_CPUS - 4))   # autoscale; leave CPUs for read/synth
+
+    # warm the page cache (untimed read of the input parquet)
+    read_webpages(SF_DIR, repl=1, with_html=False).count()
+
+    n_pages = None
+    times: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    def pages():
+        return read_webpages(SF_DIR, repl=REPL, with_html=False)
+
+    # headline: broadcast R-tree PIP join (pages -> stats -> cell -> join)
+    def q_pip_broadcast():
+        ds = pages().map_batches(token_stats, batch_format="pyarrow")
+        ds = ds.map_batches(add_grid_cell, batch_format="pyarrow")
+        j = broadcast_pip_join(ds, polys,
+                               keep_cols=("page_id", "n_chars"),
+                               concurrency=conc, batch_size=32768)
+        return j.count()
+
+    joined_rows = timed("pip_broadcast", q_pip_broadcast)
+    extra["joined_rows"] = joined_rows
+
+    def q_pip_cellpart():
+        j = cell_partitioned_pip(pages(), polys, zoom=7,
+                                 keep_cols=("page_id",),
+                                 hot_threshold=100_000)
+        return j.count()
+
+    timed("pip_cellpart", q_pip_cellpart)
+
+    def q_zonal():
+        import pyarrow.compute as pc
+        import pyarrow as pa
+
+        def add_n_chars(b):
+            return b.append_column(
+                "n_chars", pc.cast(pc.utf8_length(b["text"]), pa.int64()))
+        ds = pages().map_batches(add_n_chars, batch_format="pyarrow")
+        j = broadcast_pip_join(ds, polys, keep_cols=("page_id", "n_chars"),
+                               concurrency=conc, batch_size=32768)
+        return zonal_stats(j).count()
+
+    timed("zonal", q_zonal)
+
+    def q_knn():
+        return knn_join(pages(), sites(), k=3, keep_cols=("page_id",),
+                        concurrency=conc).count()
+
+    timed("knn", q_knn)
+
+    def q_exact_dedup():
+        return exact_dedup(pages()).count()
+
+    timed("exact_dedup", q_exact_dedup)
+
+    def q_token_stats():
+        return (pages().map_batches(token_stats, batch_format="pyarrow")
+                .select_columns(["page_id", "n_tokens"]).count())
+
+    n_pages = timed("token_stats", q_token_stats)
+    extra["n_pages"] = n_pages
+
+    def q_minhash():
+        # near-dup at the natural repl=20 (pair count is quadratic in the
+        # clone factor; the bench repl would explode pairs, not work)
+        ds = read_webpages(SF_DIR, repl=20, with_html=False)
+        return minhash_lsh_pairs(ds, concurrency=conc).count()
+
+    timed("minhash_pairs", q_minhash)
+
+    ray.shutdown()
+    return times, extra
+
+
+def main():
+    if "--scaling" in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True, check=True)
+            results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8 = results[8]["queries"]["pip_broadcast"]
+        t32 = results[32]["queries"]["pip_broadcast"]
+        n = results[32].get("n_pages", 0)
+        eff = (t8 / t32) / (32 / 8)
+        print(json.dumps({
+            "metric": "pip-join scaling efficiency (8 vs 32 cpus)",
+            "sec_8cpu": t8, "sec_32cpu": t32,
+            "pages_per_sec_8cpu": round(n / t8, 1) if n else None,
+            "pages_per_sec_32cpu": round(n / t32, 1) if n else None,
+            "scaling_efficiency": round(eff, 3),
+            "queries_8": results[8]["queries"],
+            "queries_32": results[32]["queries"],
+        }))
+        return
+
+    times, extra = run_queries()
+    total = round(sum(times.values()), 3)
+    line = {
+        "metric": "spatial-join + tiling pipeline wall time (sum of queries)",
+        "value": total, "unit": "sec", "queries": times,
+        "sf": SF_DIR, "num_cpus": NUM_CPUS, "repl": REPL,
+    }
+    line.update(extra)
+    if extra.get("n_pages") and times.get("pip_broadcast"):
+        line["pip_pages_per_sec"] = round(
+            extra["n_pages"] / times["pip_broadcast"], 1)
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

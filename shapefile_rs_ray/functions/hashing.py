@@ -123,21 +123,19 @@ def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
 def simhash64(texts: list[str], chunk: int = 200_000) -> np.ndarray:
     """64-bit SimHash over word unigram crc32-derived 64-bit hashes
     (crc folded through splitmix-style mixing to fill 64 bits)."""
-    tok_hashes: list[int] = []
+    crcs: list[int] = []
     offsets = np.zeros(len(texts) + 1, np.int64)
+    crc32 = zlib.crc32
     for i, t in enumerate(texts):
-        words = _WORD_RE.findall(t.lower())
-        for w in words:
-            c = np.uint64(zlib.crc32(w.encode("utf-8")))
-            # uint64 wraparound below is intentional (splitmix64)
-            # splitmix64 mix to spread crc into 64 bits
-            z = (c + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-            z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-            z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-            z = z ^ (z >> np.uint64(31))
-            tok_hashes.append(int(z))
-        offsets[i + 1] = len(tok_hashes)
-    flat = np.asarray(tok_hashes, np.uint64)
+        crcs.extend(crc32(w.encode("utf-8"))
+                    for w in _WORD_RE.findall(t.lower()))
+        offsets[i + 1] = len(crcs)
+    # splitmix64 mix to spread the 32-bit crcs over 64 bits — vectorized
+    # over the whole flat token array (uint64 wraparound intentional)
+    z = np.asarray(crcs, np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    flat = z ^ (z >> np.uint64(31))
     n = len(texts)
     acc = np.zeros((n, 64), np.int64)
     shifts = np.arange(64, dtype=np.uint64)

@@ -31,7 +31,7 @@ def add_grid_cell(batch: pa.Table, zoom: int = GRID_ZOOM) -> pa.Table:
 
 
 def flagship(sf_dir: str, *, out_dir: str | None = None, repl: int | None = None,
-             concurrency: int = 4, polygons: str = LAKES):
+             concurrency=(1, 4), polygons: str = LAKES):
     """Returns (joined Dataset, zonal Dataset or None).
 
     With `out_dir`, the joined rows are also written as resumable keyed

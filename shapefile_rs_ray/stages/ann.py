@@ -71,7 +71,7 @@ class CosineTopK:
 
 
 def cosine_topk(queries, corpus_table: pa.Table, *, k: int = 1,
-                id_col: str = "vec_id", concurrency: int = 4):
+                id_col: str = "vec_id", concurrency=(1, 4)):
     import ray
     ids, M = _matrix(corpus_table, id_col)
     ref = ray.put((ids, M))

@@ -58,7 +58,7 @@ def exact_dedup(pages, *, id_col: str = "page_id", text_col: str = "text"):
 def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
                       text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, jaccard_threshold: float = 0.8,
-                      concurrency: int = 4):
+                      concurrency=(1, 4)):
     """Near-duplicate pairs (id_a < id_b, exact word-3-shingle Jaccard >=
     threshold) among LSH candidates. Returns Dataset(id_a, id_b)."""
 
@@ -72,48 +72,99 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
             keys = self.mh.band_keys(sig, bands)      # (n, bands)
             n = len(texts)
             ids = np.asarray(batch[id_col], np.int64)
+            h = hashing.content_hash64(texts).view(np.int64)  # once per doc
             rep = np.repeat(np.arange(n), bands)
             return pa.table({
                 "band_key": pa.array(keys.ravel(), pa.int64()),
                 id_col: pa.array(ids[rep], pa.int64()),
+                "__h": pa.array(h[rep], pa.int64()),
                 text_col: pc.take(batch[text_col], pa.array(rep)),
             })
 
-    def candidate_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col], np.int64)
-        texts = group[text_col].to_pylist()
-        order = np.argsort(ids, kind="stable")
-        out_a, out_b = [], []
-        # dedupe ids within the bucket (same doc can land once per band)
-        seen: dict[int, str] = {}
-        for i in order:
-            if int(ids[i]) not in seen:
-                seen[int(ids[i])] = texts[i]
-        uids = sorted(seen)
-        # shingle each unique TEXT once; identical texts (the dominant case
-        # in a near-dup bucket) pair at jaccard 1.0 without any set math
-        shingles: dict[str, frozenset] = {}
-        for t in set(seen.values()):
-            shingles[t] = frozenset(hashing.text_shingles(t))
-        for a, b in itertools.combinations(uids, 2):
-            ta, tb = seen[a], seen[b]
-            if ta == tb:
-                out_a.append(a)
-                out_b.append(b)
-                continue
-            sa, sb = shingles[ta], shingles[tb]
-            union = len(sa) + len(sb) - len(sa & sb)
-            j = (len(sa & sb) / union) if union else 1.0
-            if j >= jaccard_threshold:
-                out_a.append(a)
-                out_b.append(b)
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64())})
+    def process_partition(part: pa.Table) -> pa.Table:
+        """One shuffle partition = many whole band buckets (bucketing is on
+        band_key % P so a bucket never spans partitions).
+
+        Vectorized family collapse: rows are lexsorted by (bucket, text-hash,
+        id); identical-text FAMILIES are the (bucket, hash) runs. Clone
+        pairs (jaccard 1.0 by identity) are emitted as triangle indices —
+        only in band 0, where identical signatures provably collide — and
+        only family-vs-family candidates (rare: genuinely-near-but-not-equal
+        texts) pay an exact shingle-Jaccard verification.
+        """
+        keys = np.asarray(part["band_key"], np.int64)
+        ids = np.asarray(part[id_col], np.int64)
+        hs = np.asarray(part["__h"], np.int64)
+        order = np.lexsort((ids, hs, keys))
+        keys, ids, hs = keys[order], ids[order], hs[order]
+        fam_new = np.empty(len(keys), bool)
+        fam_new[0:1] = True
+        fam_new[1:] = (keys[1:] != keys[:-1]) | (hs[1:] != hs[:-1])
+        fam_start = np.nonzero(fam_new)[0]
+        fam_size = np.append(fam_start[1:], len(keys)) - fam_start
+        fam_key = keys[fam_start]
+        fam_band = fam_key % bands
+        parts_a, parts_b = [], []
+
+        # 1) clone pairs (identical text), band 0 only
+        big = np.nonzero((fam_size > 1) & (fam_band == 0))[0]
+        for f in big:
+            members = ids[fam_start[f]:fam_start[f] + fam_size[f]]
+            ia, ib = np.triu_indices(len(members), k=1)
+            parts_a.append(members[ia])
+            parts_b.append(members[ib])
+
+        # 2) cross-family candidates within a bucket (distinct texts whose
+        #    minhash band collided): exact-Jaccard verify once per text pair
+        bucket_new = np.empty(len(fam_key), bool)
+        bucket_new[0:1] = True
+        bucket_new[1:] = fam_key[1:] != fam_key[:-1]
+        b_start = np.nonzero(bucket_new)[0]
+        b_size = np.append(b_start[1:], len(fam_key)) - b_start
+        multi = np.nonzero(b_size > 1)[0]
+        if len(multi):
+            texts = part[text_col]
+            shingle_cache: dict[int, frozenset] = {}
+
+            def sh_of(frow: int) -> frozenset:
+                hkey = int(hs[fam_start[frow]])
+                got = shingle_cache.get(hkey)
+                if got is None:
+                    # representative text: original row index via sort order
+                    t = texts[int(order[fam_start[frow]])].as_py()
+                    got = frozenset(hashing.text_shingles(t))
+                    shingle_cache[hkey] = got
+                return got
+
+            for b in multi:
+                fams = range(b_start[b], b_start[b] + b_size[b])
+                for fa, fb in itertools.combinations(fams, 2):
+                    sa, sb = sh_of(fa), sh_of(fb)
+                    union = len(sa) + len(sb) - len(sa & sb)
+                    j = (len(sa & sb) / union) if union else 1.0
+                    if j >= jaccard_threshold:
+                        ma = ids[fam_start[fa]:fam_start[fa] + fam_size[fa]]
+                        mb = ids[fam_start[fb]:fam_start[fb] + fam_size[fb]]
+                        ga, gb = np.meshgrid(ma, mb, indexing="ij")
+                        parts_a.append(np.minimum(ga, gb).ravel())
+                        parts_b.append(np.maximum(ga, gb).ravel())
+        if not parts_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a = np.concatenate(parts_a)
+        b = np.concatenate(parts_b)
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64())})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["band_key"], np.int64)
+        return batch.append_column("__p", pa.array(keys % 64, pa.int64()))
 
     exploded = pages.map_batches(Signatures, batch_format="pyarrow",
                                  concurrency=concurrency)
-    grouped = exploded.groupby("band_key").map_groups(
-        candidate_pairs, batch_format="pyarrow")
+    grouped = (exploded.map_batches(add_part, batch_format="pyarrow")
+               .groupby("__p").map_groups(process_partition,
+                                          batch_format="pyarrow"))
     # global pair dedup (a pair can surface from several bands)
     from ray.data.aggregate import Count
     return (grouped.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="nb"))
@@ -121,15 +172,20 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
 
 
 def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
-                  max_hamming: int = 3, concurrency: int = 4):
+                  max_hamming: int = 3, concurrency=(1, 4)):
     """Near-dup pairs by 64-bit SimHash: 4x16-bit band blocking (any pair
     within hamming<=3 must agree on >=1 of 4 bands), verified by exact
-    hamming distance. Returns Dataset(id_a, id_b, hamming)."""
+    hamming distance. Returns Dataset(id_a, id_b, hamming).
+
+    Same partition-then-family shape as minhash_lsh_pairs: identical-simhash
+    runs (hamming 0, the clone mass) emit vectorized triangles in band 0
+    only; only DISTINCT simhash values within a bucket pay a pairwise
+    popcount, vectorized per bucket.
+    """
 
     def signatures(batch: pa.Table) -> pa.Table:
         sh = hashing.simhash64(batch[text_col].to_pylist())
         ids = np.asarray(batch[id_col], np.int64)
-        n = len(ids)
         rows_id, rows_key, rows_sh = [], [], []
         u = sh.view(np.uint64)
         for b in range(4):
@@ -151,28 +207,65 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
             out += _POP16[((x >> np.uint64(s_)) & np.uint64(0xFFFF)).astype(np.int64)]
         return out
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col], np.int64)
-        sh = np.asarray(group["simhash"], np.int64).view(np.uint64)
-        uniq_ids, first = np.unique(ids, return_index=True)
-        sh = sh[first]
+    def process_partition(part: pa.Table) -> pa.Table:
+        keys = np.asarray(part["band_key"], np.int64)
+        ids = np.asarray(part[id_col], np.int64)
+        sh = np.asarray(part["simhash"], np.int64)
+        order = np.lexsort((ids, sh, keys))
+        keys, ids, sh = keys[order], ids[order], sh[order]
+        fam_new = np.empty(len(keys), bool)
+        fam_new[0:1] = True
+        fam_new[1:] = (keys[1:] != keys[:-1]) | (sh[1:] != sh[:-1])
+        fam_start = np.nonzero(fam_new)[0]
+        fam_size = np.append(fam_start[1:], len(keys)) - fam_start
+        fam_key = keys[fam_start]
+        fam_band = fam_key % 4
+        fam_sh = sh[fam_start].view(np.uint64)
         out_a, out_b, out_h = [], [], []
-        for i in range(len(uniq_ids)):
-            x = sh[i + 1:] ^ sh[i]
-            ham = _popcount64(x)
-            hit = np.nonzero(ham <= max_hamming)[0]
-            for j in hit:
-                out_a.append(int(uniq_ids[i]))
-                out_b.append(int(uniq_ids[i + 1 + j]))
-                out_h.append(int(ham[j]))
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64()),
-                         "hamming": pa.array(out_h, pa.int64())})
+
+        # hamming-0 (identical simhash) triangles, band 0 only
+        for f in np.nonzero((fam_size > 1) & (fam_band == 0))[0]:
+            members = ids[fam_start[f]:fam_start[f] + fam_size[f]]
+            ia, ib = np.triu_indices(len(members), k=1)
+            out_a.append(members[ia])
+            out_b.append(members[ib])
+            out_h.append(np.zeros(len(ia), np.int64))
+
+        # distinct-simhash families within one bucket: vectorized pairwise
+        bucket_new = np.empty(len(fam_key), bool)
+        bucket_new[0:1] = True
+        bucket_new[1:] = fam_key[1:] != fam_key[:-1]
+        b_start = np.nonzero(bucket_new)[0]
+        b_size = np.append(b_start[1:], len(fam_key)) - b_start
+        for b in np.nonzero(b_size > 1)[0]:
+            fs = np.arange(b_start[b], b_start[b] + b_size[b])
+            fa, fb = np.triu_indices(len(fs), k=1)
+            ham = _popcount64(fam_sh[fs[fa]] ^ fam_sh[fs[fb]])
+            for pi in np.nonzero(ham <= max_hamming)[0]:
+                f1, f2 = fs[fa[pi]], fs[fb[pi]]
+                ma = ids[fam_start[f1]:fam_start[f1] + fam_size[f1]]
+                mb = ids[fam_start[f2]:fam_start[f2] + fam_size[f2]]
+                ga, gb = np.meshgrid(ma, mb, indexing="ij")
+                out_a.append(np.minimum(ga, gb).ravel())
+                out_b.append(np.maximum(ga, gb).ravel())
+                out_h.append(np.full(ga.size, int(ham[pi]), np.int64))
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                         "hamming": pa.array(np.concatenate(out_h), pa.int64())})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["band_key"], np.int64)
+        return batch.append_column("__p", pa.array(keys % 64, pa.int64()))
 
     exploded = pages.map_batches(signatures, batch_format="pyarrow")
     from ray.data.aggregate import Min
-    return (exploded.groupby("band_key").map_groups(verify,
-                                                    batch_format="pyarrow")
+    return (exploded.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__p").map_groups(process_partition,
+                                       batch_format="pyarrow")
             .groupby(["id_a", "id_b"]).aggregate(Min("hamming",
                                                      alias_name="hamming")))
 
@@ -211,4 +304,4 @@ def embedding_neardup_pairs(embeddings, *, threshold: float = 0.95,
                              "id_b": pa.array(gb[m], pa.int64())})
 
     return embeddings.map_batches(Block, batch_format="pyarrow",
-                                  batch_size=1024, concurrency=2)
+                                  batch_size=1024, concurrency=(1, 2))

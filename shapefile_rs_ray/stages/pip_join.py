@@ -78,9 +78,13 @@ class PIPJoinStage:
 
 
 def broadcast_pip_join(ds, polys: list[SimplePolygon], *,
-                       keep_cols=("page_id", "url"), concurrency=4,
+                       keep_cols=("page_id", "url"), concurrency=(1, 4),
                        batch_size=16384, num_cpus=1):
-    """ds (with lon/lat) x polys -> joined Dataset via the actor pool."""
+    """ds (with lon/lat) x polys -> joined Dataset via the actor pool.
+
+    `concurrency` defaults to an autoscaling (min, max) pool so the pool
+    never reserves every CPU and starves the upstream read/synth tasks
+    (a fixed-size pool can deadlock a small local cluster)."""
     import ray
     ref = ray.put(polys)
     return ds.map_batches(
@@ -186,4 +190,4 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
 
     keyed = ds.map_batches(add_cell, batch_format="pyarrow")
     return keyed.groupby("cell_salt").map_groups(
-        CellJoin, batch_format="pyarrow", concurrency=4)
+        CellJoin, batch_format="pyarrow", concurrency=(1, 4))
