@@ -28,6 +28,43 @@ import pyarrow.compute as pc
 from ..functions import hashing
 
 
+def _dedup_pairs(pairs, extra_col: str | None = None, parts: int = 64):
+    """Exact pair dedup without a per-group aggregate: Ray's
+    groupby(keys).aggregate() materializes one group per DISTINCT key, which
+    collapses at millions of pairs; instead hash-partition on a combined
+    64-bit key (one shuffle into `parts` coarse partitions) and dedupe each
+    partition with one vectorized np.unique. With `extra_col`, the MINIMUM
+    extra value per pair is kept (lexsort + first-of-run)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], np.int64)
+        b = np.asarray(batch["id_b"], np.int64)
+        key = a * np.int64(1 << 31) + b        # ids < 2^31 by construction
+        return batch.append_column("__p", pa.array(key % parts, pa.int64()))
+
+    def local(part: pa.Table) -> pa.Table:
+        a = np.asarray(part["id_a"], np.int64)
+        b = np.asarray(part["id_b"], np.int64)
+        key = a * np.int64(1 << 31) + b
+        if extra_col is None:
+            uniq, idx = np.unique(key, return_index=True)
+            return pa.table({"id_a": pa.array(a[idx], pa.int64()),
+                             "id_b": pa.array(b[idx], pa.int64())})
+        extra = np.asarray(part[extra_col], np.int64)
+        order = np.lexsort((extra, key))
+        key_s = key[order]
+        first = np.empty(len(key_s), bool)
+        first[0:1] = True
+        first[1:] = key_s[1:] != key_s[:-1]
+        idx = order[first]
+        return pa.table({"id_a": pa.array(a[idx], pa.int64()),
+                         "id_b": pa.array(b[idx], pa.int64()),
+                         extra_col: pa.array(extra[idx], pa.int64())})
+
+    return (pairs.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__p").map_groups(local, batch_format="pyarrow"))
+
+
 def exact_dedup(pages, *, id_col: str = "page_id", text_col: str = "text"):
     """Dataset -> Dataset(page_id, n_copies): the minimum id per distinct
     text and the duplicate-group size (group key = sha256 of the text; a
@@ -62,24 +99,25 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
     """Near-duplicate pairs (id_a < id_b, exact word-3-shingle Jaccard >=
     threshold) among LSH candidates. Returns Dataset(id_a, id_b)."""
 
-    class Signatures:
-        def __init__(self):
-            self.mh = hashing.MinHasher(num_perm=num_perm)
+    # plain task function, not an actor pool: MinHasher setup is microseconds
+    # (derives its permutation constants from a fixed seed), and tasks use
+    # every CPU immediately while a pool autoscales up from its minimum
+    mh = hashing.MinHasher(num_perm=num_perm)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch[text_col].to_pylist()
-            sig = self.mh.signatures(texts)
-            keys = self.mh.band_keys(sig, bands)      # (n, bands)
-            n = len(texts)
-            ids = np.asarray(batch[id_col], np.int64)
-            h = hashing.content_hash64(texts).view(np.int64)  # once per doc
-            rep = np.repeat(np.arange(n), bands)
-            return pa.table({
-                "band_key": pa.array(keys.ravel(), pa.int64()),
-                id_col: pa.array(ids[rep], pa.int64()),
-                "__h": pa.array(h[rep], pa.int64()),
-                text_col: pc.take(batch[text_col], pa.array(rep)),
-            })
+    def signatures(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sig = mh.signatures(texts)
+        keys = mh.band_keys(sig, bands)      # (n, bands)
+        n = len(texts)
+        ids = np.asarray(batch[id_col], np.int64)
+        h = hashing.content_hash64(texts).view(np.int64)  # once per doc
+        rep = np.repeat(np.arange(n), bands)
+        return pa.table({
+            "band_key": pa.array(keys.ravel(), pa.int64()),
+            id_col: pa.array(ids[rep], pa.int64()),
+            "__h": pa.array(h[rep], pa.int64()),
+            text_col: pc.take(batch[text_col], pa.array(rep)),
+        })
 
     def process_partition(part: pa.Table) -> pa.Table:
         """One shuffle partition = many whole band buckets (bucketing is on
@@ -160,15 +198,12 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
         keys = np.asarray(batch["band_key"], np.int64)
         return batch.append_column("__p", pa.array(keys % 64, pa.int64()))
 
-    exploded = pages.map_batches(Signatures, batch_format="pyarrow",
-                                 concurrency=concurrency)
+    exploded = pages.map_batches(signatures, batch_format="pyarrow")
     grouped = (exploded.map_batches(add_part, batch_format="pyarrow")
                .groupby("__p").map_groups(process_partition,
                                           batch_format="pyarrow"))
     # global pair dedup (a pair can surface from several bands)
-    from ray.data.aggregate import Count
-    return (grouped.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="nb"))
-                   .select_columns(["id_a", "id_b"]))
+    return _dedup_pairs(grouped)
 
 
 def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
@@ -262,12 +297,10 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
         return batch.append_column("__p", pa.array(keys % 64, pa.int64()))
 
     exploded = pages.map_batches(signatures, batch_format="pyarrow")
-    from ray.data.aggregate import Min
-    return (exploded.map_batches(add_part, batch_format="pyarrow")
-            .groupby("__p").map_groups(process_partition,
-                                       batch_format="pyarrow")
-            .groupby(["id_a", "id_b"]).aggregate(Min("hamming",
-                                                     alias_name="hamming")))
+    grouped = (exploded.map_batches(add_part, batch_format="pyarrow")
+               .groupby("__p").map_groups(process_partition,
+                                          batch_format="pyarrow"))
+    return _dedup_pairs(grouped, extra_col="hamming")
 
 
 def embedding_neardup_pairs(embeddings, *, threshold: float = 0.95,
