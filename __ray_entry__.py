@@ -213,6 +213,69 @@ def _ann_lsh_top1(sf_dir: str):
     return lsh_topk(ds, k=1)
 
 
+def _html_extract(sf_dir: str):
+    """html:binary -> extracted text via RE2 tag-strip (multimodal decode
+    path with a real kernel; byte-compared against DuckDB regexp)."""
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.multimodal import extract_html_text
+    ds = read_webpages(sf_dir)   # keeps html
+    return (ds.map_batches(extract_html_text, batch_format="pyarrow")
+              .select_columns(["page_id", "extracted_text"]))
+
+
+def _image_meta(sf_dir: str):
+    """Binary-column decode plumbing (stubbed codec, deterministic fake
+    dimensions): actor pool over the wide binary column."""
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.multimodal import ImageDecodeStub
+    ds = read_webpages(sf_dir)
+    return ds.map_batches(ImageDecodeStub, batch_format="pyarrow",
+                          batch_size=1024, concurrency=(1, 4))
+
+
+def _audio_frames(sf_dir: str):
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.multimodal import AudioFrameSampleStub
+    ds = read_webpages(sf_dir)
+    return ds.map_batches(AudioFrameSampleStub, batch_format="pyarrow",
+                          batch_size=1024, concurrency=(1, 4))
+
+
+def _events_window(sf_dir: str):
+    import os
+    import ray
+    from shapefile_rs_ray.stages.windows import tumbling_window_counts
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    return tumbling_window_counts(ev)
+
+
+def _asof_join(sf_dir: str):
+    import os
+    import ray
+    from shapefile_rs_ray.stages.windows import asof_self_join
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"])
+    return asof_self_join(ev)
+
+
+def _top_events(sf_dir: str):
+    import os
+    import ray
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "value"])
+    return (ev.sort(["value", "event_id"], descending=[True, False])
+              .limit(100))
+
+
+def _distinct_langs(sf_dir: str):
+    import pandas as pd
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    vals = read_webpages(sf_dir, with_html=False).unique("lang")
+    return pd.DataFrame({"lang": sorted(vals)})
+
+
 def _decode_lakes(sf_dir: str):
     """Shapefile decode as a query surface: per-record geometry summary of
     the 1162-lake corpus through the Ray datasource (golden values are
@@ -254,6 +317,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_top1": _ann_top1,
         "ann_lsh_top1": _ann_lsh_top1,
         "decode_lakes": _decode_lakes,
+        "html_extract": _html_extract,
+        "image_meta": _image_meta,
+        "audio_frames": _audio_frames,
+        "events_window": _events_window,
+        "asof_join": _asof_join,
+        "top_events": _top_events,
+        "distinct_langs": _distinct_langs,
     }
 
 
@@ -314,5 +384,26 @@ SELECT vec_id, rank, nn_id FROM (
          ) AS rank
   FROM e a JOIN e b ON a.vec_id <> b.vec_id)
 WHERE rank <= 1""",
+        "html_extract": (
+            f"WITH {pages} SELECT page_id, "
+            "regexp_replace(CAST(html AS VARCHAR), '<[^>]*>', '', 'g') "
+            "AS extracted_text FROM pages"),
+        "events_window": """
+SELECT user_id,
+       CAST(FLOOR(CAST(epoch(ts) AS DOUBLE) / 3600) AS BIGINT) AS window,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id, 2""",
+        "asof_join": """
+WITH m AS (
+  SELECT user_id, ts, MAX(event_id) AS match_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT e.event_id, m.match_event_id
+FROM events e
+ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts""",
+        "top_events": ("SELECT event_id, user_id, value FROM events "
+                       "ORDER BY value DESC, event_id LIMIT 100"),
+        "distinct_langs": ("WITH " + pages +
+                           " SELECT DISTINCT lang FROM pages"),
     }
     return out

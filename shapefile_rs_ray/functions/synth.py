@@ -103,10 +103,10 @@ def webpage_batch(batch: pa.Table, repl: int = REPL) -> pa.Table:
     text = pc.take(batch["text"], pa.array(take_idx))
     lang = pc.take(batch["lang"], pa.array(take_idx))
 
-    host = (page_ids % N_HOSTS).astype("U")
-    idstr = page_ids.astype("U")
-    url = pa.array([f"https://h{h}.example/p/{d}"
-                    for h, d in zip(host, idstr)], pa.string())
+    host = pc.cast(pa.array(page_ids % N_HOSTS, pa.int64()), pa.string())
+    idstr = pc.cast(pa.array(page_ids, pa.int64()), pa.string())
+    url = pc.binary_join_element_wise(
+        pa.scalar("https://h"), host, pa.scalar(".example/p/"), idstr, "")
     ts = (np.datetime64(EPOCH.replace(" ", "T")) +
           page_ids.astype("timedelta64[s]")).astype("datetime64[us]")
     html = pc.binary_join_element_wise(

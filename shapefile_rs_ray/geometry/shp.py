@@ -253,6 +253,7 @@ class _Accum:
 
     def __init__(self, file_type: int):
         self.file_type = file_type
+        self.positions: list[int] = []   # 0-based position in the file
         self.rec_nums: list[int] = []
         self.xs: list[np.ndarray] = []
         self.ys: list[np.ndarray] = []
@@ -267,7 +268,9 @@ class _Accum:
         self.is_null: list[bool] = []
 
     def add(self, rec_num, x, y, z, m, m_pres, part_lens, roles,
-            bbox, zr, mr, null=False):
+            bbox, zr, mr, null=False, position=None):
+        self.positions.append(
+            position if position is not None else len(self.rec_nums))
         self.rec_nums.append(rec_num)
         self.xs.append(x)
         self.ys.append(y)
@@ -305,7 +308,12 @@ class _Accum:
         rec = np.asarray(self.rec_nums, np.int32)
         return ShapeTable(
             shape_type=t,
-            geom_id=(rec.astype(np.int64) - 1),
+            # geom_id is the 0-based POSITION in the file, not the wire
+            # record number: the reference treats file order as
+            # authoritative and renumbers ordinally on write
+            # (src/writer.rs:123-126); real-world files exist with 0-based
+            # or garbage record numbers (e.g. tests/data/pointz.shp).
+            geom_id=np.asarray(self.positions, np.int64),
             record_number=rec,
             x=x, y=y, z=z, m=m,
             m_present=(np.asarray(self.m_present) if can_m else None),
@@ -513,7 +521,7 @@ def decode_records(buf: bytes, header: ShpHeader,
     else:
         positions = None
 
-    def decode_one(pos: int) -> int:
+    def decode_one(pos: int, position: int) -> int:
         """Returns bytes consumed (header+payload) for the sequential walk."""
         rec_num = int(np.frombuffer(buf, ">i4", count=1, offset=pos)[0])
         rec_size = int(np.frombuffer(buf, ">i4", count=1, offset=pos + 4)[0])
@@ -526,25 +534,29 @@ def decode_records(buf: bytes, header: ShpHeader,
                     _E0 if (has_m(t) or t == MULTIPATCH) else None,
                     False, _EI, np.empty(0, np.int8),
                     np.full(4, np.nan), _NAN2, _NAN2, null=True)
+            acc.positions[-1] = position
         elif rtype != t:
             raise MismatchShapeType(
                 f"record {rec_num} has type {rtype}, file type {t}")
         elif t in _POINT_KIND:
             _decode_point_kind(acc, t, content, rec_num)
+            acc.positions[-1] = position
         elif t in _MULTIPOINT_KIND:
             _decode_multipoint_kind(acc, t, content, rec_num)
+            acc.positions[-1] = position
         else:
             _decode_poly_kind(acc, t, content, rec_num)
+            acc.positions[-1] = position
         return 8 + rec_size * 2
 
     if positions is not None:
-        for pos in positions:
-            decode_one(pos)
+        for i, pos in enumerate(positions):
+            decode_one(pos, start_record + i)
     else:
         pos = HEADER_SIZE
         idx = 0
         while pos + 8 <= end_of_data:
-            consumed = decode_one(pos) if idx >= start_record else (
+            consumed = decode_one(pos, idx) if idx >= start_record else (
                 8 + 2 * int(np.frombuffer(buf, ">i4", count=1, offset=pos + 4)[0]))
             pos += consumed
             idx += 1

@@ -43,16 +43,23 @@ def _siblings(path: str) -> tuple[str, Optional[str], Optional[str]]:
 
 
 def read_shapefile_table(path: str, with_attrs: bool = True,
-                         require_dbf: bool = False) -> pa.Table:
+                         require_dbf: bool = False,
+                         expect_type: int | None = None) -> pa.Table:
     """Single-process read of a whole shapefile into one Arrow table.
 
     The driver-side path for small broadcast sides (polygon fixtures); the
-    distributed path is `read_shapefile_dataset`.
+    distributed path is `read_shapefile_dataset`. `expect_type` mirrors the
+    reference's typed `read_as` one-liners (src/reader.rs:695-746): a file
+    of a different shape type raises MismatchShapeType
+    (Error::MismatchShapeType, src/record/mod.rs:55-68).
     """
     shp_path, shx_path, dbf_path = _siblings(path)
     if require_dbf and dbf_path is None:
         raise MissingDbf(path)
     header, st = shp_mod.read_shp(shp_path)
+    if expect_type is not None and header.shape_type != expect_type:
+        raise shp_mod.MismatchShapeType(
+            f"requested type {expect_type}, file is {header.shape_type}")
     attrs = None
     if with_attrs and dbf_path is not None:
         enc = dbf_mod.sniff_cpg(shp_path) or "utf-8"
@@ -188,3 +195,35 @@ def write_shapefile_dataset(ds, out_dir: str, *, concurrency: int | None = None)
         ShapefilePartitionWriter(out_dir),
         batch_format="pyarrow", batch_size=None,
         concurrency=concurrency).materialize()
+
+
+def shape_count(path: str) -> int:
+    """Record count from the .shx alone (free at plan time — the reference's
+    Reader::shape_count via index length, src/reader.rs:412-495)."""
+    shp_path, shx_path, _ = _siblings(path)
+    if shx_path is not None:
+        with open(shx_path, "rb") as f:
+            return len(shp_mod.read_shx(f.read()))
+    header, st = shp_mod.read_shp(shp_path)
+    return st.num_shapes
+
+
+def read_nth_shape(path: str, n: int, with_attrs: bool = True) -> pa.Table:
+    """Random access to record n via the .shx offsets (the reference's
+    read_nth_shape_as / Reader::seek, src/reader.rs:412-495): only that
+    record's byte range is decoded."""
+    shp_path, shx_path, dbf_path = _siblings(path)
+    with open(shp_path, "rb") as f:
+        buf = f.read()
+    header = shp_mod.read_header(buf)
+    shx = None
+    if shx_path is not None:
+        with open(shx_path, "rb") as f:
+            shx = shp_mod.read_shx(f.read())
+    st = shp_mod.decode_records(buf, header, shx=shx,
+                                start_record=n, end_record=n + 1)
+    attrs = None
+    if with_attrs and dbf_path is not None:
+        enc = dbf_mod.sniff_cpg(shp_path) or "utf-8"
+        attrs = dbf_mod.read_dbf(dbf_path, enc).slice(n, 1)
+    return shape_table_to_arrow(st, attrs)

@@ -24,17 +24,38 @@ import pyarrow as pa
 from ..functions import synth
 
 
-def read_documents(sf_dir: str, columns=None):
+def read_documents(sf_dir: str, columns=None, num_blocks: int | None = None):
+    """documents.parquet is one small file = one block by default, which
+    would serialize every downstream fused stage into a single task
+    (`batch_size` subdivides a task's batches, NOT its parallelism). Split
+    the read into ~8 blocks per CPU so the expansion pipeline fans out."""
     import ray
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    if num_blocks is None:
+        num_blocks = int(ray.cluster_resources().get("CPU", 8)) * 8
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns,
+        override_num_blocks=num_blocks)
+    # materialize the (tiny) seed: a single-file parquet read is ONE task
+    # whose streaming generator trickles split blocks out a few at a time,
+    # gating downstream task launches to ~3x parallelism; pinning the seed
+    # blocks lets the expansion fan out to every CPU at once. (At production
+    # scale pages come from thousands of files — reads parallelize
+    # naturally and nothing is materialized.)
+    return ds.materialize()
 
 
 def read_webpages(sf_dir: str, repl: int = synth.REPL, with_html: bool = True):
-    """documents.parquet -> streaming web-page Dataset (repl pages/doc)."""
+    """documents.parquet -> streaming web-page Dataset (repl pages/doc).
+
+    The synthesis batch size scales inversely with the expansion factor so
+    output blocks stay ~32k rows regardless of `repl` — a fixed input batch
+    would emit multi-hundred-MB blocks AND collapse the stage to a handful
+    of tasks (documents is small), serializing the whole pipeline.
+    """
     ds = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
     fn = functools.partial(synth.webpage_batch, repl=repl)
-    ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
+    batch = max(32, 32768 // max(repl, 1))
+    ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=batch)
     if not with_html:
         ds = ds.select_columns(
             ["page_id", "url", "warc_ts", "text", "lang", "lon", "lat"])

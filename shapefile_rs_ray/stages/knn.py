@@ -145,7 +145,7 @@ class KnnStage:
 
 def knn_join(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray], *,
              k: int = 3, keep_cols=("page_id",), concurrency=(1, 4),
-             batch_size=16384):
+             batch_size=None):
     import ray
     ref = ray.put(sites)
     return ds.map_batches(

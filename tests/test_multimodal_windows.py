@@ -1,0 +1,99 @@
+"""Multimodal stage plumbing + stream-shaped operator tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extract_html_text_roundtrip():
+    from shapefile_rs_ray.functions import synth
+    from shapefile_rs_ray.stages.multimodal import extract_html_text
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    pages = synth.webpage_batch(docs)
+    out = extract_html_text(pages)
+    # our html wrapper has no '<'/'>' in text, so stripping tags recovers it
+    assert out["extracted_text"].to_pylist() == out["text"].to_pylist()
+
+
+def test_image_decode_stub_plumbing():
+    from shapefile_rs_ray.stages.multimodal import ImageDecodeStub
+    b = pa.table({"page_id": pa.array([1, 2], pa.int64()),
+                  "html": pa.array([b"abc", b""], pa.binary())})
+    out = ImageDecodeStub()(b)
+    assert out.column_names == ["page_id", "n_bytes", "sha16", "width",
+                                "height", "channels"]
+    assert out["n_bytes"].to_pylist() == [3, 0]
+    # deterministic fake
+    out2 = ImageDecodeStub()(b)
+    assert out.equals(out2)
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStub(strict=True)(b)
+
+
+def test_audio_frame_stub_layout():
+    from shapefile_rs_ray.stages.multimodal import AudioFrameSampleStub
+    b = pa.table({"page_id": pa.array([7], pa.int64()),
+                  "html": pa.array([b"x" * 100], pa.binary())})
+    out = AudioFrameSampleStub(frames=4)(b)
+    assert out.num_rows == 4
+    assert out["byte_offset"].to_pylist() == [20, 40, 60, 80]
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.windows import tumbling_window_counts
+    ev = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    got = (tumbling_window_counts(ev).to_pandas()
+           .sort_values(["user_id", "window"]).reset_index(drop=True))
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    df["window"] = df.ts.astype("int64") // (3600 * 1_000_000)
+    exp = (df.groupby(["user_id", "window"])
+           .agg(n_events=("value", "size"), max_value=("value", "max"))
+           .reset_index().sort_values(["user_id", "window"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes))
+
+
+def test_asof_join_matches_pandas(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.windows import asof_self_join
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", columns=cols)
+    got = (asof_self_join(ev).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    df = pd.read_parquet(f"{SF}/events.parquet", columns=cols)
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        m = (g[g.event_type == "purchase"]
+             .groupby("ts")["event_id"].max().reset_index())
+        for _, r in g.iterrows():
+            prior = m[m.ts <= r.ts]
+            rows.append((r.event_id,
+                         prior.iloc[-1].event_id if len(prior) else None))
+    exp = (pd.DataFrame(rows, columns=["event_id", "match_event_id"])
+           .sort_values("event_id").reset_index(drop=True))
+    assert got.event_id.tolist() == exp.event_id.tolist()
+    a = got.match_event_id.fillna(-1).astype(int).tolist()
+    b = exp.match_event_id.fillna(-1).astype(int).tolist()
+    assert a == b
+
+
+def test_nth_shape_and_count_and_typed_read():
+    from shapefile_rs_ray.geometry import shp
+    from shapefile_rs_ray.sources.shapefile import (read_nth_shape,
+                                                    read_shapefile_table,
+                                                    shape_count)
+    D = "/root/reference/tests/data"
+    assert shape_count(f"{D}/ne_10m_lakes_north_america.shp") == 1162
+    t = read_nth_shape(f"{D}/pointz.shp", 1)
+    assert t.num_rows == 1 and t["geom_id"][0].as_py() == 1
+    with pytest.raises(shp.MismatchShapeType):
+        read_shapefile_table(f"{D}/line.shp", expect_type=shp.POLYGON)
