@@ -107,6 +107,27 @@ def _knn_sites(sf_dir: str):
     return knn_join(ds, sites(), k=3, keep_cols=("page_id",))
 
 
+def _knn_cellpart(sf_dir: str):
+    """kNN as a groupby-by-cell shuffle (J3 scale path); output identical
+    to the broadcast knn_sites."""
+    from shapefile_rs_ray.functions.synth import sites
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.knn import knn_join_cellpart
+    ds = read_webpages(sf_dir, with_html=False)
+    return knn_join_cellpart(ds, sites(), k=3, keep_cols=("page_id",))
+
+
+def _embed_neardup(sf_dir: str):
+    import os
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.dedup import embedding_neardup_pairs
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    corpus = pq.read_table(path, columns=["vec_id", "embedding"])
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, corpus, threshold=0.48)
+
+
 def _exact_dedup(sf_dir: str):
     from shapefile_rs_ray.sources.webpages import read_webpages
     from shapefile_rs_ray.stages.dedup import exact_dedup
@@ -306,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_cellpart": _pip_join_cellpart,
         "zonal_stats": _zonal_stats,
         "knn_sites": _knn_sites,
+        "knn_cellpart": _knn_cellpart,
+        "embed_neardup": _embed_neardup,
         "exact_dedup": _exact_dedup,
         "token_stats": _token_stats,
         "text_fidelity": _text_fidelity,
@@ -366,6 +389,12 @@ SELECT page_id, rank, site_id, dist2 FROM (
          ) AS rank
   FROM pages p CROSS JOIN s)
 WHERE rank <= 3""",
+        "knn_cellpart": None,  # filled below (same SQL as knn_sites)
+        "embed_neardup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= CAST('0.48' AS DOUBLE)""",
         "exact_dedup": (
             f"WITH {pages} SELECT MIN(page_id) AS page_id, "
             f"CAST(COUNT(*) AS BIGINT) AS n_copies FROM pages GROUP BY text"),
@@ -406,4 +435,6 @@ ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts""",
         "distinct_langs": ("WITH " + pages +
                            " SELECT DISTINCT lang FROM pages"),
     }
+    out["knn_cellpart"] = out["knn_sites"]
+    out = {k: v for k, v in out.items() if v is not None}
     return out

@@ -303,30 +303,31 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
     return _dedup_pairs(grouped, extra_col="hamming")
 
 
-def embedding_neardup_pairs(embeddings, *, threshold: float = 0.95,
-                            id_col: str = "vec_id"):
+def embedding_neardup_pairs(queries_ds, corpus_table, *,
+                            threshold: float = 0.48,
+                            id_col: str = "vec_id", concurrency=(1, 2)):
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
-    Broadcast the (small) full matrix, stream blocks against it — the
-    baseline brute path; at scale swap in the IVF/LSH bucketing of
-    stages/ann.py with the same verify.
+    Broadcast the (small) corpus matrix once, stream query blocks against it
+    (numpy matmul per batch) — the exact baseline; at scale swap in the
+    LSH bucketing of stages/ann.py with the same verify. Cosine is
+    dot / (norm_a * norm_b) in f64.
     """
     import ray
+    import pyarrow.compute as _pc
 
-    mat_ref = None
-    full = embeddings.to_pandas()   # small side by contract (fits driver)
-    ids = full[id_col].to_numpy(np.int64)
-    M = np.vstack(full["embedding"].to_numpy()).astype(np.float64)
+    from .ann import _matrix
+
+    ids, M = _matrix(corpus_table, id_col)
     norms = np.sqrt((M * M).sum(axis=1))
-    mat_ref = ray.put((ids, M, norms))
+    ref = ray.put((ids, M, norms))
 
     class Block:
         def __init__(self):
-            self.ids, self.M, self.norms = ray.get(mat_ref)
+            self.ids, self.M, self.norms = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = np.asarray(batch[id_col], np.int64)
-            B = np.vstack(batch["embedding"].to_pylist()).astype(np.float64)
+            bids, B = _matrix(batch, id_col)
             bn = np.sqrt((B * B).sum(axis=1))
             cos = (B @ self.M.T) / (bn[:, None] * self.norms[None, :])
             keep = cos >= threshold
@@ -336,5 +337,5 @@ def embedding_neardup_pairs(embeddings, *, threshold: float = 0.95,
             return pa.table({"id_a": pa.array(ga[m], pa.int64()),
                              "id_b": pa.array(gb[m], pa.int64())})
 
-    return embeddings.map_batches(Block, batch_format="pyarrow",
-                                  batch_size=1024, concurrency=(1, 2))
+    return queries_ds.map_batches(Block, batch_format="pyarrow",
+                                  batch_size=1024, concurrency=concurrency)

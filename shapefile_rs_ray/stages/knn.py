@@ -154,3 +154,97 @@ def knn_join(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray], *,
                                "keep_cols": keep_cols},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+def knn_join_cellpart(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray],
+                      *, k: int = 3, zoom: int = 6,
+                      keep_cols=("page_id",), lon_col="lon", lat_col="lat"):
+    """J3 scale path: kNN as a groupby-by-cell shuffle.
+
+    The doc side shuffles ONCE by its grid cell; per cell group, candidate
+    sites come from expanding square rings of neighbor cells around the
+    group's cell until >= k candidates exist AND the ring's minimum
+    possible distance exceeds the worst kth-candidate bound for every
+    corner of the cell (so the answer is exact, not approximate). The
+    per-group search is the same vectorized brute kernel over the candidate
+    subset. Output is identical to the broadcast knn_join.
+
+    Partitioning assumption: the site set is visible to every group (tiny,
+    broadcast); what shuffles is the doc side — the pattern that matters
+    when docs >> memory and sites are per-cell shardable.
+    """
+    import ray
+    import pyarrow.compute as _pc
+    from ..functions.cells import grid_cell
+
+    site_ids, slon, slat = sites
+    z2 = 1 << zoom
+    s_cell = grid_cell(slon, slat, zoom)
+    ref = ray.put((np.asarray(site_ids, np.int64),
+                   np.asarray(slon), np.asarray(slat),
+                   np.asarray(s_cell, np.int64)))
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        c = grid_cell(np.asarray(batch[lon_col], np.float64),
+                      np.asarray(batch[lat_col], np.float64), zoom)
+        return batch.append_column("__cell", pa.array(c, pa.int64()))
+
+    cell_w = 360.0 / z2
+    cell_h = 180.0 / z2
+
+    class CellKnn:
+        def __init__(self):
+            self.ids, self.slon, self.slat, self.scell = ray.get(ref)
+            self.sx = self.scell // z2
+            self.sy = self.scell % z2
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            cell = int(group["__cell"][0].as_py())
+            cx, cy = cell // z2, cell % z2
+            ring = 0
+            while True:
+                m = (np.abs(self.sx - cx) <= ring) & (np.abs(self.sy - cy) <= ring)
+                cand = np.nonzero(m)[0]
+                if len(cand) >= min(k, len(self.ids)):
+                    # safe-stop: a site outside ring r is at least
+                    # (r) * min(cell_w, cell_h) away from anywhere in the
+                    # cell; stop when that exceeds the worst kth distance
+                    lon = np.asarray(group[lon_col], np.float64)
+                    lat = np.asarray(group[lat_col], np.float64)
+                    dx = lon[:, None] - self.slon[cand][None, :]
+                    dy = lat[:, None] - self.slat[cand][None, :]
+                    d2 = dx * dx + dy * dy
+                    kk = min(k, len(cand))
+                    worst = np.sqrt(np.partition(d2, kk - 1, axis=1)[:, kk - 1].max())
+                    if ring * min(cell_w, cell_h) >= worst or len(cand) == len(self.ids):
+                        break
+                ring += 1
+                if ring > 2 * z2:
+                    cand = np.arange(len(self.ids))
+                    lon = np.asarray(group[lon_col], np.float64)
+                    lat = np.asarray(group[lat_col], np.float64)
+                    dx = lon[:, None] - self.slon[cand][None, :]
+                    dy = lat[:, None] - self.slat[cand][None, :]
+                    d2 = dx * dx + dy * dy
+                    break
+            kk = min(k, len(cand))
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            pd2 = np.take_along_axis(d2, part, axis=1)
+            pid = self.ids[cand][part]
+            o1 = np.argsort(pid, axis=1, kind="stable")
+            pd2 = np.take_along_axis(pd2, o1, axis=1)
+            pid = np.take_along_axis(pid, o1, axis=1)
+            o2 = np.argsort(pd2, axis=1, kind="stable")
+            pid = np.take_along_axis(pid, o2, axis=1)
+            pd2 = np.take_along_axis(pd2, o2, axis=1)
+            n = group.num_rows
+            take = pa.array(np.repeat(np.arange(n), kk))
+            out = {c: _pc.take(group[c], take) for c in keep_cols}
+            out["rank"] = pa.array(np.tile(np.arange(1, kk + 1), n), pa.int64())
+            out["site_id"] = pa.array(pid.ravel(), pa.int64())
+            out["dist2"] = pa.array(pd2.ravel(), pa.float64())
+            return pa.table(out)
+
+    keyed = ds.map_batches(add_cell, batch_format="pyarrow")
+    return keyed.groupby("__cell").map_groups(
+        CellKnn, batch_format="pyarrow", concurrency=(1, 4))

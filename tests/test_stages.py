@@ -160,3 +160,34 @@ def test_zonal_stats_sums(ray_session):
     exp = jdf.groupby("geom_id").agg(n_pages=("page_id", "count"),
                                      sum_measure=("n_chars", "sum"))
     assert z.sort_index().equals(exp.sort_index().astype(z.dtypes))
+
+
+def test_knn_cellpart_equals_broadcast(ray_session, pages_ds):
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.knn import knn_join, knn_join_cellpart
+    a = (knn_join(pages_ds, synth.sites(), k=3, concurrency=2).to_pandas()
+         .sort_values(["page_id", "rank"]).reset_index(drop=True))
+    b = (knn_join_cellpart(read_webpages(SF, with_html=False), synth.sites(),
+                           k=3).to_pandas()
+         .sort_values(["page_id", "rank"]).reset_index(drop=True))
+    assert a[["page_id", "rank", "site_id"]].equals(
+        b[["page_id", "rank", "site_id"]])
+    assert (a.dist2 - b.dist2).abs().max() == 0.0
+
+
+def test_embedding_neardup(ray_session):
+    import ray
+    import numpy as np
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.dedup import embedding_neardup_pairs
+    path = f"{SF}/embeddings.parquet"
+    corpus = pq.read_table(path, columns=["vec_id", "embedding"])
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    got = embedding_neardup_pairs(ds, corpus, threshold=0.45).to_pandas()
+    M = np.vstack(corpus["embedding"].to_pylist()).astype(np.float64)
+    ids = np.asarray(corpus["vec_id"])
+    n = np.linalg.norm(M, axis=1)
+    cos = (M @ M.T) / (n[:, None] * n[None, :])
+    ia, ib = np.nonzero(np.triu(cos >= 0.45, 1))
+    exp = {(int(ids[x]), int(ids[y])) for x, y in zip(ia, ib)}
+    assert set(zip(got.id_a, got.id_b)) == exp
