@@ -22,10 +22,15 @@ Reference parity (file:line cites into /root/reference):
 from __future__ import annotations
 
 import os
+import struct
 from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+
+_U2I32 = struct.Struct("<ii")
+_UI32 = struct.Struct("<i")
+_UBE2I32 = struct.Struct(">ii")
 
 NO_DATA = -10e38  # src/record/mod.rs:29
 
@@ -373,7 +378,7 @@ def _decode_point_kind(acc: _Accum, t: int, content: bytes, rec_num: int):
 def _decode_multipoint_kind(acc: _Accum, t: int, content: bytes, rec_num: int):
     size = len(content)
     bbox = _f64(content, 0, 4).copy()
-    n = int(_i32(content, 32, 1)[0])
+    n = _UI32.unpack_from(content, 32)[0]
     base = 36 + 16 * n
     off = 36
     if t == MULTIPOINT:
@@ -430,8 +435,7 @@ def _decode_poly_kind(acc: _Accum, t: int, content: bytes, rec_num: int):
     """
     size = len(content)
     bbox = _f64(content, 0, 4).copy()
-    num_parts = int(_i32(content, 32, 1)[0])
-    num_points = int(_i32(content, 36, 1)[0])
+    num_parts, num_points = _U2I32.unpack_from(content, 32)
     parts = _i32(content, 40, num_parts).astype(np.int64)
     off = 40 + 4 * num_parts
 
@@ -460,9 +464,11 @@ def _decode_poly_kind(acc: _Accum, t: int, content: bytes, rec_num: int):
         raise InvalidShapeRecordSize()
 
     # per-part lengths; mirror PartIndexIter (end of last part = num_points)
-    ends = np.append(parts[1:], num_points)
-    part_lens = (ends - parts).astype(np.int64)
-    if np.any(part_lens < 0):
+    part_lens = np.empty(num_parts, np.int64)
+    np.subtract(parts[1:], parts[:-1], out=part_lens[:-1])
+    if num_parts:
+        part_lens[-1] = num_points - parts[-1]
+    if num_parts and int(part_lens.min()) < 0:
         raise ShapefileError("non-monotonic parts array")
     total = int(part_lens.sum())
 
@@ -486,14 +492,28 @@ def _decode_poly_kind(acc: _Accum, t: int, content: bytes, rec_num: int):
     if is_patch:
         roles = patch_types
     elif t in _POLYGON_KIND:
-        # classify each ring by winding (src/record/polygon.rs:366-377)
-        roles = np.empty(num_parts, np.int8)
-        pstart = 0
-        for i, ln in enumerate(part_lens):
-            rx = xy[pstart:pstart + ln, 0]
-            ry = xy[pstart:pstart + ln, 1]
-            roles[i] = 1 if ring_winding_is_inner(rx, ry) else 0
-            pstart += ln
+        # classify every ring by winding in one vectorized pass
+        # (src/record/polygon.rs:366-377): shoelace terms over consecutive
+        # pairs, per-ring sums via reduceat, minus the spurious
+        # ring-boundary-crossing term per non-final ring
+        if num_parts == 1 or (num_parts and int(part_lens.min()) < 2):
+            # degenerate (<2-point) rings: use the per-ring path, whose
+            # empty-window behavior matches the reference (area 0 -> Outer)
+            roles = np.empty(num_parts, np.int8)
+            pstart = 0
+            for i, ln in enumerate(part_lens):
+                roles[i] = 1 if ring_winding_is_inner(
+                    xy[pstart:pstart + ln, 0],
+                    xy[pstart:pstart + ln, 1]) else 0
+                pstart += int(ln)
+        else:
+            d = (xy[1:, 0] - xy[:-1, 0]) * (xy[1:, 1] + xy[:-1, 1])
+            starts = np.zeros(num_parts, np.int64)
+            np.cumsum(part_lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(d, starts)
+            ends = starts[1:]          # global index of each next-ring start
+            sums[:-1] -= d[ends - 1]   # drop the cross-boundary pair term
+            roles = (sums < 0.0).astype(np.int8)
     else:
         roles = np.full(num_parts, -1, np.int8)
 
@@ -523,10 +543,9 @@ def decode_records(buf: bytes, header: ShpHeader,
 
     def decode_one(pos: int, position: int) -> int:
         """Returns bytes consumed (header+payload) for the sequential walk."""
-        rec_num = int(np.frombuffer(buf, ">i4", count=1, offset=pos)[0])
-        rec_size = int(np.frombuffer(buf, ">i4", count=1, offset=pos + 4)[0])
+        rec_num, rec_size = _UBE2I32.unpack_from(buf, pos)
         payload = buf[pos + 8: pos + 8 + rec_size * 2]
-        rtype = int(np.frombuffer(payload, "<i4", count=1)[0])
+        rtype = _UI32.unpack_from(payload, 0)[0]
         content = payload[4:]
         if rtype == NULL_SHAPE:
             acc.add(rec_num, _E0, _E0,
@@ -557,7 +576,7 @@ def decode_records(buf: bytes, header: ShpHeader,
         idx = 0
         while pos + 8 <= end_of_data:
             consumed = decode_one(pos, idx) if idx >= start_record else (
-                8 + 2 * int(np.frombuffer(buf, ">i4", count=1, offset=pos + 4)[0]))
+                8 + 2 * _UBE2I32.unpack_from(buf, pos)[1])
             pos += consumed
             idx += 1
             if end_record is not None and idx >= end_record:
