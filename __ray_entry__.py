@@ -281,6 +281,15 @@ def _asof_join(sf_dir: str):
     return asof_self_join(ev)
 
 
+def _session_windows(sf_dir: str):
+    import os
+    import ray
+    from shapefile_rs_ray.stages.windows import session_windows
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+    return session_windows(ev)
+
+
 def _top_events(sf_dir: str):
     import os
     import ray
@@ -345,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames": _audio_frames,
         "events_window": _events_window,
         "asof_join": _asof_join,
+        "session_windows": _session_windows,
         "top_events": _top_events,
         "distinct_langs": _distinct_langs,
     }
@@ -430,6 +440,16 @@ WITH m AS (
 SELECT e.event_id, m.match_event_id
 FROM events e
 ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts""",
+        "session_windows": """
+SELECT event_id,
+       CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM (SELECT event_id, user_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)""",
         "top_events": ("SELECT event_id, user_id, value FROM events "
                        "ORDER BY value DESC, event_id LIMIT 100"),
         "distinct_langs": ("WITH " + pages +

@@ -74,3 +74,28 @@ def asof_self_join(events, *, match_type: str = "purchase"):
 
     return events.groupby("user_id").map_groups(
         per_user, batch_format="pandas")
+
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def session_windows(events, *, gap_us: int = SESSION_GAP_US):
+    """Session windows per user: a new session starts at the first event and
+    whenever the gap to the previous event exceeds `gap_us`.
+
+    Output: (event_id, session_idx) with session_idx 1-based per user in
+    (ts, event_id) order — the deterministic tie-break makes the result
+    identical to the SQL window-function oracle. Partitioning assumption:
+    groupby(user_id) co-locates each user's history (same as asof_self_join).
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        us = g["ts"].astype("int64")
+        gap = us.diff()
+        new = gap.isna() | (gap > gap_us)
+        g["session_idx"] = new.cumsum().astype("int64")
+        return g[["event_id", "session_idx"]]
+
+    return events.groupby("user_id").map_groups(per_user,
+                                                batch_format="pandas")
