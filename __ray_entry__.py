@@ -99,6 +99,27 @@ def _zonal_stats(sf_dir: str):
     return zonal_stats(joined, measure_col="n_chars", zone_col="geom_id")
 
 
+def _zonal_cellpart(sf_dir: str):
+    """Raster-vector zonal stats through the groupby-by-cell shuffle join
+    (same output as zonal_stats via the broadcast path)."""
+    import pyarrow.compute as pc
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.pip_join import (cell_partitioned_pip,
+                                                  load_polygons)
+    from shapefile_rs_ray.stages.zonal import zonal_stats
+
+    def add_n_chars(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_chars", pc.cast(pc.utf8_length(batch["text"]), pa.int64()))
+
+    ds = read_webpages(sf_dir, with_html=False)
+    ds = ds.map_batches(add_n_chars, batch_format="pyarrow")
+    joined = cell_partitioned_pip(ds, load_polygons(LAKES), zoom=7,
+                                  keep_cols=("page_id", "n_chars"),
+                                  hot_threshold=2000)
+    return zonal_stats(joined, measure_col="n_chars", zone_col="geom_id")
+
+
 def _knn_sites(sf_dir: str):
     from shapefile_rs_ray.functions.synth import sites
     from shapefile_rs_ray.sources.webpages import read_webpages
@@ -335,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": _pip_join,
         "pip_join_cellpart": _pip_join_cellpart,
         "zonal_stats": _zonal_stats,
+        "zonal_cellpart": _zonal_cellpart,
         "knn_sites": _knn_sites,
         "knn_cellpart": _knn_cellpart,
         "embed_neardup": _embed_neardup,
@@ -456,5 +478,6 @@ FROM (SELECT event_id, user_id, ts,
                            " SELECT DISTINCT lang FROM pages"),
     }
     out["knn_cellpart"] = out["knn_sites"]
+    out["zonal_cellpart"] = out["zonal_stats"]
     out = {k: v for k, v in out.items() if v is not None}
     return out

@@ -127,6 +127,7 @@ def detect_hot_cells(ds, zoom: int, threshold: int,
 def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
                          keep_cols=("page_id", "url"),
                          hot_threshold: int = 50_000,
+                         presample: float = 1.0,
                          lon_col="lon", lat_col="lat"):
     """Shuffle-based PIP join: groupby(cell [+salt]) + per-group local join.
 
@@ -144,7 +145,15 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
     polys_ref = ray.put(polys)
     map_ref = ray.put(cell_to_polys)
 
-    hot = detect_hot_cells(ds, zoom, hot_threshold,
+    # skew pre-pass; with presample < 1 it runs on a seeded sample with a
+    # proportionally scaled threshold (hot-cell detection only tunes the
+    # salting — correctness never depends on it — so a sketch suffices,
+    # which is what a 100 TB run would do)
+    pre_ds = ds if presample >= 1.0 else ds.random_sample(presample, seed=7)
+    pre_threshold = max(1, int(hot_threshold * presample))
+    # n_salts = ceil(count/threshold) is scale-free: sampled counts against
+    # the proportionally scaled threshold estimate the same salt counts
+    hot = detect_hot_cells(pre_ds, zoom, pre_threshold,
                            lon_col=lon_col, lat_col=lat_col)
 
     def add_cell(batch: pa.Table) -> pa.Table:
