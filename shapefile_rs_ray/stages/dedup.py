@@ -97,7 +97,14 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
                       bands: int = 16, jaccard_threshold: float = 0.8,
                       concurrency=(1, 4)):
     """Near-duplicate pairs (id_a < id_b, exact word-3-shingle Jaccard >=
-    threshold) among LSH candidates. Returns Dataset(id_a, id_b)."""
+    threshold) among LSH candidates. Returns Dataset(id_a, id_b).
+
+    Scale note: the explode carries the text into every band row (bands x
+    text volume through the shuffle) so the in-bucket verify is local. At
+    100 TB the swap is mechanical: explode (band_key, id, text_hash) only,
+    emit candidate id pairs, and verify in a second pass that joins the
+    pair list back to the corpus by id (shuffles candidate ids, not text).
+    """
 
     # plain task function, not an actor pool: MinHasher setup is microseconds
     # (derives its permutation constants from a fixed seed), and tasks use
