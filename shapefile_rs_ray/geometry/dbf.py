@@ -53,8 +53,16 @@ def sniff_cpg(path_like: str) -> str | None:
     return aliases.get(label)
 
 
-def read_dbf_bytes(buf: bytes, encoding: str = "utf-8") -> pa.Table:
-    """Decode a whole .dbf buffer into an Arrow table."""
+def read_dbf_bytes(buf: bytes, encoding: str = "utf-8",
+                   skip_deleted: bool = False) -> pa.Table:
+    """Decode a whole .dbf buffer into an Arrow table.
+
+    `skip_deleted=False` keeps '*'-flagged rows so attribute rows stay
+    positionally 1:1 with .shp records (the zip invariant of
+    ShapeRecordIterator, src/reader.rs:164-193 — a deleted dbf row still
+    occupies its slot); pass True for standalone attribute reads that want
+    the dbase-crate behavior of dropping them.
+    """
     if len(buf) < 32:
         raise ValueError("dbf too short")
     num_records = struct.unpack("<I", buf[4:8])[0]
@@ -73,10 +81,8 @@ def read_dbf_bytes(buf: bytes, encoding: str = "utf-8") -> pa.Table:
     start = header_size
     block = np.frombuffer(buf, np.uint8, count=num_records * record_size,
                           offset=start).reshape(num_records, record_size)
-    # deletion flag is column 0; '*' marks deleted (kept consistent with
-    # dbase crate which skips deleted records)
-    alive = block[:, 0] != ord("*")
-    block = block[alive]
+    if skip_deleted:
+        block = block[block[:, 0] != ord("*")]
 
     cols: dict[str, pa.Array] = {}
     off = 1
@@ -123,11 +129,12 @@ def _decode_field(raw: np.ndarray, f: DbfField, encoding: str) -> pa.Array:
     return pa.array(texts, pa.string())
 
 
-def read_dbf(path: str, encoding: str | None = None) -> pa.Table:
+def read_dbf(path: str, encoding: str | None = None,
+             skip_deleted: bool = False) -> pa.Table:
     if encoding is None:
         encoding = sniff_cpg(path) or "utf-8"
     with open(path, "rb") as f:
-        return read_dbf_bytes(f.read(), encoding)
+        return read_dbf_bytes(f.read(), encoding, skip_deleted=skip_deleted)
 
 
 # ---------------------------------------------------------------------------
@@ -163,10 +170,13 @@ def write_dbf(table: pa.Table, encoding: str = "utf-8",
             fields.append(DbfField(name[:10], "D", 8, 0))
             pycols.append(vals)
         elif pa.types.is_integer(typ):
-            fields.append(DbfField(name[:10], "N", 18, 0))
+            w = max([len(str(int(v))) for v in vals if v is not None] + [1])
+            fields.append(DbfField(name[:10], "N", min(max(w, 1), 254), 0))
             pycols.append(vals)
         elif pa.types.is_floating(typ):
-            fields.append(DbfField(name[:10], "N", 20, 8))
+            w = max([len(f"{float(v):.8f}")
+                     for v in vals if v is not None] + [1])
+            fields.append(DbfField(name[:10], "N", min(max(w, 10), 254), 8))
             pycols.append(vals)
         else:
             enc = [str(v).encode(encoding) for v in vals]
@@ -210,7 +220,11 @@ def write_dbf(table: pa.Table, encoding: str = "utf-8",
                         s = f"{float(v):.{f.decimals}f}"
                     else:
                         s = str(int(v))
-                    b = s.encode()[:f.length]
+                    b = s.encode()
+                    if len(b) > f.length:
+                        raise ValueError(
+                            f"numeric value {s!r} exceeds dbf field width "
+                            f"{f.length} for column {f.name!r}")
                     out += b" " * (f.length - len(b)) + b
     out += b"\x1a"
     return bytes(out)

@@ -96,11 +96,16 @@ def write_shp(table: ShapeTable) -> tuple[bytes, bytes]:
     le_f8 = np.dtype("<f8")
 
     # ---- pass 1: sizes and file-level bbox ------------------------------
+    # NullShape records (is_null) carry only the 4-byte type code; they are
+    # skipped in the bbox fold and re-emitted as type 0
     sizes = np.empty(n, np.int64)   # content bytes per record (excl. type)
     # file bbox fold exactly as ShapeWriter (src/writer.rs:99-111,140)
     bb = {"xmin": F64_MAX, "ymin": F64_MAX, "zmin": F64_MAX, "mmin": F64_MAX,
           "xmax": F64_MIN, "ymax": F64_MIN, "zmax": F64_MIN, "mmax": F64_MIN}
     for i in range(n):
+        if table.is_null[i]:
+            sizes[i] = 0
+            continue
         p0, p1 = table.shape_part_offsets[i], table.shape_part_offsets[i + 1]
         num_parts = int(p1 - p0)
         s = int(table.part_offsets[p0])
@@ -139,8 +144,11 @@ def write_shp(table: ShapeTable) -> tuple[bytes, bytes]:
     for i in range(n):
         shx += struct.pack(">ii", cur_length, int(record_size_words[i]))
         shp += struct.pack(">ii", i + 1, int(record_size_words[i]))
-        shp += struct.pack("<i", t)
-        shp += _shape_payload(table, i, le_f8)
+        if table.is_null[i]:
+            shp += struct.pack("<i", 0)          # NullShape record
+        else:
+            shp += struct.pack("<i", t)
+            shp += _shape_payload(table, i, le_f8)
         cur_length += int(record_size_words[i]) + 4
     assert cur_length == file_length
     return bytes(shp), bytes(shx)

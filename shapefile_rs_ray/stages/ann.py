@@ -33,9 +33,13 @@ class CosineTopK:
         import ray
         ids, M = (ray.get(corpus_ref)
                   if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref)
-        self.cids = ids
-        self.M = M
-        self.norms = np.sqrt((M * M).sum(axis=1))
+        # corpus sorted by id once: a STABLE argsort on -cos then breaks
+        # similarity ties by ascending id automatically (the documented /
+        # oracle tie-break), with no per-row lexsort
+        order = np.argsort(ids, kind="stable")
+        self.cids = np.asarray(ids)[order]
+        self.M = np.asarray(M)[order]
+        self.norms = np.sqrt((self.M * self.M).sum(axis=1))
         self.k = k
         self.id_col = id_col
         self.block = block
@@ -43,28 +47,24 @@ class CosineTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, Q = _matrix(batch, self.id_col)
         n = len(qids)
-        k = self.k
-        out_q = np.repeat(qids, k)
-        out_r = np.empty(n * k, np.int64)
-        out_n = np.empty(n * k, np.int64)
+        kk = min(self.k, max(len(self.cids) - 1, 0))   # self excluded below
+        if kk == 0 or n == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "nn_id": pa.array([], pa.int64())})
+        out_q = np.repeat(qids, kk)
+        out_r = np.empty(n * kk, np.int64)
         qn = np.sqrt((Q * Q).sum(axis=1))
         for s in range(0, n, self.block):
             e = min(s + self.block, n)
             cos = (Q[s:e] @ self.M.T) / (qn[s:e, None] * self.norms[None, :])
-            # exclude self
             self_mask = qids[s:e, None] == self.cids[None, :]
             cos[self_mask] = -np.inf
-            kk = min(k, cos.shape[1])
-            part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
-            pcos = np.take_along_axis(cos, part, axis=1)
-            pid = self.cids[part]
-            o1 = np.argsort(pid, axis=1, kind="stable")
-            pcos = np.take_along_axis(pcos, o1, axis=1)
-            pid = np.take_along_axis(pid, o1, axis=1)
-            o2 = np.argsort(-pcos, axis=1, kind="stable")
-            pid = np.take_along_axis(pid, o2, axis=1)
-            out_r[s * k:e * k] = pid[:, :k].ravel()
-            out_n[s * k:e * k] = np.tile(np.arange(1, k + 1), e - s)
+            # corpus columns are id-sorted, so a stable sort on -cos yields
+            # (similarity desc, id asc) — exact ties included
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            out_r[s * kk:e * kk] = self.cids[order].ravel()
+        out_n = np.tile(np.arange(1, kk + 1), n)
         return pa.table({self.id_col: pa.array(out_q, pa.int64()),
                          "rank": pa.array(out_n, pa.int64()),
                          "nn_id": pa.array(out_r, pa.int64())})
@@ -104,23 +104,19 @@ def lsh_topk(embeddings, *, k: int = 1, planes: int = 12, seed: int = 99,
             return pa.table({id_col: pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int64()),
                              "nn_id": pa.array([], pa.int64())})
+        order0 = np.argsort(ids, kind="stable")    # id-sorted columns
+        ids = ids[order0]
+        M = M[order0]
         norms = np.sqrt((M * M).sum(axis=1))
         cos = (M @ M.T) / (norms[:, None] * norms[None, :])
         np.fill_diagonal(cos, -np.inf)
         kk = min(k, len(ids) - 1)
-        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
-        pcos = np.take_along_axis(cos, part, axis=1)
-        pid = ids[part]
-        o1 = np.argsort(pid, axis=1, kind="stable")
-        pcos = np.take_along_axis(pcos, o1, axis=1)
-        pid = np.take_along_axis(pid, o1, axis=1)
-        o2 = np.argsort(-pcos, axis=1, kind="stable")
-        pid = np.take_along_axis(pid, o2, axis=1)
+        sel = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
         n = len(ids)
         return pa.table({
             id_col: pa.array(np.repeat(ids, kk), pa.int64()),
             "rank": pa.array(np.tile(np.arange(1, kk + 1), n), pa.int64()),
-            "nn_id": pa.array(pid[:, :kk].ravel(), pa.int64())})
+            "nn_id": pa.array(ids[sel].ravel(), pa.int64())})
 
     return (embeddings.map_batches(add_sig, batch_format="pyarrow")
             .groupby("bucket").map_groups(local_topk, batch_format="pyarrow"))

@@ -92,7 +92,13 @@ class KnnStage:
         import ray
         sites = (ray.get(sites_ref)
                  if isinstance(sites_ref, ray.ObjectRef) else sites_ref)
-        self.site_ids, self.slon, self.slat = sites
+        sid, slon, slat = sites
+        # id-sorted site arrays: a stable argsort on d2 then breaks exact
+        # distance ties by ascending site_id (the oracle's ROW_NUMBER order)
+        order = np.argsort(np.asarray(sid), kind="stable")
+        self.site_ids = np.asarray(sid, np.int64)[order]
+        self.slon = np.asarray(slon, np.float64)[order]
+        self.slat = np.asarray(slat, np.float64)[order]
         self.k = k
         self.keep_cols = list(keep_cols)
         self.lon_col, self.lat_col = lon_col, lat_col
@@ -117,17 +123,12 @@ class KnnStage:
                 dx = lon[s:e, None] - self.slon[None, :]
                 dy = lat[s:e, None] - self.slat[None, :]
                 d2 = dx * dx + dy * dy
-                part = np.argpartition(d2, k - 1, axis=1)[:, :k]
-                pd2 = np.take_along_axis(d2, part, axis=1)
-                pid = self.site_ids[part]
-                # row-wise lexsort by (d2, site_id): stable sort by site_id
-                # first, then stable sort by d2 (vectorized, no row loop)
-                o1 = np.argsort(pid, axis=1, kind="stable")
-                pd2 = np.take_along_axis(pd2, o1, axis=1)
-                pid = np.take_along_axis(pid, o1, axis=1)
-                o2 = np.argsort(pd2, axis=1, kind="stable")
-                nn_sites[s:e] = np.take_along_axis(pid, o2, axis=1)
-                nn_d2[s:e] = np.take_along_axis(pd2, o2, axis=1)
+                # sites are id-sorted, so one stable argsort on d2 gives
+                # (distance asc, site_id asc) including boundary ties that
+                # argpartition-then-sort would break arbitrarily
+                sel = np.argsort(d2, axis=1, kind="stable")[:, :k]
+                nn_sites[s:e] = self.site_ids[sel]
+                nn_d2[s:e] = np.take_along_axis(d2, sel, axis=1)
         else:
             for i in range(n):
                 idx = self.grid.query_one(lon[i], lat[i], k)
@@ -228,15 +229,12 @@ def knn_join_cellpart(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray],
                     d2 = dx * dx + dy * dy
                     break
             kk = min(k, len(cand))
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-            pd2 = np.take_along_axis(d2, part, axis=1)
-            pid = self.ids[cand][part]
-            o1 = np.argsort(pid, axis=1, kind="stable")
-            pd2 = np.take_along_axis(pd2, o1, axis=1)
-            pid = np.take_along_axis(pid, o1, axis=1)
-            o2 = np.argsort(pd2, axis=1, kind="stable")
-            pid = np.take_along_axis(pid, o2, axis=1)
-            pd2 = np.take_along_axis(pd2, o2, axis=1)
+            cand_order = np.argsort(self.ids[cand], kind="stable")
+            cand = cand[cand_order]
+            d2 = d2[:, cand_order]
+            sel = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            pid = self.ids[cand][sel]
+            pd2 = np.take_along_axis(d2, sel, axis=1)
             n = group.num_rows
             take = pa.array(np.repeat(np.arange(n), kk))
             out = {c: _pc.take(group[c], take) for c in keep_cols}

@@ -128,7 +128,8 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
                          keep_cols=("page_id", "url"),
                          hot_threshold: int = 50_000,
                          presample: float = 1.0,
-                         lon_col="lon", lat_col="lat"):
+                         lon_col="lon", lat_col="lat",
+                         id_col="page_id"):
     """Shuffle-based PIP join: groupby(cell [+salt]) + per-group local join.
 
     The polygon side is replicated to every cell its bbox covers (cell cover on
@@ -162,7 +163,10 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
         cell = cells_mod.grid_cell(lon, lat, zoom)
         salt = np.zeros(len(cell), np.int64)
         if hot:
-            ids = np.asarray(batch["page_id"], np.int64)
+            # any stable per-row value works as salt; fall back to row index
+            ids = (np.asarray(batch[id_col], np.int64)
+                   if id_col in batch.column_names
+                   else np.arange(len(cell), dtype=np.int64))
             for hc, ns in hot.items():
                 m = cell == hc
                 salt[m] = ids[m] % ns

@@ -30,15 +30,19 @@ def tumbling_window_counts(events, *, window_s: int = WINDOW_SECONDS):
         win = ts // (window_s * 1_000_000)
         users = np.asarray(batch["user_id"], np.int64)
         vals = np.asarray(batch["value"], np.float64)
-        key = users * np.int64(1 << 22) + win          # composite partial key
-        order = np.argsort(key, kind="stable")
-        key_s, val_s = key[order], vals[order]
-        uniq, start = np.unique(key_s, return_index=True)
-        cnt = np.append(start[1:], len(key_s)) - start
-        mx = np.maximum.reduceat(val_s, start)
+        # group on the (user, window) pair via lexsort + run detection — no
+        # bit packing, so any window_s / timestamp range is safe
+        order = np.lexsort((win, users))
+        u_s, w_s, val_s = users[order], win[order], vals[order]
+        new = np.empty(len(u_s), bool)
+        new[0:1] = True
+        new[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
+        start = np.nonzero(new)[0]
+        cnt = np.append(start[1:], len(u_s)) - start
+        mx = np.maximum.reduceat(val_s, start) if len(u_s) else np.empty(0)
         return pa.table({
-            "user_id": pa.array(uniq // (1 << 22), pa.int64()),
-            "window": pa.array(uniq % (1 << 22), pa.int64()),
+            "user_id": pa.array(u_s[start], pa.int64()),
+            "window": pa.array(w_s[start], pa.int64()),
             "n_events": pa.array(cnt, pa.int64()),
             "max_value": pa.array(mx, pa.float64()),
         })

@@ -31,7 +31,8 @@ def zonal_stats(joined, *, measure_col: str = "n_chars",
         vals = np.asarray(batch[measure_col], np.int64)
         uniq, inv = np.unique(zones, return_inverse=True)
         cnt = np.bincount(inv)
-        s = np.bincount(inv, weights=vals.astype(np.float64)).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, vals)          # pure int64 — no float rounding
         return pa.table({zone_col: pa.array(uniq, pa.int64()),
                          "n_pages": pa.array(cnt, pa.int64()),
                          "sum_measure": pa.array(s, pa.int64())})
