@@ -93,7 +93,7 @@ def run_queries() -> tuple[dict, dict]:
     def q_pip_cellpart():
         j = cell_partitioned_pip(pages(), polys, zoom=7,
                                  keep_cols=("page_id",),
-                                 hot_threshold=100_000)
+                                 hot_threshold=100_000, presample=0.05)
         return j.count()
 
     timed("pip_cellpart", q_pip_cellpart)

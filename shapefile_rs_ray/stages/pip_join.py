@@ -171,26 +171,26 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
                 m = cell == hc
                 salt[m] = ids[m] % ns
         key = cell * 1024 + salt  # cell_salt shuffle key (<=1024 salts)
-        return batch.append_column("cell_salt", pa.array(key, pa.int64()))
+        batch = batch.append_column("cell_salt", pa.array(key, pa.int64()))
+        # coarse shuffle partitions: one Ray group per ~1/256th of the key
+        # space, with per-cell joins delimited locally — a group per CELL
+        # would pay one scheduler round-trip per (mostly tiny) cell
+        return batch.append_column("__p", pa.array(key % 256, pa.int64()))
 
     class CellJoin:
-        """Per-group local join; actor pool so the polygon side and the
-        cell->polys cover map are fetched once per actor, not per group."""
+        """One shuffle partition = many whole cell_salt groups. The polygon
+        side and the cell->polys cover map are fetched once per actor; a
+        per-cell PIPIndex cache persists across groups and batches."""
 
         def __init__(self):
             self.polys = ray.get(polys_ref)
             self.cmap = ray.get(map_ref)
             self.sub_indexes: dict[int, PIPIndex] = {}
 
-        def __call__(self, group: pa.Table) -> pa.Table:
-            key = int(group["cell_salt"][0].as_py())
-            cell = key // 1024
+        def _join_cell(self, cell: int, group: pa.Table):
             cand = self.cmap.get(cell, [])
-            empty = {c: group[c].slice(0, 0) for c in keep_cols}
-            empty["geom_id"] = pa.array([], pa.int64())
-            empty["poly_idx"] = pa.array([], pa.int64())
             if not cand:
-                return pa.table(empty)
+                return None
             idx = self.sub_indexes.get(cell)
             if idx is None:
                 idx = PIPIndex([self.polys[i] for i in cand])
@@ -205,6 +205,26 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
             out["poly_idx"] = pa.array(idx.poly_idx[poly], pa.int64())
             return pa.table(out)
 
+        def __call__(self, part: pa.Table) -> pa.Table:
+            keys = np.asarray(part["cell_salt"], np.int64)
+            order = np.argsort(keys, kind="stable")
+            part = part.take(pa.array(order))
+            keys = keys[order]
+            _, starts = np.unique(keys, return_index=True)
+            bounds = np.append(starts, len(keys))
+            outs = []
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                cell = int(keys[b0]) // 1024
+                res = self._join_cell(cell, part.slice(b0, b1 - b0))
+                if res is not None and res.num_rows:
+                    outs.append(res)
+            if not outs:
+                empty = {c: part[c].slice(0, 0) for c in keep_cols}
+                empty["geom_id"] = pa.array([], pa.int64())
+                empty["poly_idx"] = pa.array([], pa.int64())
+                return pa.table(empty)
+            return pa.concat_tables(outs)
+
     keyed = ds.map_batches(add_cell, batch_format="pyarrow")
-    return keyed.groupby("cell_salt").map_groups(
+    return keyed.groupby("__p").map_groups(
         CellJoin, batch_format="pyarrow", concurrency=(1, 4))
