@@ -327,6 +327,35 @@ def _distinct_langs(sf_dir: str):
     return pd.DataFrame({"lang": sorted(vals)})
 
 
+BLOCKED_HOSTS = [f"h{i}.example" for i in range(10)]
+
+
+def _host_filter(sf_dir: str):
+    """Broadcast semi-join: keep pages whose url host is NOT in a blocklist
+    (the blocklist ships once via ray.put; membership is a vectorized
+    pc.is_in per batch — no shuffle)."""
+    import ray
+    import pyarrow.compute as pc
+    from shapefile_rs_ray.sources.webpages import read_webpages
+
+    blocked_ref = ray.put(set(BLOCKED_HOSTS))
+
+    class HostFilter:
+        def __init__(self):
+            self.blocked = pa.array(sorted(ray.get(blocked_ref)))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            host = pc.extract_regex(batch["url"], r"https://(?P<h>[^/]+)/")
+            host = pc.struct_field(host, "h")
+            keep = pc.invert(pc.is_in(host, value_set=self.blocked))
+            return batch.filter(keep)
+
+    ds = read_webpages(sf_dir, with_html=False)
+    return (ds.map_batches(HostFilter, batch_format="pyarrow",
+                           concurrency=(1, 4))
+              .select_columns(["page_id", "url"]))
+
+
 def _decode_lakes(sf_dir: str):
     """Shapefile decode as a query surface: per-record geometry summary of
     the 1162-lake corpus through the Ray datasource (golden values are
@@ -379,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _session_windows,
         "top_events": _top_events,
         "distinct_langs": _distinct_langs,
+        "host_filter": _host_filter,
     }
 
 
@@ -476,6 +506,10 @@ FROM (SELECT event_id, user_id, ts,
                        "ORDER BY value DESC, event_id LIMIT 100"),
         "distinct_langs": ("WITH " + pages +
                            " SELECT DISTINCT lang FROM pages"),
+        "host_filter": (
+            "WITH " + pages + " SELECT page_id, url FROM pages WHERE "
+            "regexp_extract(url, 'https://([^/]+)/', 1) NOT IN ("
+            + ", ".join(f"'h{i}.example'" for i in range(10)) + ")"),
     }
     out["knn_cellpart"] = out["knn_sites"]
     out["zonal_cellpart"] = out["zonal_stats"]
