@@ -120,7 +120,9 @@ def detect_hot_cells(ds, zoom: int, threshold: int,
              .groupby("cell").aggregate(Sum("n", alias_name="n")))
     hot = {}
     for row in agg.filter(expr=f"n > {threshold}").take_all():
-        hot[int(row["cell"])] = max(2, int(np.ceil(row["n"] / threshold)))
+        # the shuffle key packs the salt into 10 bits -> hard cap 1024
+        hot[int(row["cell"])] = min(
+            1024, max(2, int(np.ceil(row["n"] / threshold))))
     return hot
 
 
@@ -172,10 +174,12 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
                 salt[m] = ids[m] % ns
         key = cell * 1024 + salt  # cell_salt shuffle key (<=1024 salts)
         batch = batch.append_column("cell_salt", pa.array(key, pa.int64()))
-        # coarse shuffle partitions: one Ray group per ~1/256th of the key
-        # space, with per-cell joins delimited locally — a group per CELL
-        # would pay one scheduler round-trip per (mostly tiny) cell
-        return batch.append_column("__p", pa.array(key % 256, pa.int64()))
+        # coarse shuffle partitions: one Ray group per ~1/251st of the key
+        # space, per-cell joins delimited locally (a group per CELL pays a
+        # scheduler round-trip per mostly-tiny cell). 251 is prime: a
+        # power-of-two modulus would cancel against the *1024 packing and
+        # collapse every salt-0 row into one partition.
+        return batch.append_column("__p", pa.array(key % 251, pa.int64()))
 
     class CellJoin:
         """One shuffle partition = many whole cell_salt groups. The polygon

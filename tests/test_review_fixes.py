@@ -47,6 +47,10 @@ def test_dbf_wide_integers_roundtrip_and_overflow_guard():
     t = pa.table({"v": pa.array([big, -big, 0], pa.int64())})
     out = dbf.read_dbf_bytes(dbf.write_dbf(t))
     assert out["v"].to_pylist() == [float(big), float(-big), 0.0]
+    # a value whose rendering exceeds the 254-char dbf field cap must raise,
+    # never silently truncate (the original corruption bug)
+    with pytest.raises(ValueError):
+        dbf.write_dbf(pa.table({"v": pa.array([1e300], pa.float64())}))
 
 
 def test_dbf_deleted_rows_positional():
