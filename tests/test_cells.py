@@ -86,3 +86,21 @@ def test_hex_center_distance_bound():
     h9 = cells.hex_cell(lon, lat, 9)
     assert np.all((h4 >> 56) == 4) and np.all((h9 >> 56) == 9)
     assert len(np.unique(h9)) > len(np.unique(h4))
+
+
+def test_grid_cell_extremes_clamped():
+    # dateline / pole values stay in range (clip semantics, both sides)
+    lon = np.array([-180.0, 180.0, 179.99999, -179.99999])
+    lat = np.array([90.0, -90.0, 89.99999, -89.99999])
+    for zoom in (1, 8, 14):
+        c = cells.grid_cell(lon, lat, zoom)
+        n = 1 << zoom
+        assert np.all(c >= 0) and np.all(c < n * n)
+
+
+def test_cover_bboxes_clamps_out_of_range():
+    bb = np.array([[179.5, 89.5, 185.0, 95.0],     # spills past the edge
+                   [-185.0, -95.0, -179.5, -89.5]])
+    idx, cc = cells.cover_bboxes(bb, 6)
+    n = 1 << 6
+    assert np.all(cc >= 0) and np.all(cc < n * n)

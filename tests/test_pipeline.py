@@ -104,3 +104,14 @@ def test_shapefile_dataset_roundtrip_via_ray(ray_session, tmp_path):
         _, part = shp.read_shp(f)
         xs.append(part.x)
     assert np.array_equal(np.concatenate(xs), orig.x)
+
+
+def test_flagship_deterministic_across_runs(ray_session):
+    """FIXTURES.md B4: two full runs produce identical sorted outputs."""
+    from shapefile_rs_ray.pipelines.flagship import flagship
+    outs = []
+    for _ in range(2):
+        df = flagship(SF, concurrency=2).to_pandas()
+        outs.append(df.sort_values(["page_id", "geom_id", "poly_idx"])
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
