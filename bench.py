@@ -131,6 +131,17 @@ def run_queries() -> tuple[dict, dict]:
     if n_pages is not None:
         extra["n_pages"] = n_pages
 
+    def q_ckpt_write():
+        # resumable partitioned sink throughput (lineage manifests included)
+        import shutil
+        from shapefile_rs_ray.state.lineage import write_partitioned
+        out = "/tmp/graft_bench_ckpt"
+        shutil.rmtree(out, ignore_errors=True)
+        return write_partitioned(pages(), out, key_col="page_id",
+                                 partition_size=1 << 15).count()
+
+    timed("ckpt_write", q_ckpt_write)
+
     def q_minhash():
         # near-dup at the natural repl=20 (pair count is quadratic in the
         # clone factor; the bench repl would explode pairs, not work)
