@@ -56,8 +56,10 @@ def run_queries() -> tuple[dict, dict]:
     polys = load_polygons(LAKES)
     # fixed-size pool: Ray's autoscaling actor pool stays at its minimum
     # under fused chains (measured 26s vs 19s at 16 cpus / 10M pages), so
-    # the bench sizes the pool to the cluster explicitly
-    conc = max(2, NUM_CPUS - 2)
+    # the bench sizes the pool to the cluster explicitly. NUM_CPUS-1 keeps
+    # the lo/hi scaling configs proportionally provisioned (the whole fused
+    # chain runs inside the pool; upstream seed blocks are materialized).
+    conc = max(2, NUM_CPUS - 1)
 
     # warm the page cache (untimed read of the input parquet)
     read_webpages(SF_DIR, repl=1, with_html=False).count()
