@@ -40,6 +40,7 @@ def geometry_schema(attrs_schema: pa.Schema | None = None) -> pa.Schema:
         pa.field("part_roles", pa.list_(pa.int8())),
         pa.field("bbox", pa.struct([pa.field(n, pa.float64())
                                     for n in BBOX_FIELDS])),
+        pa.field("is_null", pa.bool_()),
     ]
     if attrs_schema is not None:
         fields.append(pa.field(
@@ -87,6 +88,7 @@ def shape_table_to_arrow(st: ShapeTable,
         "shape_type": pa.array(np.full(n, st.shape_type, np.int32)),
         "xy": xy, "z": zcol, "m": mcol, "m_present": m_present,
         "part_roles": roles, "bbox": bbox,
+        "is_null": pa.array(st.is_null, pa.bool_()),
     }
     if attrs is not None:
         assert attrs.num_rows == n, "attrs must zip 1:1 with shapes"
@@ -145,5 +147,6 @@ def arrow_to_shape_table(t: pa.Table) -> ShapeTable:
                  if (has_z(shape_type) or shape_type == MULTIPATCH) else None),
         m_range=(np.column_stack([bcols["mmin"], bcols["mmax"]])
                  if can_m else None),
-        is_null=np.zeros(n, bool),
+        is_null=(np.asarray(t["is_null"].combine_chunks(), bool)
+                 if "is_null" in t.column_names else np.zeros(n, bool)),
     )

@@ -119,3 +119,16 @@ def test_zonal_integer_sums_exact():
     s = np.zeros(len(uniq), np.int64)
     np.add.at(s, inv, vals)
     assert s.tolist() == [(1 << 53) + 1, 7]   # float64 would round to 2^53
+
+
+def test_null_shape_survives_arrow_roundtrip():
+    from shapefile_rs_ray.geometry.schema import (arrow_to_shape_table,
+                                                  shape_table_to_arrow)
+    buf = _file_with_null_record()
+    _, st = shp.read_shp_bytes(buf)
+    st2 = arrow_to_shape_table(shape_table_to_arrow(st))
+    np.testing.assert_array_equal(st2.is_null, [False, True, False])
+    b, _ = write_shp(st2)
+    _, st3 = shp.read_shp_bytes(b)
+    np.testing.assert_array_equal(st3.x, st.x)
+    np.testing.assert_array_equal(st3.is_null, st.is_null)
