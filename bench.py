@@ -133,6 +133,26 @@ def run_queries() -> tuple[dict, dict]:
     if n_pages is not None:
         extra["n_pages"] = n_pages
 
+    def q_decode_lakes():
+        # single-core decode kernel over the 1162-lake corpus, repeated 10x
+        # (the apples-to-apples comparison against the reference's
+        # single-threaded reader; the Ray datasource parallelizes this
+        # per shx range across every CPU). The 750 KB fixture is too small
+        # to time the distributed path meaningfully.
+        from shapefile_rs_ray.geometry import shp as shp_mod
+        with open(LAKES, "rb") as f:
+            buf = f.read()
+        hdr = shp_mod.read_header(buf)
+        n = 0
+        for _ in range(10):
+            n += shp_mod.decode_records(buf, hdr).num_shapes
+        return n
+
+    n_recs = timed("decode_lakes", q_decode_lakes)
+    if n_recs is not None and times.get("decode_lakes"):
+        extra["decode_recs_per_sec_1core"] = round(
+            n_recs / times["decode_lakes"], 1)
+
     def q_ckpt_write():
         # resumable partitioned sink throughput (lineage manifests included)
         import shutil
