@@ -356,6 +356,20 @@ def _host_filter(sf_dir: str):
               .select_columns(["page_id", "url"]))
 
 
+def _union_split(sf_dir: str):
+    """ds.union surface: split events on a predicate, union the halves back
+    (row-identical to the full table; SQL oracle is the UNION ALL)."""
+    import os
+    import ray
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"])
+    hi = ev.filter(expr="value > 50.0")
+    lo = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"]
+                               ).filter(expr="value <= 50.0")
+    return hi.union(lo)
+
+
 def _decode_lakes(sf_dir: str):
     """Shapefile decode as a query surface: per-record geometry summary of
     the 1162-lake corpus through the Ray datasource (golden values are
@@ -409,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": _top_events,
         "distinct_langs": _distinct_langs,
         "host_filter": _host_filter,
+        "union_split": _union_split,
     }
 
 
@@ -506,6 +521,9 @@ FROM (SELECT event_id, user_id, ts,
                        "ORDER BY value DESC, event_id LIMIT 100"),
         "distinct_langs": ("WITH " + pages +
                            " SELECT DISTINCT lang FROM pages"),
+        "union_split": ("SELECT event_id, value FROM events WHERE value > 50.0 "
+                        "UNION ALL "
+                        "SELECT event_id, value FROM events WHERE value <= 50.0"),
         "host_filter": (
             "WITH " + pages + " SELECT page_id, url FROM pages WHERE "
             "regexp_extract(url, 'https://([^/]+)/', 1) NOT IN ("
