@@ -115,3 +115,17 @@ def test_flagship_deterministic_across_runs(ray_session):
         outs.append(df.sort_values(["page_id", "geom_id", "poly_idx"])
                     .reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_cli_decode_smoke():
+    """The CLI owns its own Ray session — run it in a subprocess."""
+    import json
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-m", "shapefile_rs_ray.cli", "--num-cpus", "2",
+         "decode", "/root/reference/tests/data/polygon_hole.shp"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert out.returncode == 0, out.stderr[-500:]
+    first = json.loads(out.stdout.strip().splitlines()[0])
+    assert first["records"] == 1
