@@ -363,11 +363,9 @@ def _union_split(sf_dir: str):
     import ray
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "value"])
-    hi = ev.filter(expr="value > 50.0")
-    lo = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_id", "value"]
-                               ).filter(expr="value <= 50.0")
-    return hi.union(lo)
+    # Datasets are immutable lazy plans: branching ev twice is safe
+    return ev.filter(expr="value > 50.0").union(
+        ev.filter(expr="value <= 50.0"))
 
 
 def _decode_lakes(sf_dir: str):

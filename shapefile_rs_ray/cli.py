@@ -60,13 +60,13 @@ def main(argv=None):
             kw = {}
             if args.repl:
                 kw["repl"] = args.repl
-            joined = flagship(args.sf, out_dir=args.out, **kw)
+            joined = flagship(args.sf, out_dir=args.out, **kw).materialize()
             print(json.dumps({"joined_rows": joined.count(),
                               "schema": joined.schema().names,
                               "out": args.out}))
         elif args.cmd == "decode":
             from .sources.shapefile import read_shapefile_dataset
-            ds = read_shapefile_dataset(args.shp)
+            ds = read_shapefile_dataset(args.shp).materialize()
             n = ds.count()
             rows = ds.limit(args.limit).to_pandas()
             print(json.dumps({"records": n,
@@ -83,13 +83,17 @@ def main(argv=None):
                               "rows": int(manifest["rows"].sum()),
                               "out": args.out_dir}))
         elif args.cmd == "query":
-            sys.path.insert(0, "/root/repo")
+            import os
+            repo_root = os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))
+            sys.path.insert(0, repo_root)
             import __ray_entry__ as entry_mod
             fn = entry_mod.queries()[args.name]
             res = fn(args.sf)
             import pandas as pd
             import pyarrow as pa
             if isinstance(res, ray.data.Dataset):
+                res = res.materialize()   # one execution for count + head
                 n = res.count()
                 head = res.limit(args.limit).to_pandas()
             elif isinstance(res, pa.Table):
