@@ -568,19 +568,24 @@ def decode_records(buf: bytes, header: ShpHeader,
             acc.positions[-1] = position
         return 8 + rec_size * 2
 
-    if positions is not None:
-        for i, pos in enumerate(positions):
-            decode_one(pos, start_record + i)
-    else:
-        pos = HEADER_SIZE
-        idx = 0
-        while pos + 8 <= end_of_data:
-            consumed = decode_one(pos, idx) if idx >= start_record else (
-                8 + 2 * _UBE2I32.unpack_from(buf, pos)[1])
-            pos += consumed
-            idx += 1
-            if end_record is not None and idx >= end_record:
-                break
+    try:
+        if positions is not None:
+            for i, pos in enumerate(positions):
+                decode_one(pos, start_record + i)
+        else:
+            pos = HEADER_SIZE
+            idx = 0
+            while pos + 8 <= end_of_data:
+                consumed = decode_one(pos, idx) if idx >= start_record else (
+                    8 + 2 * _UBE2I32.unpack_from(buf, pos)[1])
+                pos += consumed
+                idx += 1
+                if end_record is not None and idx >= end_record:
+                    break
+    except (ValueError, struct.error) as e:
+        # frombuffer/unpack ran past the end: record declared more bytes
+        # than the file holds (truncation; the reference surfaces IoError)
+        raise InvalidShapeRecordSize(f"truncated record: {e}") from e
     return acc.finish()
 
 

@@ -172,3 +172,10 @@ def test_cp936_dbf_encoding():
     from shapefile_rs_ray.geometry import dbf
     t = dbf.read_dbf(f"{D}/file_cp936.dbf")
     assert t["TEST"][0].as_py() == "测试中文"
+
+
+def test_truncated_file_raises_cleanly():
+    with open(f"{D}/polygon.shp", "rb") as f:
+        buf = f.read()
+    with pytest.raises(shp.ShapefileError):
+        shp.read_shp_bytes(buf[:-20])
