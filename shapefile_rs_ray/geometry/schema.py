@@ -3,8 +3,9 @@ SURVEY.md §1.5).
 
 One row per shapefile record:
 
-    geom_id:    int64                      (record_number - 1; 1-based on the
-                                            wire, src/writer.rs:123-126)
+    geom_id:    int64                      (0-based file position; the wire
+                                            record number is ordinal on write,
+                                            src/writer.rs:123-126)
     shape_type: int32                      (ESRI code, src/lib.rs:162-180)
     xy:         list<list<fixed_size_list<double, 2>>>   parts -> points
     z:          list<list<double>>         (null column when type has no Z)

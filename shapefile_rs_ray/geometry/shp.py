@@ -191,7 +191,7 @@ class ShapeTable:
     """
 
     shape_type: int
-    geom_id: np.ndarray          # int64, = record_number - 1 (0-based)
+    geom_id: np.ndarray          # int64, 0-based POSITION in the file
     record_number: np.ndarray    # int32 as on the wire (1-based normally)
     x: np.ndarray
     y: np.ndarray
