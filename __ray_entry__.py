@@ -35,8 +35,23 @@ def entry() -> Any:
 # --------------------------------------------------------------------------
 
 def _webpages(sf_dir: str):
+    """Full page table with `html` presented as its sha256 hex digest: the
+    driver's canonicalizer sorts/hashes pandas object columns, and raw BLOB
+    bytes come back from DuckDB as unhashable bytearrays — so both sides of
+    the gate project the digest (engine hashes the actual html bytes; the
+    oracle hashes the identical string it would have encoded)."""
+    import hashlib
+
     from shapefile_rs_ray.sources.webpages import read_webpages
-    return read_webpages(sf_dir)
+
+    def digest_html(batch: pa.Table) -> pa.Table:
+        sha = [hashlib.sha256(b).hexdigest()
+               for b in batch["html"].to_pylist()]
+        i = batch.schema.get_field_index("html")
+        return batch.set_column(i, "html_sha256", pa.array(sha, pa.string()))
+
+    return read_webpages(sf_dir).map_batches(digest_html,
+                                             batch_format="pyarrow")
 
 
 def _tile_cells(sf_dir: str):
@@ -48,15 +63,12 @@ def _tile_cells(sf_dir: str):
 
 
 def _hot_cells(sf_dir: str):
-    """Cells with page count above threshold (the skew pre-pass, J2)."""
-    from shapefile_rs_ray.stages.pip_join import detect_hot_cells
-    from shapefile_rs_ray.pipelines.flagship import GRID_ZOOM
+    """Cells with page count above threshold (exact counts; the salted
+    skew pre-pass itself is exercised inside pip_join_cellpart)."""
+    from ray.data.aggregate import Count
+    from shapefile_rs_ray.pipelines.flagship import add_grid_cell
     from shapefile_rs_ray.sources.webpages import read_webpages
     ds = read_webpages(sf_dir, with_html=False)
-    hot = detect_hot_cells(ds, GRID_ZOOM, HOT_CELL_THRESHOLD)
-    # recompute exact counts for the hot set (detect returns salt counts)
-    from shapefile_rs_ray.pipelines.flagship import add_grid_cell
-    from ray.data.aggregate import Count
     keyed = ds.map_batches(add_grid_cell, batch_format="pyarrow")
     counts = keyed.groupby("cell").aggregate(Count(alias_name="n_pages"))
     return counts.filter(expr=f"n_pages > {HOT_CELL_THRESHOLD}")
@@ -440,8 +452,37 @@ def oracle_sql() -> dict[str, str]:
     cell12 = grid_cell_sql("lon", "lat", 12)
     tok = token_stats_sql("text")
 
+    # DuckDB's sha256() takes VARCHAR and hashes its utf-8 bytes; the html
+    # BLOB cast to VARCHAR would hash the \xNN-escaped repr instead, so the
+    # oracle rebuilds the exact html string from text (identical bytes to the
+    # engine's b"<html><body>" + text + b"</body></html>").
+    html_str = "'<html><body>' || text || '</body></html>'"
+
+    def hex2int(expr: str) -> str:
+        """SQL: first-two-hex-chars of `expr` -> 0..255 (sha256 digest byte)."""
+        c1 = f"strpos('0123456789abcdef', substr({expr}, 1, 1)) - 1"
+        c2 = f"strpos('0123456789abcdef', substr({expr}, 2, 1)) - 1"
+        return f"(({c1}) * 16 + ({c2}))"
+
     out = {
-        "webpages": f"WITH {pages} SELECT * FROM pages",
+        "webpages": (
+            f"WITH {pages} SELECT page_id, url, warc_ts, "
+            f"sha256({html_str}) AS html_sha256, text, lang, lon, lat "
+            f"FROM pages"),
+        "image_meta": (
+            f"WITH {pages}, m AS (SELECT page_id, "
+            f"CAST(octet_length(html) AS BIGINT) AS n_bytes, "
+            f"sha256({html_str}) AS h FROM pages) "
+            f"SELECT page_id, n_bytes, substr(h, 1, 16) AS sha16, "
+            f"CAST(64 + {hex2int('substr(h, 1, 2)')} % 192 AS BIGINT) AS width, "
+            f"CAST(64 + {hex2int('substr(h, 3, 2)')} % 192 AS BIGINT) AS height, "
+            f"CAST(1 + {hex2int('substr(h, 5, 2)')} % 4 AS BIGINT) AS channels "
+            f"FROM m"),
+        "audio_frames": (
+            f"WITH {pages} SELECT page_id, r AS frame, "
+            f"CAST((octet_length(html) * (r + 1)) // 5 AS BIGINT) "
+            f"AS byte_offset FROM pages CROSS JOIN "
+            f"(SELECT CAST(range AS BIGINT) AS r FROM range(0, 4))"),
         "tile_cells": (f"WITH {pages} SELECT page_id, {cell12} AS cell "
                        f"FROM pages"),
         "hot_cells": (

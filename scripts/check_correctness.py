@@ -23,10 +23,11 @@ def to_pandas(res):
 
 
 def canon(df):
+    # mirror the DRIVER's canonicalization exactly: sort columns by name,
+    # then sort_values over all columns. No bytes->hex coercion — a query
+    # returning raw bytes must fail HERE the same way it fails the driver
+    # (pandas can't factorize bytearray), not pass locally and die remotely.
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (bytes, bytearray)):
-            df[c] = df[c].map(lambda b: b.hex() if b is not None else None)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 

@@ -62,6 +62,12 @@ REPL = 20                # pages per source document
 # --------------------------------------------------------------------------
 
 def _fracs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # fail loudly at the same boundary where the DuckDB oracle would raise a
+    # BIGINT overflow instead of silently wrapping in int64 (~3.5e9 ids)
+    if len(ids) and ids.max() >= (1 << 63) // M1:
+        raise OverflowError(
+            f"id {ids.max()} * {M1} overflows int64; the production path "
+            "hashes the url string instead of the multiplicative form")
     h1 = (ids * M1) % P1
     h2 = (ids * M2 + 12345) % P2
     return (h1 % 1000000) / 1000000.0, (h2 % 1000000) / 1000000.0
