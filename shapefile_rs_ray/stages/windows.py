@@ -2,15 +2,17 @@
 
 Ray Data has no event-time windows; the engine treats the events table as a
 partitioned log: tumbling windows become (key, time-bucket) pre-aggregates
-(pure map-side, exact, order-free); as-of joins become per-key sorted merges
-inside map_groups. The ordering assumption is stated per operator.
+(pure map-side, exact, order-free); as-of joins and session windows shuffle
+ONCE into coarse user-hash partitions and run one vectorized lexsort +
+run-detection kernel per partition. The ordering assumption is stated per
+operator.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 WINDOW_SECONDS = 3600
 
@@ -53,53 +55,121 @@ def tumbling_window_counts(events, *, window_s: int = WINDOW_SECONDS):
                        Max("max_value", alias_name="max_value")))
 
 
-def asof_self_join(events, *, match_type: str = "purchase"):
-    """For every event: the most recent event of `match_type` by the same
-    user at or before it (exclusive of itself when it IS the match row at
-    the same timestamp? inclusive — ts_match <= ts).
+USER_PARTITIONS = 251   # prime (CLAUDE.md: never a power of two near packing)
 
-    Partitioning assumption: groupby(user_id) co-locates each user's full
-    history; the per-group pandas merge_asof sees it sorted by ts. Ties on
-    (user, ts) among match rows are broken to the max event_id (DuckDB ASOF
-    semantics pick a single match; both sides pre-reduce match rows to one
-    per (user, ts) with the max event_id so the choice is deterministic).
+
+def _partition_by_user(events, parts: int = USER_PARTITIONS):
+    """Coarse hash partition on user_id % P: ONE shuffle into a fixed,
+    scale-free number of partitions; each partition holds many whole users
+    and is processed with one vectorized kernel. This replaces
+    groupby(user_id) (one Python group call per DISTINCT user — the
+    per-key anti-pattern that collapses at 1e8 users)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], np.int64)
+        return batch.append_column("__p", pa.array(u % parts, pa.int64()))
+
+    return events.map_batches(add_part, batch_format="pyarrow")
+
+
+def _user_ts_sorted(part: pa.Table):
+    """lexsort a partition by (user_id, ts, event_id); returns the sorted
+    (users, ts_us, event_ids) arrays plus first-row-of-user mask."""
+    users = np.asarray(part["user_id"], np.int64)
+    ts = np.asarray(part["ts"].cast(pa.int64()))        # us since epoch
+    eids = np.asarray(part["event_id"], np.int64)
+    order = np.lexsort((eids, ts, users))
+    u, t, e = users[order], ts[order], eids[order]
+    new_user = np.empty(len(u), bool)
+    new_user[0:1] = True
+    new_user[1:] = u[1:] != u[:-1]
+    return order, u, t, e, new_user
+
+
+def asof_self_join(events, *, match_type: str = "purchase",
+                   parts: int = USER_PARTITIONS):
+    """For every event: the most recent event of `match_type` by the same
+    user at or before it (inclusive — ts_match <= ts; a purchase row can
+    match itself).
+
+    Shape: one shuffle into `parts` coarse user-hash partitions, then one
+    vectorized pass per partition — lexsort by (user, ts, event_id), reduce
+    rows to (user, ts) runs, per-run max match event_id (the deterministic
+    tie-break DuckDB's ASOF needs pre-reduced too), forward-fill the last
+    match run via np.maximum.accumulate over run indices, invalidate fills
+    that cross a user boundary. No per-user Python/pandas calls.
     Output: (event_id, match_event_id nullable).
     """
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        m = g[g["event_type"] == match_type]
-        # one match row per ts: max event_id (deterministic tie-break)
-        m = m.groupby("ts", as_index=False).agg(
-            match_event_id=("event_id", "max"))
-        out = pd.merge_asof(
-            g[["event_id", "ts"]], m, on="ts", direction="backward")
-        return out[["event_id", "match_event_id"]]
+    def local(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        is_match = pc.equal(part["event_type"],
+                            pa.scalar(match_type)).to_numpy(
+                                zero_copy_only=False)
+        order, u, t, e, new_user = _user_ts_sorted(part)
+        m = is_match[order]
+        # (user, ts) runs — matches at the same ts apply to every event in
+        # the run (ts >= m.ts is inclusive), so the fill works at run level
+        run_new = np.empty(n, bool)
+        run_new[0:1] = True
+        run_new[1:] = new_user[1:] | (t[1:] != t[:-1])
+        run_start = np.nonzero(run_new)[0]
+        n_runs = len(run_start)
+        run_of_row = np.cumsum(run_new) - 1
+        # per-run max match event_id (-1 = no match row in the run)
+        tmp = np.where(m, e, -1)
+        run_match = np.maximum.reduceat(tmp, run_start)
+        # forward-fill: latest run index <= current having a match
+        idx = np.where(run_match >= 0, np.arange(n_runs), -1)
+        ff = np.maximum.accumulate(idx)
+        # a fill must not cross user boundaries: a user boundary is always a
+        # run boundary, so new_user[run_start] flags each user's first run
+        user_first_run = np.maximum.accumulate(
+            np.where(new_user[run_start], np.arange(n_runs), -1))
+        valid = ff >= user_first_run
+        ans_run = np.where(valid, run_match[ff.clip(min=0)], -1)
+        ans = ans_run[run_of_row]
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "match_event_id": pa.array(
+                np.where(ans >= 0, ans, 0), pa.int64(),
+                mask=ans < 0),
+        })
 
-    return events.groupby("user_id").map_groups(
-        per_user, batch_format="pandas")
+    return (_partition_by_user(events, parts)
+            .groupby("__p").map_groups(local, batch_format="pyarrow"))
 
 
 SESSION_GAP_US = 1800 * 1_000_000
 
 
-def session_windows(events, *, gap_us: int = SESSION_GAP_US):
+def session_windows(events, *, gap_us: int = SESSION_GAP_US,
+                    parts: int = USER_PARTITIONS):
     """Session windows per user: a new session starts at the first event and
     whenever the gap to the previous event exceeds `gap_us`.
 
-    Output: (event_id, session_idx) with session_idx 1-based per user in
-    (ts, event_id) order — the deterministic tie-break makes the result
-    identical to the SQL window-function oracle. Partitioning assumption:
-    groupby(user_id) co-locates each user's history (same as asof_self_join).
+    Output: (event_id, session_idx) 1-based per user in (ts, event_id)
+    order, identical to the SQL window-function oracle. Same coarse
+    user-hash partition + single vectorized pass as asof_self_join: the
+    per-user 1-based index is the global cumsum of new-session flags minus
+    the cumsum value at each user's first row.
     """
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        us = g["ts"].astype("int64")
-        gap = us.diff()
-        new = gap.isna() | (gap > gap_us)
-        g["session_idx"] = new.cumsum().astype("int64")
-        return g[["event_id", "session_idx"]]
+    def local(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        _, u, t, e, new_user = _user_ts_sorted(part)
+        gap = np.empty(n, np.int64)
+        gap[0:1] = 0
+        gap[1:] = t[1:] - t[:-1]
+        new_sess = new_user | (gap > gap_us)
+        g = np.cumsum(new_sess)
+        user_start = np.nonzero(new_user)[0]
+        base = np.repeat(g[user_start] - 1,
+                         np.diff(np.append(user_start, n)))
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "session_idx": pa.array(g - base, pa.int64()),
+        })
 
-    return events.groupby("user_id").map_groups(per_user,
-                                                batch_format="pandas")
+    return (_partition_by_user(events, parts)
+            .groupby("__p").map_groups(local, batch_format="pyarrow"))
