@@ -511,6 +511,39 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= CAST('0.48' AS DOUBLE)""",
+        # Exact-Jaccard restatement of the LSH output: pairs of identical
+        # texts (clones) plus distinct-text pairs whose word-3-shingle
+        # Jaccard >= 0.8, expanded to members. Engine == oracle requires
+        # banding recall 1.0 on the gate data — verified: every cross-family
+        # pair at sf0.01 has J >= 0.9 (measured min 0.90), where a
+        # 16-band/4-row miss has probability (1-0.9^4)^16 ~= 4e-8, and the
+        # fixed-seed engine output is deterministic.
+        "minhash_pairs": f"""
+WITH {pages},
+g AS (SELECT text, MIN(page_id) AS gid FROM pages GROUP BY text),
+w AS (SELECT gid, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM g),
+sh AS (SELECT gid, text,
+       CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+                 range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+            WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+            ELSE [''] END AS s
+       FROM w),
+fam AS (SELECT a.text AS ta, b.text AS tb
+        FROM sh a JOIN sh b ON a.gid < b.gid
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= CAST('0.8' AS DOUBLE)),
+cross_pairs AS (SELECT least(pa.page_id, pb.page_id) AS id_a,
+                       greatest(pa.page_id, pb.page_id) AS id_b
+                FROM fam JOIN pages pa ON pa.text = fam.ta
+                         JOIN pages pb ON pb.text = fam.tb),
+clone_pairs AS (SELECT a.page_id AS id_a, b.page_id AS id_b
+                FROM pages a JOIN pages b
+                  ON a.text = b.text AND a.page_id < b.page_id)
+SELECT DISTINCT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM clone_pairs)""",
         "exact_dedup": (
             f"WITH {pages} SELECT MIN(page_id) AS page_id, "
             f"CAST(COUNT(*) AS BIGINT) AS n_copies FROM pages GROUP BY text"),

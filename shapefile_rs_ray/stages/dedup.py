@@ -7,19 +7,19 @@ Scale shapes:
   one row per distinct text BEFORE the shuffle; the groupby then moves only
   distinct-key partials. The shuffle key is the 64-bit content hash, never
   the text bytes.
-- minhash-lsh: signatures per batch (vectorized reduceat) -> explode to one
-  row per (band_key) -> groupby(band_key) gathers candidate groups ->
-  pairwise exact-Jaccard verify inside the group -> global pair dedup by
-  (a, b) key. Band keys are salted with the band index so cross-band buckets
-  never collide.
+- minhash-lsh: two passes; the shuffle carries (band_key, id, text_hash)
+  ints only, never text. Pass 1 buckets and emits clone pairs + candidate
+  family pairs + member rows; pass 2 verifies the (rare) candidates with
+  exact string-shingle Jaccard computed distributed on the rep-filtered
+  corpus, then expands confirmed family pairs through the member rows.
+  Band keys are salted with the band index so cross-band buckets never
+  collide.
 - simhash: 4x16-bit band exact-match blocking, hamming<=`max_hamming` verify.
 - embedding: LSH-free blockwise cosine (the brute path is the baseline; the
   bucketed variant lives in stages/ann.py).
 """
 
 from __future__ import annotations
-
-import itertools
 
 import numpy as np
 import pyarrow as pa
@@ -92,6 +92,9 @@ def exact_dedup(pages, *, id_col: str = "page_id", text_col: str = "text"):
     return agg.select_columns([id_col, "n_copies"])
 
 
+PAIR_PARTS = 61   # prime: survives any power-of-two key packing upstream
+
+
 def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
                       text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, jaccard_threshold: float = 0.8,
@@ -99,12 +102,26 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
     """Near-duplicate pairs (id_a < id_b, exact word-3-shingle Jaccard >=
     threshold) among LSH candidates. Returns Dataset(id_a, id_b).
 
-    Scale note: the explode carries the text into every band row (bands x
-    text volume through the shuffle) so the in-bucket verify is local. At
-    100 TB the swap is mechanical: explode (band_key, id, text_hash) only,
-    emit candidate id pairs, and verify in a second pass that joins the
-    pair list back to the corpus by id (shuffles candidate ids, not text).
+    Two-pass, scale-safe: the shuffle carries ONLY (band_key, id,
+    text_hash) — 24 bytes per page per band, never the text (the round-1
+    design shipped bands x text volume through the exchange).
+
+    Pass 1 (bucketing): per-partition family collapse over the int rows
+    emits three row kinds — clone pairs (identical-hash families, band 0
+    triangles), candidate FAMILY pairs ((h_a, h_b) with min-id reps, the
+    rare distinct-texts-colliding case), and (h, id) member rows (band 0,
+    each page once; these make the final expansion a lookup instead of a
+    second full sha256 pass over the corpus).
+
+    Pass 2 (verify + expand): the candidate collision set is orders of
+    magnitude smaller than the corpus — its rep ids live on the driver as
+    plain int lists and broadcast via ray.put; shingle sets are computed
+    DISTRIBUTED on the rep-filtered pages and shuffled by pair index (only
+    collision reps' shingles move), verified by the exact string-set
+    Jaccard, and confirmed family pairs expand to member pairs through the
+    member rows. Texts never shuffle.
     """
+    import ray
 
     # plain task function, not an actor pool: MinHasher setup is microseconds
     # (derives its permutation constants from a fixed seed), and tasks use
@@ -123,20 +140,14 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
             "band_key": pa.array(keys.ravel(), pa.int64()),
             id_col: pa.array(ids[rep], pa.int64()),
             "__h": pa.array(h[rep], pa.int64()),
-            text_col: pc.take(batch[text_col], pa.array(rep)),
         })
 
-    def process_partition(part: pa.Table) -> pa.Table:
+    def detect(part: pa.Table) -> pa.Table:
         """One shuffle partition = many whole band buckets (bucketing is on
-        band_key % P so a bucket never spans partitions).
-
-        Vectorized family collapse: rows are lexsorted by (bucket, text-hash,
-        id); identical-text FAMILIES are the (bucket, hash) runs. Clone
-        pairs (jaccard 1.0 by identity) are emitted as triangle indices —
-        only in band 0, where identical signatures provably collide — and
-        only family-vs-family candidates (rare: genuinely-near-but-not-equal
-        texts) pay an exact shingle-Jaccard verification.
-        """
+        band_key % P so a bucket never spans partitions). Output columns
+        (kind, a, b, rep_a, rep_b): kind 0 = clone pair (a,b = ids),
+        kind 1 = candidate family pair (a,b = text hashes, h_a < h_b),
+        kind 2 = member row (a = text hash, b = id)."""
         keys = np.asarray(part["band_key"], np.int64)
         ids = np.asarray(part[id_col], np.int64)
         hs = np.asarray(part["__h"], np.int64)
@@ -149,68 +160,230 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
         fam_size = np.append(fam_start[1:], len(keys)) - fam_start
         fam_key = keys[fam_start]
         fam_band = fam_key % bands
-        parts_a, parts_b = [], []
+        out_k, out_a, out_b, out_ra, out_rb = [], [], [], [], []
 
-        # 1) clone pairs (identical text), band 0 only
-        big = np.nonzero((fam_size > 1) & (fam_band == 0))[0]
-        for f in big:
+        # 1) clone pairs (identical text), band 0 only (identical texts
+        #    provably share every band; band 0 avoids duplicates)
+        band0 = fam_band == 0
+        for f in np.nonzero((fam_size > 1) & band0)[0]:
             members = ids[fam_start[f]:fam_start[f] + fam_size[f]]
             ia, ib = np.triu_indices(len(members), k=1)
-            parts_a.append(members[ia])
-            parts_b.append(members[ib])
+            out_k.append(np.zeros(len(ia), np.int64))
+            out_a.append(members[ia])
+            out_b.append(members[ib])
+            out_ra.append(np.zeros(len(ia), np.int64))
+            out_rb.append(np.zeros(len(ia), np.int64))
 
-        # 2) cross-family candidates within a bucket (distinct texts whose
-        #    minhash band collided): exact-Jaccard verify once per text pair
+        # 2) member rows (h, id), band 0 only — each page exactly once
+        #    across all partitions
+        row_band0 = (keys % bands) == 0
+        n0 = int(row_band0.sum())
+        if n0:
+            out_k.append(np.full(n0, 2, np.int64))
+            out_a.append(hs[row_band0])
+            out_b.append(ids[row_band0])
+            out_ra.append(np.zeros(n0, np.int64))
+            out_rb.append(np.zeros(n0, np.int64))
+
+        # 3) candidate family pairs: buckets holding >1 distinct hash.
+        #    reps are each family's min id (ids ascend within a family).
         bucket_new = np.empty(len(fam_key), bool)
         bucket_new[0:1] = True
         bucket_new[1:] = fam_key[1:] != fam_key[:-1]
         b_start = np.nonzero(bucket_new)[0]
         b_size = np.append(b_start[1:], len(fam_key)) - b_start
-        multi = np.nonzero(b_size > 1)[0]
-        if len(multi):
-            texts = part[text_col]
-            shingle_cache: dict[int, frozenset] = {}
+        cand_a, cand_b, cand_ra, cand_rb = [], [], [], []
+        for b in np.nonzero(b_size > 1)[0]:
+            fams = np.arange(b_start[b], b_start[b] + b_size[b])
+            fa, fb = np.triu_indices(len(fams), k=1)
+            f1, f2 = fams[fa], fams[fb]
+            h1, h2 = hs[fam_start[f1]], hs[fam_start[f2]]
+            r1, r2 = ids[fam_start[f1]], ids[fam_start[f2]]
+            swap = h1 > h2
+            cand_a.append(np.where(swap, h2, h1))
+            cand_b.append(np.where(swap, h1, h2))
+            cand_ra.append(np.where(swap, r2, r1))
+            cand_rb.append(np.where(swap, r1, r2))
+        if cand_a:
+            ca = np.concatenate(cand_a)
+            cb = np.concatenate(cand_b)
+            cra = np.concatenate(cand_ra)
+            crb = np.concatenate(cand_rb)
+            # partition-local dedup of repeated (h_a, h_b) collisions
+            o = np.lexsort((cb, ca))
+            ca, cb, cra, crb = ca[o], cb[o], cra[o], crb[o]
+            first = np.empty(len(ca), bool)
+            first[0:1] = True
+            first[1:] = (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])
+            out_k.append(np.ones(int(first.sum()), np.int64))
+            out_a.append(ca[first])
+            out_b.append(cb[first])
+            out_ra.append(cra[first])
+            out_rb.append(crb[first])
 
-            def sh_of(frow: int) -> frozenset:
-                hkey = int(hs[fam_start[frow]])
-                got = shingle_cache.get(hkey)
-                if got is None:
-                    # representative text: original row index via sort order
-                    t = texts[int(order[fam_start[frow]])].as_py()
-                    got = frozenset(hashing.text_shingles(t))
-                    shingle_cache[hkey] = got
-                return got
-
-            for b in multi:
-                fams = range(b_start[b], b_start[b] + b_size[b])
-                for fa, fb in itertools.combinations(fams, 2):
-                    sa, sb = sh_of(fa), sh_of(fb)
-                    union = len(sa) + len(sb) - len(sa & sb)
-                    j = (len(sa & sb) / union) if union else 1.0
-                    if j >= jaccard_threshold:
-                        ma = ids[fam_start[fa]:fam_start[fa] + fam_size[fa]]
-                        mb = ids[fam_start[fb]:fam_start[fb] + fam_size[fb]]
-                        ga, gb = np.meshgrid(ma, mb, indexing="ij")
-                        parts_a.append(np.minimum(ga, gb).ravel())
-                        parts_b.append(np.maximum(ga, gb).ravel())
-        if not parts_a:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        a = np.concatenate(parts_a)
-        b = np.concatenate(parts_b)
-        return pa.table({"id_a": pa.array(a, pa.int64()),
-                         "id_b": pa.array(b, pa.int64())})
+        if not out_k:
+            z = pa.array([], pa.int64())
+            return pa.table({"kind": z, "a": z, "b": z,
+                             "rep_a": z, "rep_b": z})
+        return pa.table({
+            "kind": pa.array(np.concatenate(out_k), pa.int64()),
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+            "rep_a": pa.array(np.concatenate(out_ra), pa.int64()),
+            "rep_b": pa.array(np.concatenate(out_rb), pa.int64()),
+        })
 
     def add_part(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch["band_key"], np.int64)
-        return batch.append_column("__p", pa.array(keys % 64, pa.int64()))
+        return batch.append_column(
+            "__p", pa.array(keys % PAIR_PARTS, pa.int64()))
 
     exploded = pages.map_batches(signatures, batch_format="pyarrow")
-    grouped = (exploded.map_batches(add_part, batch_format="pyarrow")
-               .groupby("__p").map_groups(process_partition,
-                                          batch_format="pyarrow"))
-    # global pair dedup (a pair can surface from several bands)
-    return _dedup_pairs(grouped)
+    mixed = (exploded.map_batches(add_part, batch_format="pyarrow")
+             .groupby("__p").map_groups(detect, batch_format="pyarrow")
+             ).materialize()   # pairs/candidates/member ids — ints only
+
+    def rename_pair(batch: pa.Table) -> pa.Table:
+        return pa.table({"id_a": batch["a"], "id_b": batch["b"]})
+
+    clones = (mixed.filter(expr="kind == 0")
+              .map_batches(rename_pair, batch_format="pyarrow"))
+
+    # ---- pass 2: verify candidate family pairs by exact shingle Jaccard
+    cand_tbl = (mixed.filter(expr="kind == 1")
+                .select_columns(["a", "b", "rep_a", "rep_b"]).to_pandas())
+    if len(cand_tbl) == 0:
+        return _dedup_pairs(clones)
+
+    # global dedup of (h_a, h_b) — int columns only, driver-held
+    ca = cand_tbl["a"].to_numpy(np.int64)
+    cb = cand_tbl["b"].to_numpy(np.int64)
+    cra = cand_tbl["rep_a"].to_numpy(np.int64)
+    crb = cand_tbl["rep_b"].to_numpy(np.int64)
+    o = np.lexsort((cb, ca))
+    ca, cb, cra, crb = ca[o], cb[o], cra[o], crb[o]
+    first = np.empty(len(ca), bool)
+    first[0:1] = True
+    first[1:] = (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])
+    ca, cb, cra, crb = ca[first], cb[first], cra[first], crb[first]
+    n_pairs = len(ca)
+
+    # rep -> [(pair_idx, side)] lookup, broadcast once
+    rep_map: dict[int, list[tuple[int, int]]] = {}
+    for i in range(n_pairs):
+        rep_map.setdefault(int(cra[i]), []).append((i, 0))
+        rep_map.setdefault(int(crb[i]), []).append((i, 1))
+    rep_map_ref = ray.put(rep_map)
+
+    def rep_shingles(batch: pa.Table) -> pa.Table:
+        """Task fn (plain tasks fan out immediately; an autoscaling actor
+        pool would serialize this whole fused re-read through one actor):
+        emit (pair_idx, side, shingles) for collision reps only; every
+        other page is dropped before any string work. ray.get on the
+        broadcast map is a zero-copy local-object-store hit per task."""
+        rmap = ray.get(rep_map_ref)
+        rep_ids = pa.array(sorted(rmap), pa.int64())
+        keep = pc.is_in(batch[id_col], value_set=rep_ids)
+        sub = batch.filter(keep)
+        pis, sides, shs = [], [], []
+        for rid, text in zip(sub[id_col].to_pylist(),
+                             sub[text_col].to_pylist()):
+            sh = sorted(hashing.text_shingles(text))
+            for pi, side in rmap[rid]:
+                pis.append(pi)
+                sides.append(side)
+                shs.append(sh)
+        return pa.table({
+            "pair_idx": pa.array(pis, pa.int64()),
+            "side": pa.array(sides, pa.int64()),
+            "sh": pa.array(shs, pa.list_(pa.string())),
+            "__p": pa.array([p % PAIR_PARTS for p in pis], pa.int64()),
+        })
+
+    def verify(part: pa.Table) -> pa.Table:
+        """Partition = whole pairs (both sides co-located by pair_idx%P);
+        the row count here is the collision set, not the corpus."""
+        pis = np.asarray(part["pair_idx"], np.int64)
+        sides = np.asarray(part["side"], np.int64)
+        shs = part["sh"].to_pylist()
+        by_pair: dict[int, dict[int, set]] = {}
+        for i in range(len(pis)):
+            by_pair.setdefault(int(pis[i]), {})[int(sides[i])] = set(shs[i])
+        ok = []
+        for pi, sd in by_pair.items():
+            sa, sb = sd.get(0, set()), sd.get(1, set())
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j = (inter / union) if union else 1.0
+            if j >= jaccard_threshold:
+                ok.append(pi)
+        return pa.table({"pair_idx": pa.array(sorted(ok), pa.int64())})
+
+    confirmed = (pages.map_batches(rep_shingles, batch_format="pyarrow")
+                 .groupby("__p").map_groups(verify, batch_format="pyarrow")
+                 .to_pandas())
+    if len(confirmed) == 0:
+        return _dedup_pairs(clones)
+    conf_idx = confirmed["pair_idx"].to_numpy(np.int64)
+
+    # ---- expansion: confirmed (h_a, h_b) -> member id pairs, via the
+    # member rows (kind 2) — no re-hash of the corpus
+    h_map: dict[int, list[tuple[int, int]]] = {}
+    for pi in conf_idx:
+        h_map.setdefault(int(ca[pi]), []).append((int(pi), 0))
+        h_map.setdefault(int(cb[pi]), []).append((int(pi), 1))
+    h_map_ref = ray.put(h_map)
+
+    def route_members(batch: pa.Table) -> pa.Table:
+        hmap = ray.get(h_map_ref)
+        conf_h = pa.array(sorted(hmap), pa.int64())
+        keep = pc.is_in(batch["a"], value_set=conf_h)
+        sub = batch.filter(keep)
+        hs_ = np.asarray(sub["a"], np.int64)
+        ids_ = np.asarray(sub["b"], np.int64)
+        pis, sides, mids = [], [], []
+        for i in range(len(hs_)):
+            for pi, side in hmap[int(hs_[i])]:
+                pis.append(pi)
+                sides.append(side)
+                mids.append(int(ids_[i]))
+        return pa.table({
+            "pair_idx": pa.array(pis, pa.int64()),
+            "side": pa.array(sides, pa.int64()),
+            "member": pa.array(mids, pa.int64()),
+            "__p": pa.array([p % PAIR_PARTS for p in pis], pa.int64()),
+        })
+
+    def expand(part: pa.Table) -> pa.Table:
+        pis = np.asarray(part["pair_idx"], np.int64)
+        sides = np.asarray(part["side"], np.int64)
+        mems = np.asarray(part["member"], np.int64)
+        order = np.lexsort((mems, sides, pis))
+        pis, sides, mems = pis[order], sides[order], mems[order]
+        out_a, out_b = [], []
+        new = np.empty(len(pis), bool)
+        new[0:1] = True
+        new[1:] = pis[1:] != pis[:-1]
+        starts = np.nonzero(new)[0]
+        bounds = np.append(starts, len(pis))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m_a = mems[s:e][sides[s:e] == 0]
+            m_b = mems[s:e][sides[s:e] == 1]
+            if len(m_a) and len(m_b):
+                gx, gy = np.meshgrid(m_a, m_b, indexing="ij")
+                out_a.append(np.minimum(gx, gy).ravel())
+                out_b.append(np.maximum(gx, gy).ravel())
+        if not out_a:
+            z = pa.array([], pa.int64())
+            return pa.table({"id_a": z, "id_b": z})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    members = mixed.filter(expr="kind == 2").select_columns(["a", "b"])
+    expanded = (members.map_batches(route_members, batch_format="pyarrow")
+                .groupby("__p").map_groups(expand, batch_format="pyarrow"))
+    return _dedup_pairs(clones.union(expanded))
 
 
 def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
