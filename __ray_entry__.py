@@ -151,12 +151,14 @@ def _knn_cellpart(sf_dir: str):
 
 
 def _embed_neardup(sf_dir: str):
+    """Self-join near-dup: BOTH sides are Ray Datasets — the corpus side
+    becomes object-store shard refs (no driver pq.read_table), each query
+    block streams shard-by-shard."""
     import os
     import ray
-    import pyarrow.parquet as pq
     from shapefile_rs_ray.stages.dedup import embedding_neardup_pairs
     path = os.path.join(sf_dir, "embeddings.parquet")
-    corpus = pq.read_table(path, columns=["vec_id", "embedding"])
+    corpus = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     return embedding_neardup_pairs(ds, corpus, threshold=0.48)
 
@@ -248,12 +250,14 @@ def _fingerprints(sf_dir: str):
 
 
 def _ann_top1(sf_dir: str):
+    """Exact top-1 with a Dataset-side corpus: shard refs in the object
+    store, streamed per query block with a vectorized running-top-k merge
+    (identical output to the broadcast-table path)."""
     import os
     import ray
-    import pyarrow.parquet as pq
     from shapefile_rs_ray.stages.ann import cosine_topk
     path = os.path.join(sf_dir, "embeddings.parquet")
-    corpus = pq.read_table(path, columns=["vec_id", "embedding"])
+    corpus = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     queries = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     return cosine_topk(queries, corpus, k=1)
 

@@ -10,7 +10,10 @@ fixed-width slice over the whole record block, not row by row.
 
 Supported field types (the dbase::FieldValue variants the reference surfaces):
 C (Character -> utf8), N (Numeric -> f64 or None), F (Float -> f64),
-L (Logical -> bool/None), D (Date -> date32), I (Integer, binary LE -> int32).
+L (Logical -> bool/None), D (Date -> date32), I (Integer, binary LE -> int32),
+T (DateTime, two LE i32 julian-day/milliseconds -> timestamp[ms]),
+Y (Currency, LE i64 scaled 1e-4 -> f64),
+M (Memo -> utf8 via the sibling .dbt block file; None when absent).
 """
 
 from __future__ import annotations
@@ -53,23 +56,14 @@ def sniff_cpg(path_like: str) -> str | None:
     return aliases.get(label)
 
 
-def read_dbf_bytes(buf: bytes, encoding: str = "utf-8",
-                   skip_deleted: bool = False) -> pa.Table:
-    """Decode a whole .dbf buffer into an Arrow table.
-
-    `skip_deleted=False` keeps '*'-flagged rows so attribute rows stay
-    positionally 1:1 with .shp records (the zip invariant of
-    ShapeRecordIterator, src/reader.rs:164-193 — a deleted dbf row still
-    occupies its slot); pass True for standalone attribute reads that want
-    the dbase-crate behavior of dropping them.
-    """
+def _parse_header(buf: bytes) -> tuple[int, int, int, list[DbfField]]:
     if len(buf) < 32:
         raise ValueError("dbf too short")
     num_records = struct.unpack("<I", buf[4:8])[0]
     header_size, record_size = struct.unpack("<HH", buf[8:12])
     fields: list[DbfField] = []
     pos = 32
-    while pos < header_size - 1 and buf[pos] != 0x0D:
+    while pos < header_size - 1 and pos + 32 <= len(buf) and buf[pos] != 0x0D:
         desc = buf[pos:pos + 32]
         name = desc[:11].split(b"\x00")[0].decode("ascii", "replace")
         ftype = chr(desc[11])
@@ -77,28 +71,115 @@ def read_dbf_bytes(buf: bytes, encoding: str = "utf-8",
         decimals = desc[17]
         fields.append(DbfField(name, ftype, length, decimals))
         pos += 32
+    return num_records, header_size, record_size, fields
 
-    start = header_size
-    block = np.frombuffer(buf, np.uint8, count=num_records * record_size,
-                          offset=start).reshape(num_records, record_size)
-    if skip_deleted:
-        block = block[block[:, 0] != ord("*")]
 
+def _decode_block(block: np.ndarray, fields: list[DbfField], encoding: str,
+                  memo: bytes | None) -> pa.Table:
     cols: dict[str, pa.Array] = {}
     off = 1
     for f in fields:
         raw = block[:, off:off + f.length]
         off += f.length
-        cols[f.name] = _decode_field(raw, f, encoding)
+        cols[f.name] = _decode_field(raw, f, encoding, memo)
     return pa.table(cols)
 
 
-def _decode_field(raw: np.ndarray, f: DbfField, encoding: str) -> pa.Array:
+def read_dbf_bytes(buf: bytes, encoding: str = "utf-8",
+                   skip_deleted: bool = False,
+                   memo: bytes | None = None) -> pa.Table:
+    """Decode a whole .dbf buffer into an Arrow table.
+
+    `skip_deleted=False` keeps '*'-flagged rows so attribute rows stay
+    positionally 1:1 with .shp records (the zip invariant of
+    ShapeRecordIterator, src/reader.rs:164-193 — a deleted dbf row still
+    occupies its slot); pass True for standalone attribute reads that want
+    the dbase-crate behavior of dropping them. `memo` is the sibling .dbt
+    buffer for 'M' fields.
+    """
+    num_records, header_size, record_size, fields = _parse_header(buf)
+    block = np.frombuffer(buf, np.uint8, count=num_records * record_size,
+                          offset=header_size).reshape(num_records, record_size)
+    if skip_deleted:
+        block = block[block[:, 0] != ord("*")]
+    return _decode_block(block, fields, encoding, memo)
+
+
+def read_dbf_range(path: str, start: int, count: int,
+                   encoding: str = "utf-8") -> pa.Table:
+    """Decode only records [start, start+count) by seeking past the header —
+    a split-planned ReadTask pays one header read + its own byte range, not
+    the whole attribute file."""
+    memo = _sibling_memo(path)
+    with open(path, "rb") as f:
+        head = f.read(32)
+        if len(head) < 32:
+            raise ValueError("dbf too short")
+        header_size = struct.unpack("<HH", head[8:12])[0]
+        num_records, header_size, record_size, fields = _parse_header(
+            head + f.read(max(header_size - 32, 0)))
+        count = max(0, min(count, num_records - start))
+        f.seek(header_size + start * record_size)
+        data = f.read(count * record_size)
+    block = np.frombuffer(data, np.uint8,
+                          count=count * record_size).reshape(count,
+                                                             record_size)
+    return _decode_block(block, fields, encoding, memo)
+
+
+def _sibling_memo(path_like: str) -> bytes | None:
+    for ext in (".dbt", ".DBT"):
+        p = os.path.splitext(path_like)[0] + ext
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return f.read()
+    return None
+
+
+def _memo_text(memo: bytes, block_no: int, encoding: str,
+               block_size: int = 512) -> str | None:
+    """dBase III .dbt: text at block_no*512, 0x1A-terminated."""
+    if block_no <= 0 or block_no * block_size >= len(memo):
+        return None
+    chunk = memo[block_no * block_size:]
+    end = chunk.find(b"\x1a")
+    raw = chunk if end < 0 else chunk[:end]
+    return raw.decode(encoding, "replace")
+
+
+_UNIX_ORDINAL_OFFSET = 1721425   # proleptic-Gregorian ordinal = JDN - this
+
+
+def _decode_field(raw: np.ndarray, f: DbfField, encoding: str,
+                  memo: bytes | None = None) -> pa.Array:
     n = len(raw)
     if f.ftype == "I":
         vals = raw[:, :4].copy().view("<i4").ravel()
         return pa.array(vals, pa.int32())
+    if f.ftype == "Y":
+        # Currency: LE i64 scaled by 1e-4 (dBase 7 / VFP layout); divide
+        # (correctly-rounded) rather than multiply by 1e-4 (double-rounds)
+        vals = raw[:, :8].copy().view("<i8").ravel()
+        return pa.array(vals.astype(np.float64) / 10000.0, pa.float64())
+    if f.ftype == "T":
+        # DateTime: LE i32 julian day number + LE i32 milliseconds-of-day
+        pair = raw[:, :8].copy().view("<i4").reshape(n, 2)
+        jdn = pair[:, 0].astype(np.int64)
+        ms = pair[:, 1].astype(np.int64)
+        # days since Unix epoch = (JDN - offset) - date(1970,1,1).toordinal()
+        days = (jdn - _UNIX_ORDINAL_OFFSET) - _dt.date(1970, 1, 1).toordinal()
+        out = days * 86_400_000 + ms
+        return pa.array(out, pa.timestamp("ms"), mask=jdn == 0)
     texts = [bytes(raw[i]).decode(encoding, "replace") for i in range(n)]
+    if f.ftype == "M":
+        if memo is None:
+            return pa.array([None] * n, pa.string())
+        out = []
+        for t in texts:
+            t = t.strip()
+            out.append(_memo_text(memo, int(t), encoding)
+                       if t.isdigit() else None)
+        return pa.array(out, pa.string())
     if f.ftype == "C":
         return pa.array([t.strip() for t in texts], pa.string())
     if f.ftype in ("N", "F"):
@@ -134,7 +215,17 @@ def read_dbf(path: str, encoding: str | None = None,
     if encoding is None:
         encoding = sniff_cpg(path) or "utf-8"
     with open(path, "rb") as f:
-        return read_dbf_bytes(f.read(), encoding, skip_deleted=skip_deleted)
+        return read_dbf_bytes(f.read(), encoding, skip_deleted=skip_deleted,
+                              memo=_sibling_memo(path))
+
+
+# codec -> the label the reference writer would record in a .cpg sidecar
+# (inverse of the sniff_cpg alias table; src/writer.rs:352-372 carries the
+# encoding end-to-end on write)
+CPG_LABELS = {
+    "utf-8": "UTF-8", "gbk": "CP936", "big5": "BIG5",
+    "cp1252": "CP1252", "latin-1": "ISO-8859-1", "ascii": "ASCII",
+}
 
 
 # ---------------------------------------------------------------------------

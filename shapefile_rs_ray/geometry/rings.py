@@ -102,6 +102,77 @@ def group_rings(table: ShapeTable, strict: bool = False) -> list[SimplePolygon]:
     return out
 
 
+# multipatch patch-type codes (src/record/multipatch.rs:29-46)
+TRIANGLE_STRIP = 0
+TRIANGLE_FAN = 1
+OUTER_RING = 2
+INNER_RING = 3
+FIRST_RING = 4
+RING = 5
+
+
+class UnsupportedConversion(Exception):
+    """TriangleStrip / TriangleFan patches are not convertible to polygons
+    (src/record/multipatch.rs:349-351,368-369)."""
+
+
+def group_multipatch_rings(table: ShapeTable,
+                           strict: bool = True) -> list[SimplePolygon]:
+    """Group a Multipatch ShapeTable's patches into simple polygons.
+
+    Implements the reference's TryFrom<Multipatch> for MultiPolygon
+    (src/record/multipatch.rs:358-402): OuterRing|FirstRing starts a new
+    polygon, InnerRing|Ring attaches to the *preceding* one (an orphaned
+    inner raises OrphanedInnerRing), TriangleStrip/TriangleFan raise
+    UnsupportedConversion. ``strict=False`` skips unconvertible/orphaned
+    SHAPES instead of raising (the streaming-friendly deviation for mixed
+    corpora — documented, not reference behavior).
+
+    Rings are closed for the even-odd ray-cast consumers; point order is
+    otherwise left exactly as on the wire (the reference conversion does
+    not reorder windings either).
+    """
+    out: list[SimplePolygon] = []
+    for i in range(table.num_shapes):
+        p0 = int(table.shape_part_offsets[i])
+        p1 = int(table.shape_part_offsets[i + 1])
+        cur: SimplePolygon | None = None
+        polys_of_shape: list[SimplePolygon] = []
+        poly_idx = 0
+        ok = True
+        for p in range(p0, p1):
+            role = int(table.part_roles[p])
+            s, e = int(table.part_offsets[p]), int(table.part_offsets[p + 1])
+            ring = close_ring(np.column_stack([table.x[s:e], table.y[s:e]]))
+            if role in (TRIANGLE_STRIP, TRIANGLE_FAN):
+                if strict:
+                    raise UnsupportedConversion(
+                        f"shape {i}: patch type {role} (strip/fan) is not "
+                        "convertible to a polygon")
+                ok = False
+                break
+            if role in (OUTER_RING, FIRST_RING):
+                if cur is not None:
+                    polys_of_shape.append(cur)
+                cur = SimplePolygon(geom_id=int(table.geom_id[i]),
+                                    poly_idx=poly_idx, outer=ring, holes=[])
+                poly_idx += 1
+            else:  # INNER_RING | RING
+                if cur is None:
+                    if strict:
+                        raise OrphanedInnerRing(
+                            f"shape {i}: inner/ring patch with no preceding "
+                            "outer/first ring")
+                    ok = False
+                    break
+                cur.holes.append(ring)
+        if ok:
+            if cur is not None:
+                polys_of_shape.append(cur)
+            out.extend(polys_of_shape)
+    return out
+
+
 def edge_table(polys: list[SimplePolygon]) -> dict[str, np.ndarray]:
     """Flatten simple polygons into an edge table for vectorized ray casting
     and for the DuckDB SQL oracle.

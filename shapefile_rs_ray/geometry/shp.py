@@ -524,20 +524,27 @@ def _decode_poly_kind(acc: _Accum, t: int, content: bytes, rec_num: int):
 def decode_records(buf: bytes, header: ShpHeader,
                    shx: Optional[np.ndarray] = None,
                    start_record: int = 0,
-                   end_record: Optional[int] = None) -> ShapeTable:
+                   end_record: Optional[int] = None,
+                   buf_base: int = 0) -> ShapeTable:
     """Decode records [start_record, end_record) of a .shp byte buffer.
 
     With a .shx table, records are located by its offsets (supports padded /
     non-contiguous layouts, src/reader.rs:134-145); otherwise a sequential
     walk advances by each record's declared size (src/reader.rs:146-152).
+
+    `buf_base`: file byte offset where `buf` begins — lets a split-planned
+    ReadTask hand in ONLY its record range (shx offsets stay absolute) so N
+    tasks never re-read the whole file N times. Requires shx.
     """
     t = header.shape_type
     acc = _Accum(t)
-    end_of_data = min(len(buf), header.file_length * 2)
+    end_of_data = min(len(buf) + buf_base, header.file_length * 2) - buf_base
 
     if shx is not None:
         entries = shx[start_record:end_record]
-        positions = (entries[:, 0] * 2).tolist()
+        positions = (entries[:, 0] * 2 - buf_base).tolist()
+    elif buf_base:
+        raise ValueError("buf_base requires a .shx offset table")
     else:
         positions = None
 

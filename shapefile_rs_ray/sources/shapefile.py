@@ -111,20 +111,36 @@ def read_shapefile_dataset(path: str, *, with_attrs: bool = True,
 
     def make_read_fn(start: int, end: Optional[int]):
         def read_fn() -> Iterator[pa.Table]:
-            with open(shp_path, "rb") as f:
-                buf = f.read()
-            hdr = shp_mod.read_header(buf)
             shx_arr = None
             if shx_path is not None:
                 with open(shx_path, "rb") as f:
                     shx_arr = shp_mod.read_shx(f.read())
-            st = shp_mod.decode_records(buf, hdr, shx=shx_arr,
-                                        start_record=start, end_record=end)
+            if shx_arr is not None and end is not None and end > start:
+                # seek+read ONLY this task's record byte range (plus the
+                # 100-byte header): N tasks = one file's worth of total IO,
+                # not N full-file reads
+                first_off = int(shx_arr[start, 0]) * 2
+                last_end = (int(shx_arr[end - 1, 0]) * 2
+                            + 8 + int(shx_arr[end - 1, 1]) * 2)
+                with open(shp_path, "rb") as f:
+                    hdr = shp_mod.read_header(f.read(shp_mod.HEADER_SIZE))
+                    f.seek(first_off)
+                    buf = f.read(last_end - first_off)
+                st = shp_mod.decode_records(buf, hdr, shx=shx_arr,
+                                            start_record=start,
+                                            end_record=end,
+                                            buf_base=first_off)
+            else:
+                with open(shp_path, "rb") as f:
+                    buf = f.read()
+                hdr = shp_mod.read_header(buf)
+                st = shp_mod.decode_records(buf, hdr, shx=shx_arr,
+                                            start_record=start,
+                                            end_record=end)
             attrs = None
             if with_attrs and dbf_path is not None:
-                with open(dbf_path, "rb") as f:
-                    at = dbf_mod.read_dbf_bytes(f.read(), encoding)
-                attrs = at.slice(start, st.num_shapes)
+                attrs = dbf_mod.read_dbf_range(dbf_path, start,
+                                               st.num_shapes, encoding)
             yield shape_table_to_arrow(st, attrs)
         return read_fn
 
@@ -150,18 +166,34 @@ class ShapefilePartitionWriter:
     scalable analogue of src/writer.rs:97-228).
 
     Files are written to a temp name then renamed, so interrupted runs never
-    leave half-written partitions and a resume can trust the manifest.
+    leave half-written partitions and a resume can trust the manifest. The
+    stem is content-derived — (first geom_id, crc32 of the batch's geom_id
+    array) — so two batches can only share a name when they hold the same
+    record set (idempotent overwrite), never by virtue of a shared first id
+    after a shuffle or a duplicate-id corpus.
+
+    `encoding` drives the .dbf text encode AND a `.cpg` sidecar per triple
+    (the reference's TableWriterBuilder encoding plumbing,
+    src/writer.rs:352-372), so a round-trip re-read sniffs the right codec.
     """
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, encoding: str = "utf-8"):
         self.out_dir = out_dir
+        self.encoding = encoding
+        self.cpg_label = dbf_mod.CPG_LABELS.get(encoding)
+        if self.cpg_label is None:
+            raise ValueError(
+                f"no .cpg label known for encoding {encoding!r}; "
+                f"supported: {sorted(dbf_mod.CPG_LABELS)}")
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
         st = arrow_to_shape_table(batch)
         shp_b, shx_b = write_shp(st)
         first = int(st.geom_id[0]) if st.num_shapes else 0
-        stem = f"part-{first:08d}"
+        crc = zlib.crc32(np.ascontiguousarray(st.geom_id).tobytes())
+        stem = f"part-{first:08d}-{crc:08x}"
         paths = {}
         for ext, data in (("shp", shp_b), ("shx", shx_b)):
             p = os.path.join(self.out_dir, f"{stem}.{ext}")
@@ -173,11 +205,14 @@ class ShapefilePartitionWriter:
             sa = batch["attrs"].combine_chunks()
             at = pa.table({f.name: sa.field(f.name)
                            for f in sa.type})
-            p = os.path.join(self.out_dir, f"{stem}.dbf")
-            with open(p + ".tmp", "wb") as f:
-                f.write(dbf_mod.write_dbf(at))
-            os.replace(p + ".tmp", p)
-            paths["dbf"] = p
+            for ext, data in (
+                    ("dbf", dbf_mod.write_dbf(at, encoding=self.encoding)),
+                    ("cpg", self.cpg_label.encode("ascii"))):
+                p = os.path.join(self.out_dir, f"{stem}.{ext}")
+                with open(p + ".tmp", "wb") as f:
+                    f.write(data)
+                os.replace(p + ".tmp", p)
+                paths[ext] = p
         manifest = {"stem": stem, "rows": st.num_shapes,
                     "first_geom_id": first, "files": paths}
         mp = os.path.join(self.out_dir, f"{stem}.manifest.json")
@@ -188,11 +223,12 @@ class ShapefilePartitionWriter:
                          "rows": pa.array([st.num_shapes], pa.int64())})
 
 
-def write_shapefile_dataset(ds, out_dir: str, *, concurrency: int | None = None):
+def write_shapefile_dataset(ds, out_dir: str, *, encoding: str = "utf-8",
+                            concurrency: int | None = None):
     """Write a geometry Dataset as partitioned shapefile triples; returns the
     manifest as a small materialized Dataset."""
     return ds.map_batches(
-        ShapefilePartitionWriter(out_dir),
+        ShapefilePartitionWriter(out_dir, encoding=encoding),
         batch_format="pyarrow", batch_size=None,
         concurrency=concurrency).materialize()
 

@@ -483,39 +483,21 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
     return _dedup_pairs(grouped, extra_col="hamming")
 
 
-def embedding_neardup_pairs(queries_ds, corpus_table, *,
+def embedding_neardup_pairs(queries_ds, corpus, *,
                             threshold: float = 0.48,
-                            id_col: str = "vec_id", concurrency=(1, 2)):
+                            id_col: str = "vec_id", concurrency=(1, 4)):
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
-    Broadcast the (small) corpus matrix once, stream query blocks against it
-    (numpy matmul per batch) — the exact baseline; at scale swap in the
-    LSH bucketing of stages/ann.py with the same verify. Cosine is
-    dot / (norm_a * norm_b) in f64.
+    `corpus` is either a pa.Table (small-side fast path: broadcast once via
+    ray.put) or a ray.data.Dataset (scale path: corpus lives as Arrow shard
+    refs in the OBJECT STORE — never a driver copy — and each query batch
+    streams shard-by-shard; see stages/ann.py). Cosine is
+    dot / (norm_a * norm_b) in f64, identical in both shapes.
     """
-    import ray
-    import pyarrow.compute as _pc
+    from .ann import NearDupPairs, _corpus_ref
 
-    from .ann import _matrix
-
-    ids, M = _matrix(corpus_table, id_col)
-    norms = np.sqrt((M * M).sum(axis=1))
-    ref = ray.put((ids, M, norms))
-
-    class Block:
-        def __init__(self):
-            self.ids, self.M, self.norms = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids, B = _matrix(batch, id_col)
-            bn = np.sqrt((B * B).sum(axis=1))
-            cos = (B @ self.M.T) / (bn[:, None] * self.norms[None, :])
-            keep = cos >= threshold
-            a, b = np.nonzero(keep)
-            ga, gb = bids[a], self.ids[b]
-            m = ga < gb
-            return pa.table({"id_a": pa.array(ga[m], pa.int64()),
-                             "id_b": pa.array(gb[m], pa.int64())})
-
-    return queries_ds.map_batches(Block, batch_format="pyarrow",
-                                  batch_size=1024, concurrency=concurrency)
+    return queries_ds.map_batches(
+        NearDupPairs,
+        fn_constructor_kwargs={"corpus_ref": _corpus_ref(corpus, id_col),
+                               "threshold": threshold, "id_col": id_col},
+        batch_format="pyarrow", batch_size=1024, concurrency=concurrency)

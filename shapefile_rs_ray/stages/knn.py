@@ -20,7 +20,16 @@ import pyarrow.compute as pc
 
 
 class GridKnnIndex:
-    """Uniform-grid bucket index over sites with expanding-ring search."""
+    """Uniform-grid bucket index over sites with expanding-ring search.
+
+    Queries are answered per CELL-GROUP, not per row: a batch is lexsorted
+    by its query cell, each distinct cell runs ONE expanding-ring candidate
+    gather (Python cost scales with distinct cells x ring cells, never with
+    rows), and all of the cell's queries score the shared candidate set with
+    one vectorized (rows x candidates) distance block. Exact: the ring stops
+    only when the ring boundary's minimum possible separation from anywhere
+    in the cell exceeds every query's current kth-best distance.
+    """
 
     def __init__(self, lon: np.ndarray, lat: np.ndarray, site_ids: np.ndarray,
                  cell_size: float):
@@ -34,7 +43,8 @@ class GridKnnIndex:
         order = np.argsort(key, kind="stable")
         self.sorted_keys = key[order]
         self.order = order
-        self.gx, self.gy = gx, gy
+        self.max_ring = int(max(gx.max() - gx.min(),
+                                gy.max() - gy.min())) + 2 if len(gx) else 1
 
     def _bucket(self, gx: int, gy: int) -> np.ndarray:
         key = gx * 1_000_003 + gy
@@ -42,42 +52,76 @@ class GridKnnIndex:
         hi = np.searchsorted(self.sorted_keys, key, "right")
         return self.order[lo:hi]
 
-    def query_one(self, x: float, y: float, k: int) -> np.ndarray:
-        gx = int(np.floor(x / self.cs))
-        gy = int(np.floor(y / self.cs))
-        best: list[int] = []
+    def _ring_cells(self, gx: int, gy: int, ring: int):
+        if ring == 0:
+            yield (gx, gy)
+            return
+        for dx in range(-ring, ring + 1):
+            yield (gx + dx, gy - ring)
+            yield (gx + dx, gy + ring)
+        for dy in range(-ring + 1, ring):
+            yield (gx - ring, gy + dy)
+            yield (gx + ring, gy + dy)
+
+    def _cell_group(self, x: np.ndarray, y: np.ndarray, gx: int, gy: int,
+                    k: int) -> tuple[np.ndarray, np.ndarray]:
+        """All queries (x, y) share grid cell (gx, gy); returns (m, k)
+        site-index rows + (m, k) d2, ties (d2 asc, site_id asc)."""
+        n_sites = len(self.ids)
+        kk = min(k, n_sites)
+        parts: list[np.ndarray] = []
+        have = np.empty(0, np.int64)
         ring = 0
         while True:
-            cand = []
-            if ring == 0:
-                cand.append(self._bucket(gx, gy))
-            else:
-                for dx in range(-ring, ring + 1):
-                    for dy in (-ring, ring):
-                        cand.append(self._bucket(gx + dx, gy + dy))
-                for dy in range(-ring + 1, ring):
-                    for dx in (-ring, ring):
-                        cand.append(self._bucket(gx + dx, gy + dy))
-            new = np.concatenate(cand) if cand else np.empty(0, np.int64)
-            best.append(new)
-            have = np.concatenate(best)
-            if len(have) >= k:
-                dx = self.lon[have] - x
-                dy = self.lat[have] - y
+            new = [self._bucket(cx, cy)
+                   for cx, cy in self._ring_cells(gx, gy, ring)]
+            if new:
+                parts.extend(new)
+                have = np.concatenate(parts)
+            if len(have) >= kk:
+                # candidates sorted by id once -> stable argsort on d2
+                # breaks exact-distance ties by ascending site_id
+                cand = have[np.argsort(self.ids[have], kind="stable")]
+                dx = x[:, None] - self.lon[cand][None, :]
+                dy = y[:, None] - self.lat[cand][None, :]
                 d2 = dx * dx + dy * dy
-                kth = np.partition(d2, k - 1)[k - 1]
-                # safe stop: ring boundary distance exceeds kth-best
-                if (ring * self.cs) ** 2 >= kth:
-                    order = np.lexsort((self.ids[have], d2))
-                    return have[order[:k]]
+                worst = np.sqrt(
+                    np.partition(d2, kk - 1, axis=1)[:, kk - 1].max())
+                # a site outside Chebyshev ring r is >= r*cs from anywhere
+                # in cell (gx, gy)
+                if ring * self.cs >= worst or len(have) == n_sites:
+                    sel = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                    return cand[sel], np.take_along_axis(d2, sel, axis=1)
             ring += 1
-            if ring > 1_000:   # degenerate fallback
-                have = np.arange(len(self.lon))
-                dx = self.lon[have] - x
-                dy = self.lat[have] - y
-                d2 = dx * dx + dy * dy
-                order = np.lexsort((self.ids[have], d2))
-                return have[order[:k]]
+            if ring > self.max_ring and len(have) >= kk:
+                # numerical-degeneracy fallback: everything gathered
+                parts = [np.arange(n_sites)]
+                have = parts[0]
+
+    def query_batch(self, x: np.ndarray, y: np.ndarray,
+                    k: int) -> tuple[np.ndarray, np.ndarray]:
+        """(n,) queries -> ((n, kk) site indices, (n, kk) d2)."""
+        n = len(x)
+        kk = min(k, len(self.ids))
+        out_idx = np.empty((n, kk), np.int64)
+        out_d2 = np.empty((n, kk), np.float64)
+        qx = np.floor(x / self.cs).astype(np.int64)
+        qy = np.floor(y / self.cs).astype(np.int64)
+        key = qx * 1_000_003 + qy
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        new = np.empty(n, bool)
+        new[0:1] = True
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(new)[0]
+        bounds = np.append(starts, n)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rows = order[s:e]
+            idx, d2 = self._cell_group(x[rows], y[rows],
+                                       int(qx[rows[0]]), int(qy[rows[0]]), k)
+            out_idx[rows] = idx
+            out_d2[rows] = d2
+        return out_idx, out_d2
 
 
 class KnnStage:
@@ -130,12 +174,9 @@ class KnnStage:
                 nn_sites[s:e] = self.site_ids[sel]
                 nn_d2[s:e] = np.take_along_axis(d2, sel, axis=1)
         else:
-            for i in range(n):
-                idx = self.grid.query_one(lon[i], lat[i], k)
-                dx = self.slon[idx] - lon[i]
-                dy = self.slat[idx] - lat[i]
-                nn_sites[i] = self.site_ids[idx]
-                nn_d2[i] = dx * dx + dy * dy
+            idx, d2 = self.grid.query_batch(lon, lat, k)
+            nn_sites[:] = self.site_ids[idx]
+            nn_d2[:] = d2
         take = pa.array(np.repeat(np.arange(n), k))
         out = {c: pc.take(batch[c], take) for c in self.keep_cols}
         out["rank"] = pa.array(np.tile(np.arange(1, k + 1), n), pa.int64())

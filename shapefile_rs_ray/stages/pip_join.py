@@ -29,19 +29,26 @@ import pyarrow.compute as pc
 
 from ..functions import cells as cells_mod
 from ..geometry.pip import PIPIndex
-from ..geometry.rings import SimplePolygon, group_rings
-from ..geometry.shp import read_shp
+from ..geometry.rings import (SimplePolygon, group_multipatch_rings,
+                              group_rings)
+from ..geometry.shp import MULTIPATCH, read_shp
 
 
-def load_polygons(paths: list[str] | str) -> list[SimplePolygon]:
+def load_polygons(paths: list[str] | str,
+                  strict: bool = False) -> list[SimplePolygon]:
     """Decode + ring-group shapefile polygon fixtures on the driver (small
-    side). Multiple files get geom_id offsets of 1_000_000 per file."""
+    side). Multiple files get geom_id offsets of 1_000_000 per file.
+    Multipatch files go through the role-aware patch grouping
+    (multipatch.rs:358-402); with the default strict=False, strip/fan
+    patches skip their shape instead of raising."""
     if isinstance(paths, str):
         paths = [paths]
     out: list[SimplePolygon] = []
     for fi, p in enumerate(paths):
         _, st = read_shp(p)
-        for sp in group_rings(st):
+        group = (group_multipatch_rings if st.shape_type == MULTIPATCH
+                 else group_rings)
+        for sp in group(st, strict=strict):
             sp.geom_id = sp.geom_id + fi * 1_000_000
             out.append(sp)
     return out

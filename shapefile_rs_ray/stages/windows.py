@@ -23,9 +23,12 @@ def tumbling_window_counts(events, *, window_s: int = WINDOW_SECONDS):
     window = floor(epoch_seconds / window_s). Pure partial+final aggregate:
     no ordering assumption at all (tumbling assignment is a row-local
     function), integer count and MAX are merge-order-independent so the
-    result is bit-identical to the SQL GROUP BY.
+    result is bit-identical to the SQL GROUP BY. The final merge is NOT a
+    per-distinct-key groupby (distinct (user, window) pairs grow with the
+    data — the measured-pathological shape); partials shuffle once into
+    `USER_PARTITIONS` coarse user-hash partitions and each merges with one
+    vectorized lexsort + reduceat.
     """
-    from ray.data.aggregate import Max, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = np.asarray(batch["ts"].cast(pa.int64()))  # us since epoch
@@ -49,10 +52,30 @@ def tumbling_window_counts(events, *, window_s: int = WINDOW_SECONDS):
             "max_value": pa.array(mx, pa.float64()),
         })
 
-    return (events.map_batches(partial, batch_format="pyarrow")
-            .groupby(["user_id", "window"])
-            .aggregate(Sum("n_events", alias_name="n_events"),
-                       Max("max_value", alias_name="max_value")))
+    def merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part.select(["user_id", "window", "n_events", "max_value"])
+        users = np.asarray(part["user_id"], np.int64)
+        win = np.asarray(part["window"], np.int64)
+        cnt = np.asarray(part["n_events"], np.int64)
+        mx = np.asarray(part["max_value"], np.float64)
+        order = np.lexsort((win, users))
+        u_s, w_s, c_s, m_s = users[order], win[order], cnt[order], mx[order]
+        new = np.empty(len(u_s), bool)
+        new[0:1] = True
+        new[1:] = (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])
+        start = np.nonzero(new)[0]
+        return pa.table({
+            "user_id": pa.array(u_s[start], pa.int64()),
+            "window": pa.array(w_s[start], pa.int64()),
+            "n_events": pa.array(np.add.reduceat(c_s, start), pa.int64()),
+            "max_value": pa.array(np.maximum.reduceat(m_s, start),
+                                  pa.float64()),
+        })
+
+    return (_partition_by_user(
+                events.map_batches(partial, batch_format="pyarrow"))
+            .groupby("__p").map_groups(merge, batch_format="pyarrow"))
 
 
 USER_PARTITIONS = 251   # prime (CLAUDE.md: never a power of two near packing)

@@ -77,12 +77,36 @@ def test_grid_knn_index_matches_brute():
     slat = rng.uniform(0, 10, 500)
     sid = np.arange(500, dtype=np.int64)
     g = GridKnnIndex(slon, slat, sid, cell_size=0.5)
-    for _ in range(100):
-        x, y = rng.uniform(-1, 11), rng.uniform(-1, 11)
-        got = g.query_one(x, y, 5)
-        d2 = (slon - x) ** 2 + (slat - y) ** 2
+    x = rng.uniform(-1, 11, 100)
+    y = rng.uniform(-1, 11, 100)
+    got, got_d2 = g.query_batch(x, y, 5)
+    for i in range(100):
+        d2 = (slon - x[i]) ** 2 + (slat - y[i]) ** 2
         exp = np.lexsort((sid, d2))[:5]
-        assert np.array_equal(got, exp)
+        assert np.array_equal(got[i], exp)
+        assert np.array_equal(got_d2[i], d2[exp])
+
+
+def test_knn_stage_50k_sites_grid_path():
+    """Large-site-set path: the grid (not brute) branch must match brute
+    exactly — ids, distances and (d2, site_id) tie order — at 50k sites."""
+    from shapefile_rs_ray.stages.knn import KnnStage
+    rng = np.random.default_rng(11)
+    n_sites = 50_000
+    slon = rng.uniform(-120, -60, n_sites)
+    slat = rng.uniform(20, 60, n_sites)
+    sid = rng.permutation(n_sites).astype(np.int64)
+    qlon = rng.uniform(-125, -55, 2000)
+    qlat = rng.uniform(15, 65, 2000)
+    batch = pa.table({"page_id": pa.array(np.arange(2000), pa.int64()),
+                      "lon": pa.array(qlon), "lat": pa.array(qlat)})
+    grid = KnnStage((sid, slon, slat), k=3)           # grid path
+    brute = KnnStage((sid, slon, slat), k=3,
+                     brute_threshold=10**9)           # forced brute
+    a = grid(batch)
+    b = brute(batch)
+    assert grid.brute is False and brute.brute is True
+    assert a.equals(b)
 
 
 def test_exact_dedup_keeps_min_id(ray_session, pages_ds):
@@ -191,3 +215,67 @@ def test_embedding_neardup(ray_session):
     ia, ib = np.nonzero(np.triu(cos >= 0.45, 1))
     exp = {(int(ids[x]), int(ids[y])) for x, y in zip(ia, ib)}
     assert set(zip(got.id_a, got.id_b)) == exp
+
+
+def test_cosine_topk_sharded_equals_broadcast(ray_session):
+    """Dataset-side corpus (object-store shard refs, streamed per batch)
+    must produce bit-identical output to the broadcast-table path."""
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.ann import cosine_topk
+    path = f"{SF}/embeddings.parquet"
+    corpus_tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    # force multiple shards so the running-merge path is exercised
+    corpus_ds = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding"], override_num_blocks=7)
+    qs = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    a = (cosine_topk(qs, corpus_tbl, k=3).to_pandas()
+         .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    qs2 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    b = (cosine_topk(qs2, corpus_ds, k=3).to_pandas()
+         .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_neardup_sharded_equals_broadcast(ray_session):
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.dedup import embedding_neardup_pairs
+    path = f"{SF}/embeddings.parquet"
+    corpus_tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    corpus_ds = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding"], override_num_blocks=5)
+    qs = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    a = (embedding_neardup_pairs(qs, corpus_tbl, threshold=0.45).to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    qs2 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    b = (embedding_neardup_pairs(qs2, corpus_ds, threshold=0.45).to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_lsh_topk_recall_and_determinism(ray_session):
+    """Multi-band LSH: measured coverage and recall@1 against the exact
+    path (the correctness signal for the approximate operator), plus
+    run-to-run determinism (fixed hyperplane seed)."""
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.ann import cosine_topk, lsh_topk
+    path = f"{SF}/embeddings.parquet"
+    corpus = pq.read_table(path, columns=["vec_id", "embedding"])
+    n = corpus.num_rows
+    qs = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    exact = (cosine_topk(qs, corpus, k=1).to_pandas()
+             .set_index("vec_id")["nn_id"])
+    ds1 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    got1 = (lsh_topk(ds1, k=1).to_pandas()
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    ds2 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    got2 = (lsh_topk(ds2, k=1).to_pandas()
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    assert got1.equals(got2)                      # deterministic
+    top1 = got1[got1["rank"] == 1].set_index("vec_id")["nn_id"]
+    coverage = len(top1) / n
+    hits = (top1 == exact.loc[top1.index]).mean()
+    assert coverage >= 0.95, f"LSH coverage {coverage:.2f}"
+    assert hits >= 0.8, f"LSH recall@1 {hits:.2f} on covered vectors"
