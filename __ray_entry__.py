@@ -3,9 +3,13 @@
 One entry per operator/pipeline from SURVEY.md §2 (+ the training-data
 suite). Each queries() callable takes `sf_dir` and returns a Dataset /
 pandas DataFrame / pyarrow Table; oracle_sql() carries the matching DuckDB
-SQL (omitted only for genuinely non-SQL-expressible ops — LSH/minhash/
-simhash/langid/fingerprint/s2 — which get the driver's rows-only check and
-are golden-tested in pytest instead).
+SQL — 30 of 32 queries have full rows+schema+hash oracles, including the
+bit-exact SQL recomputations of minhash (exact-Jaccard restatement), the
+64-bit simhash (crc32 + splitmix64 in HUGEINT), winnowing fingerprints,
+langid and the S2/hex tilings. Only `ann_lsh_top1` (approximate by design;
+recall measured in pytest) and `decode_lakes` (shapefile wire decode —
+DuckDB's spatial extension cannot load offline; byte-level goldens in
+pytest) use the driver's rows-only check.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -228,6 +232,29 @@ def _cells_multi(sf_dir: str):
         assign, batch_format="pyarrow")
 
 
+HEX_RESOLUTIONS = (4, 5, 6, 7, 8, 9)
+
+
+def _hex_cells(sf_dir: str):
+    """Hex tiling (the H3-role encoder) at 6 resolutions — the
+    SQL-expressible projection of cells_multi, fully oracled (s2 stays
+    engine-only/rows-only in cells_multi)."""
+    from shapefile_rs_ray.functions import cells as cm
+    from shapefile_rs_ray.sources.webpages import read_webpages
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], np.float64)
+        lat = np.asarray(batch["lat"], np.float64)
+        out = {"page_id": batch["page_id"]}
+        for res in HEX_RESOLUTIONS:
+            out[f"hex_r{res}"] = pa.array(cm.hex_cell(lon, lat, res),
+                                          pa.int64())
+        return pa.table(out)
+
+    return read_webpages(sf_dir, with_html=False).map_batches(
+        assign, batch_format="pyarrow")
+
+
 def _minhash_pairs(sf_dir: str):
     from shapefile_rs_ray.sources.webpages import read_webpages
     from shapefile_rs_ray.stages.dedup import minhash_lsh_pairs
@@ -422,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fidelity": _text_fidelity,
         "langid": _langid,
         "cells_multi": _cells_multi,
+        "hex_cells": _hex_cells,
         "minhash_pairs": _minhash_pairs,
         "simhash_pairs": _simhash_pairs,
         "fingerprints": _fingerprints,
@@ -447,8 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from shapefile_rs_ray.functions import synth
-    from shapefile_rs_ray.functions.cells import grid_cell_sql
-    from shapefile_rs_ray.functions.text import token_stats_sql
+    from shapefile_rs_ray.functions.cells import grid_cell_sql, hex_cell_sql
+    from shapefile_rs_ray.functions.text import langid_sql, token_stats_sql
     from shapefile_rs_ray.pipelines import oracles
 
     oracles.ensure_artifacts()
@@ -493,6 +521,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {pages}, c AS (SELECT {cell12} AS cell FROM pages) "
             f"SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_pages FROM c "
             f"GROUP BY cell HAVING COUNT(*) > {HOT_CELL_THRESHOLD}"),
+        "hex_cells": (
+            f"WITH {pages} SELECT page_id, "
+            + ", ".join(f"{hex_cell_sql('lon', 'lat', res)} AS hex_r{res}"
+                        for res in HEX_RESOLUTIONS)
+            + " FROM pages"),
+        "langid": (f"WITH {pages} SELECT page_id, "
+                   f"{langid_sql('text')} AS lang_pred FROM pages"),
+        "cells_multi": oracles.cells_multi_sql(),
+        "simhash_pairs": oracles.simhash_pairs_sql(),
+        "fingerprints": oracles.fingerprints_sql(),
         "pip_join": oracles.pip_join_sql(),
         "pip_join_cellpart": oracles.pip_join_sql(),
         "zonal_stats": oracles.zonal_sql(),

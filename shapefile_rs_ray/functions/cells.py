@@ -226,6 +226,38 @@ def hex_cell(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
             | (ri + (1 << 27)).astype(np.int64))
 
 
+def hex_cell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """DuckDB expression reproducing ``hex_cell`` bit-for-bit: same f64
+    constants embedded as exact literals (computed HERE with the numpy op
+    order, not re-derived by DuckDB's pow), same axial transform, same cube
+    rounding with original-qi semantics in the r-fix branch (fix_q and
+    fix_r are disjoint so the engine's sequential np.where == this CASE).
+
+    Rounding caveat (measured, deterministic): np.round is half-even, SQL
+    ROUND is half-away — equal unless a q/r/s lands exactly on .5, and the
+    synthetic corpus' nearest approach is 1.9e-7 at sf0.1.
+    """
+    assert 0 <= res <= 15
+
+    def lit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    edge = _HEX_BASE_EDGE / (_SQRT7 ** res)
+    q = (f"(({lit(_SQRT3 / 3.0)} * {lon_expr} - "
+         f"{lit(1.0 / 3.0)} * {lat_expr}) / {lit(edge)})")
+    r = f"(({lit(2.0 / 3.0)} * {lat_expr}) / {lit(edge)})"
+    s = f"(- {q} - {r})"
+    qi, ri, si = f"ROUND({q})", f"ROUND({r})", f"ROUND({s})"
+    dq, dr, ds = (f"ABS({qi} - {q})", f"ABS({ri} - {r})", f"ABS({si} - {s})")
+    fix_q = f"({dq} > {dr} AND {dq} > {ds})"
+    fix_r = f"(NOT {fix_q} AND {dr} > {ds})"
+    qf = f"(CASE WHEN {fix_q} THEN - {ri} - {si} ELSE {qi} END)"
+    rf = f"(CASE WHEN {fix_r} THEN - {qi} - {si} ELSE {ri} END)"
+    return (f"(CAST({res} AS BIGINT) * {1 << 56} "
+            f"+ (CAST({qf} AS BIGINT) + {1 << 27}) * {1 << 28} "
+            f"+ (CAST({rf} AS BIGINT) + {1 << 27}))")
+
+
 def hex_cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     cell = np.asarray(cell, np.int64)
     res = cell >> 56

@@ -59,7 +59,7 @@ def token_stats_sql(text_expr: str = "text") -> dict[str, str]:
 
 
 # --------------------------------------------------------------------------
-# language ID (stopword-hit heuristic; engine-only, rows-only oracle)
+# language ID (stopword-hit heuristic; langid_sql is the exact DuckDB twin)
 # --------------------------------------------------------------------------
 
 STOPWORDS = {
@@ -103,6 +103,36 @@ class LangId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds = self.predict(batch["text"].to_pylist())
         return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def langid_sql(text_expr: str = "text") -> str:
+    """DuckDB expression chain reproducing LangId.predict exactly: the same
+    stopword tables (single source, this module), integer hit counts (no
+    float summation, so SQL aggregation order cannot diverge), the same
+    CJK-script pre-test over the first 400 chars, and the same
+    first-strictly-greater tie-break over the sorted language order.
+    Yields columns (ws, h_<lang>..., lang_pred); select `lang_pred`.
+    """
+    langs = sorted(k for k in STOPWORDS if STOPWORDS[k])
+    ws = (f"list_transform(regexp_extract_all({text_expr}, "
+          f"'[a-zA-Z]+'), w -> lower(w))")
+    t400 = f"substr({text_expr}, 1, 400)"
+    cjk = (f"(length({t400}) - length(regexp_replace({t400}, "
+           f"'[\u4e00-\u9fff]', '', 'g')))")
+    hits = {}
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        hits[lang] = f"len(list_filter({ws}, w -> w IN ({words})))"
+    maxh = "GREATEST(" + ", ".join(hits[lang] for lang in langs) + ")"
+    # LangId iterates langs in sorted order and replaces only on a STRICT
+    # increase -> the earliest language attaining the max wins
+    cascade = " ".join(f"WHEN {hits[lang]} = {maxh} THEN '{lang}'"
+                       for lang in langs)
+    return (f"CASE WHEN {cjk} * 4 > LEAST(length({text_expr}), 400) "
+            f"THEN 'zh' "
+            f"WHEN len({ws}) = 0 THEN 'und' "
+            f"WHEN {maxh} = 0 THEN 'en' "
+            f"{cascade} END")
 
 
 # --------------------------------------------------------------------------

@@ -26,12 +26,15 @@ LAKES = "/root/reference/tests/data/ne_10m_lakes_north_america.shp"
 
 EDGES_PQ = os.path.join(ORACLE_DIR, "lakes_edges.parquet")
 BOXES_PQ = os.path.join(ORACLE_DIR, "lakes_boxes.parquet")
+S2_LOOKUP_PQ = os.path.join(ORACLE_DIR, "s2_lookup.parquet")
 
 
 def ensure_artifacts() -> None:
-    """Idempotently write the polygon edge/bbox parquets (pure function of
-    the read-only fixtures; safe under concurrent callers via tmp+rename)."""
-    if os.path.exists(EDGES_PQ) and os.path.exists(BOXES_PQ):
+    """Idempotently write the polygon edge/bbox parquets and the S2 Hilbert
+    lookup table (pure functions of the read-only fixtures / the public S2
+    scheme; safe under concurrent callers via tmp+rename)."""
+    if (os.path.exists(EDGES_PQ) and os.path.exists(BOXES_PQ)
+            and os.path.exists(S2_LOOKUP_PQ)):
         return
     os.makedirs(ORACLE_DIR, exist_ok=True)
     polys = load_polygons(LAKES)
@@ -46,7 +49,13 @@ def ensure_artifacts() -> None:
         "xmax": pa.array([p.bbox[2] for p in polys], pa.float64()),
         "ymax": pa.array([p.bbox[3] for p in polys], pa.float64()),
     })
-    for path, tbl in ((EDGES_PQ, edges), (BOXES_PQ, boxes)):
+    from ..functions.cells import _LOOKUP_POS
+    lookup = pa.table({
+        "idx": pa.array(np.arange(len(_LOOKUP_POS), dtype=np.int64)),
+        "val": pa.array(_LOOKUP_POS, pa.int64()),
+    })
+    for path, tbl in ((EDGES_PQ, edges), (BOXES_PQ, boxes),
+                      (S2_LOOKUP_PQ, lookup)):
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
@@ -76,6 +85,237 @@ crossed AS (
   GROUP BY c.page_id, c.url, c.geom_id, c.poly_idx)
 SELECT page_id, url, geom_id, poly_idx
 FROM crossed WHERE crossings % 2 = 1
+"""
+
+
+def cells_multi_sql(hex_resolutions=(4, 5, 6, 7, 8, 9),
+                    s2_levels=(8, 12)) -> str:
+    """Full oracle for the cells_multi tiling query: quadkey grid (shared
+    grid_cell_sql), bit-exact S2 cell ids, and the hex tiling.
+
+    The S2 path reproduces geometry/cells.py s2_cell operation-for-operation
+    in f64 (measured bit parity on this host: numpy sin/cos/sqrt == DuckDB's
+    libm calls on every gate value; radians as an explicit multiply by the
+    same constant numpy uses). The Hilbert stage is 8 chained joins against
+    the 1024-entry lookup parquet; the 64-bit accumulate runs in HUGEINT
+    with integer `//` (a DOUBLE division would lose low bits) and wraps to
+    the engine's int64 view at the end.
+    """
+    from ..functions.cells import grid_cell_sql, hex_cell_sql
+
+    D = "CAST('{}' AS DOUBLE)".format
+    RAD = D("0.017453292519943295")       # numpy's deg2rad constant
+    max_size = D("1073741824.0")          # 2^30 as the f64 numpy multiplies by
+
+    # Hilbert accumulation: 8 chained lookup joins, k = 7..0
+    ctes = [f"""
+h8 AS (SELECT page_id, lon, lat, face, i, j,
+       face & 1 AS bits, CAST(0 AS HUGEINT) AS n FROM b6)"""]
+    for k in range(7, -1, -1):
+        prev = f"h{k + 1}"
+        ctes.append(f"""
+h{k} AS (SELECT t.page_id, t.lon, t.lat, t.face, t.i, t.j,
+       L.val AS bits,
+       t.n + CAST(L.val >> 2 AS HUGEINT)
+             * CAST('{1 << (8 * k)}' AS HUGEINT) AS n
+       FROM {prev} t JOIN read_parquet('{S2_LOOKUP_PQ}') L
+         ON L.idx = (t.bits & 3) + (((t.i >> {4 * k}) & 15) * 64)
+                    + (((t.j >> {4 * k}) & 15) * 4))""")
+
+    def snap(level: int) -> str:
+        """cell & ~(lsb-1) | lsb on the HUGEINT cell == ((q//2)*2+1)*lsb
+        with q = cell // lsb (the | only SETS the lsb bit; a + would
+        carry when q is odd)."""
+        lsb = 1 << (2 * (30 - level))
+        q = f"(cell30 // CAST('{lsb}' AS HUGEINT))"
+        v = f"(({q} // 2 * 2 + 1) * CAST('{lsb}' AS HUGEINT))"
+        # wrap unsigned 64 -> the engine's .view(int64)
+        return (f"CAST(CASE WHEN {v} >= CAST('{1 << 63}' AS HUGEINT) "
+                f"THEN {v} - CAST('{1 << 64}' AS HUGEINT) ELSE {v} END "
+                f"AS BIGINT)")
+
+    hex_cols = ", ".join(
+        f"{hex_cell_sql('lon', 'lat', r)} AS hex_r{r}"
+        for r in hex_resolutions)
+    s2_cols = ", ".join(f"{snap(lv)} AS s2_l{lv}" for lv in s2_levels)
+
+    return f"""
+WITH {PAGES_CTE},
+b0 AS (SELECT page_id, lon, lat,
+       lon * {RAD} AS lonr, lat * {RAD} AS latr FROM pages),
+b1 AS (SELECT *, cos(lonr) * cos(latr) AS x,
+       sin(lonr) * cos(latr) AS y, sin(latr) AS z FROM b0),
+b2 AS (SELECT *,
+       CASE WHEN ABS(x) >= ABS(y)
+            THEN CASE WHEN ABS(x) >= ABS(z) THEN 0 ELSE 2 END
+            ELSE CASE WHEN ABS(y) >= ABS(z) THEN 1 ELSE 2 END END AS f0
+       FROM b1),
+b3 AS (SELECT *, f0 + CASE WHEN
+       (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+       THEN 3 ELSE 0 END AS face FROM b2),
+b4 AS (SELECT *,
+       CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                 WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+       CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                 WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+       FROM b3),
+b5 AS (SELECT *,
+       CASE WHEN u >= 0 THEN {D('0.5')} * sqrt({D('1.0')} + {D('3.0')} * u)
+            ELSE {D('1.0')} - {D('0.5')} * sqrt({D('1.0')} - {D('3.0')} * u)
+            END AS su,
+       CASE WHEN v >= 0 THEN {D('0.5')} * sqrt({D('1.0')} + {D('3.0')} * v)
+            ELSE {D('1.0')} - {D('0.5')} * sqrt({D('1.0')} - {D('3.0')} * v)
+            END AS sv
+       FROM b4),
+b6 AS (SELECT *,
+       LEAST(GREATEST(CAST(TRUNC(su * {max_size}) AS BIGINT), 0),
+             1073741823) AS i,
+       LEAST(GREATEST(CAST(TRUNC(sv * {max_size}) AS BIGINT), 0),
+             1073741823) AS j
+       FROM b5),
+{",".join(ctes)},
+cells AS (SELECT page_id, lon, lat,
+          CAST(face AS HUGEINT) * CAST('{1 << 61}' AS HUGEINT)
+            + n * 2 + 1 AS cell30 FROM h0)
+SELECT page_id,
+       {grid_cell_sql('lon', 'lat', 12)} AS cell_z12,
+       {s2_cols},
+       {hex_cols}
+FROM cells
+"""
+
+
+def _crc32_table() -> list[int]:
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tbl.append(c)
+    return tbl
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Full oracle for simhash_pairs: recompute the 64-bit SimHash of every
+    distinct text IN SQL — crc32 per word occurrence via a lambda fold over
+    its codepoints (words are [a-z0-9]+, so codepoint == utf-8 byte),
+    splitmix64 in HUGEINT with split multiplication (a 64x64 product
+    overflows signed 128), per-bit majority vote, unsigned wrap to the
+    engine's int64 view — then ALL page pairs at hamming <= 3.
+
+    Engine == oracle is exact, not probabilistic: 4x16-bit band blocking
+    catches every pair with hamming <= 3 by pigeonhole (3 differing bits
+    cannot touch all 4 bands), and the verify inside the engine is the
+    same popcount.
+    """
+    tbl_sql = "[" + ", ".join(map(str, _crc32_table())) + "]"
+    # constants from functions/hashing.py simhash64 (splitmix64 mixing)
+    C1, M1, M2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    P32, P64 = 1 << 32, 1 << 64
+    H = "CAST('{}' AS HUGEINT)".format
+
+    crc = (f"xor(list_reduce(list_prepend(4294967295, "
+           f"list_transform(range(1, length(word) + 1), "
+           f"i -> unicode(substr(word, i, 1)))), "
+           f"(acc, c) -> xor(acc >> 8, ({tbl_sql})[(xor(acc, c) % 256) + 1])"
+           f"), 4294967295)")
+
+    def mulmod(z: str, m: int) -> str:
+        """(z * m) mod 2^64 without overflowing signed int128."""
+        return (f"((({z}) % {H(P32)} * {H(m)} "
+                f"+ (({z}) // {H(P32)} * {H(m)}) % {H(P32)} * {H(P32)}) "
+                f"% {H(P64)})")
+
+    z0 = f"((CAST(c AS HUGEINT) + {H(C1)}) % {H(P64)})"
+    z1 = mulmod(f"xor({z0}, {z0} // {H(1 << 30)})", M1)
+    z2 = mulmod(f"xor({z1}, {z1} // {H(1 << 27)})", M2)
+    wh = f"xor({z2}, {z2} // {H(1 << 31)})"
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN wh // {H(1 << b)} % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64))
+    acc = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {H(1 << b)} ELSE {H(0)} END"
+        for b in range(64))
+    wrap = (f"CAST(CASE WHEN hs >= {H(1 << 63)} THEN hs - {H(1 << 64)} "
+            f"ELSE hs END AS BIGINT)")
+
+    return f"""
+WITH {PAGES_CTE},
+d AS (SELECT text, MIN(page_id) AS gid FROM pages GROUP BY text),
+w AS (SELECT gid, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM d),
+wc AS (SELECT gid, {crc} AS c FROM w),
+wh AS (SELECT gid, {wh} AS wh FROM wc),
+bits AS (SELECT gid, {bit_sums} FROM wh GROUP BY gid),
+sh0 AS (SELECT gid, {acc} AS hs FROM bits),
+sh AS (SELECT d.gid, d.text, COALESCE({wrap}, 0) AS simhash
+       FROM d LEFT JOIN sh0 ON d.gid = sh0.gid),
+fam AS (SELECT a.text AS ta, b.text AS tb,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.gid < b.gid
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}),
+cross_pairs AS (SELECT least(pa.page_id, pb.page_id) AS id_a,
+                       greatest(pa.page_id, pb.page_id) AS id_b,
+                       CAST(fam.hamming AS BIGINT) AS hamming
+                FROM fam JOIN pages pa ON pa.text = fam.ta
+                         JOIN pages pb ON pb.text = fam.tb),
+clone_pairs AS (SELECT a.page_id AS id_a, b.page_id AS id_b,
+                       CAST(0 AS BIGINT) AS hamming
+                FROM pages a JOIN pages b
+                  ON a.text = b.text AND a.page_id < b.page_id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       MIN(hamming) AS hamming
+FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM clone_pairs)
+GROUP BY id_a, id_b
+"""
+
+
+def fingerprints_sql() -> str:
+    """Full oracle for the winnowing fingerprint query: recompute
+    functions/text.py doc_fingerprints in SQL per DISTINCT text (the corpus
+    is ASCII, so codepoint == utf-8 byte) and join back to pages. Same
+    uint64-wraparound polynomial k-gram hashes (HUGEINT % 2^64), the same
+    32-wide window minima (list slice + list_aggregate 'min'), distinct
+    minima xor-folded with the same splitmix constant, and the FNV-1a
+    short-text branch."""
+    H = "CAST('{}' AS HUGEINT)".format
+    P64 = 1 << 64
+    # constants from functions/text.py (_FP_K=16, _FP_WIN=32, _FP_BASE)
+    powers = [1] * 16
+    for c in range(14, -1, -1):
+        powers[c] = (powers[c + 1] * 1000003) % P64
+    terms = " + ".join(f"b[j+{c}] * {H(powers[c])}" for c in range(16))
+    kh = f"(({terms}) % {H(P64)}) % {H(1 << 61)}"
+    fnv = (f"list_reduce(list_prepend({H(14695981039346656037)}, b), "
+           f"(acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) "
+           f"% {H(P64)})")
+    fold = (f"list_reduce(list_prepend({H(0)}, mins), "
+            f"(acc, m) -> xor(acc, (m * {H(0x9E3779B97F4A7C15)}) "
+            f"% {H(P64)}))")
+    return f"""
+WITH {PAGES_CTE},
+d AS (SELECT DISTINCT text FROM pages),
+t1 AS (SELECT text, list_transform(range(1, length(text) + 1),
+                                   i -> unicode(substr(text, i, 1))) AS b,
+       length(text) AS nb FROM d),
+kg AS (SELECT text, b, nb,
+       CASE WHEN nb >= 16
+            THEN list_transform(range(1, nb - 15 + 1), j -> {kh})
+            ELSE NULL END AS h FROM t1),
+mn AS (SELECT text, b, nb, h,
+       CASE WHEN nb < 16 THEN NULL
+            WHEN nb - 15 <= 32 THEN [list_aggregate(h, 'min')]
+            ELSE list_distinct(list_transform(
+                 range(1, nb - 15 - 31 + 1),
+                 w -> list_aggregate(h[w:w+31], 'min')))
+       END AS mins FROM kg),
+fp AS (SELECT text,
+       CAST((CASE WHEN nb < 16 THEN {fnv} % {H(1 << 62)}
+             ELSE {fold} % {H(1 << 62)} END) AS BIGINT) AS fingerprint
+       FROM mn)
+SELECT p.page_id, fp.fingerprint
+FROM pages p JOIN fp ON p.text = fp.text
 """
 
 
