@@ -141,10 +141,23 @@ def simhash64(texts: list[str], chunk: int = 200_000) -> np.ndarray:
     shifts = np.arange(64, dtype=np.uint64)
     nonempty = offsets[1:] > offsets[:-1]
     starts = offsets[:-1][nonempty]
+    ne_idx = np.nonzero(nonempty)[0]
     if len(flat):
-        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1))
-        contrib = bits.astype(np.int32) * 2 - 1
-        acc[nonempty] = np.add.reduceat(contrib, starts, axis=0)
+        # doc-ALIGNED chunks of <= `chunk` tokens: the (tokens, 64) bit
+        # matrix is the dominant allocation (a 10M-token block would want
+        # ~5 GB at once); chunking caps it at ~13 MB with zero change to
+        # the per-doc reduceat math because chunk edges are doc edges
+        ends = np.append(starts[1:], len(flat))
+        d0 = 0
+        while d0 < len(starts):
+            d1 = int(np.searchsorted(ends, starts[d0] + chunk, "left"))
+            d1 = max(d1, d0 + 1)
+            t0, t1 = int(starts[d0]), int(ends[d1 - 1])
+            bits = ((flat[t0:t1, None] >> shifts[None, :]) & np.uint64(1))
+            contrib = bits.astype(np.int8) * 2 - 1
+            acc[ne_idx[d0:d1]] = np.add.reduceat(
+                contrib, starts[d0:d1] - t0, axis=0, dtype=np.int64)
+            d0 = d1
     sign = acc > 0
     weights = np.uint64(1) << shifts
     vals = (sign.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)

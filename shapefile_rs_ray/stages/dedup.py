@@ -28,13 +28,15 @@ import pyarrow.compute as pc
 from ..functions import hashing
 
 
-def _dedup_pairs(pairs, extra_col: str | None = None, parts: int = 64):
+def _dedup_pairs(pairs, extra_col: str | None = None, parts: int = 61):
     """Exact pair dedup without a per-group aggregate: Ray's
     groupby(keys).aggregate() materializes one group per DISTINCT key, which
     collapses at millions of pairs; instead hash-partition on a combined
     64-bit key (one shuffle into `parts` coarse partitions) and dedupe each
     partition with one vectorized np.unique. With `extra_col`, the MINIMUM
-    extra value per pair is kept (lexsort + first-of-run)."""
+    extra value per pair is kept (lexsort + first-of-run). `parts` is prime:
+    a power-of-two modulus cancels against the a*2^31 key packing and
+    partitions on id_b's low bits alone."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["id_a"], np.int64)
@@ -474,7 +476,8 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
 
     def add_part(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch["band_key"], np.int64)
-        return batch.append_column("__p", pa.array(keys % 64, pa.int64()))
+        return batch.append_column(
+            "__p", pa.array(keys % PAIR_PARTS, pa.int64()))
 
     exploded = pages.map_batches(signatures, batch_format="pyarrow")
     grouped = (exploded.map_batches(add_part, batch_format="pyarrow")
