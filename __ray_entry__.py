@@ -210,8 +210,10 @@ def _langid(sf_dir: str):
 
 
 def _cells_multi(sf_dir: str):
-    """Grid + S2 + hex cell assignment per page (tiling operators; S2/hex
-    are engine-side encoders without SQL equivalents -> rows-only)."""
+    """Grid + S2 + hex cell assignment per page. All three tilings are
+    fully oracled: oracles.cells_multi_sql() recomputes the S2 cell id
+    bit-exactly in SQL (Hilbert lookup joins) alongside the grid/hex
+    expressions."""
     from shapefile_rs_ray.functions import cells as cm
     from shapefile_rs_ray.sources.webpages import read_webpages
 
@@ -236,9 +238,9 @@ HEX_RESOLUTIONS = (4, 5, 6, 7, 8, 9)
 
 
 def _hex_cells(sf_dir: str):
-    """Hex tiling (the H3-role encoder) at 6 resolutions — the
-    SQL-expressible projection of cells_multi, fully oracled (s2 stays
-    engine-only/rows-only in cells_multi)."""
+    """Hex tiling (the H3-role encoder) at 6 resolutions, fully oracled
+    via hex_cell_sql (cells_multi carries the same columns plus grid+S2,
+    also fully oracled)."""
     from shapefile_rs_ray.functions import cells as cm
     from shapefile_rs_ray.sources.webpages import read_webpages
 

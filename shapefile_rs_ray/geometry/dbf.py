@@ -110,7 +110,6 @@ def read_dbf_range(path: str, start: int, count: int,
     """Decode only records [start, start+count) by seeking past the header —
     a split-planned ReadTask pays one header read + its own byte range, not
     the whole attribute file."""
-    memo = _sibling_memo(path)
     with open(path, "rb") as f:
         head = f.read(32)
         if len(head) < 32:
@@ -121,6 +120,10 @@ def read_dbf_range(path: str, start: int, count: int,
         count = max(0, min(count, num_records - start))
         f.seek(header_size + start * record_size)
         data = f.read(count * record_size)
+    # the whole .dbt is loaded only when an 'M' field actually exists —
+    # otherwise a split read would re-pay the memo file once per task
+    memo = (_sibling_memo(path)
+            if any(fl.ftype == "M" for fl in fields) else None)
     block = np.frombuffer(data, np.uint8,
                           count=count * record_size).reshape(count,
                                                              record_size)
@@ -166,10 +169,13 @@ def _decode_field(raw: np.ndarray, f: DbfField, encoding: str,
         pair = raw[:, :8].copy().view("<i4").reshape(n, 2)
         jdn = pair[:, 0].astype(np.int64)
         ms = pair[:, 1].astype(np.int64)
+        # null on zero day AND on all-spaces padding (0x20202020 would
+        # otherwise decode as a silent year-1.47M garbage timestamp)
+        blank = (raw[:, :8] == 0x20).all(axis=1)
         # days since Unix epoch = (JDN - offset) - date(1970,1,1).toordinal()
         days = (jdn - _UNIX_ORDINAL_OFFSET) - _dt.date(1970, 1, 1).toordinal()
         out = days * 86_400_000 + ms
-        return pa.array(out, pa.timestamp("ms"), mask=jdn == 0)
+        return pa.array(out, pa.timestamp("ms"), mask=(jdn == 0) | blank)
     texts = [bytes(raw[i]).decode(encoding, "replace") for i in range(n)]
     if f.ftype == "M":
         if memo is None:

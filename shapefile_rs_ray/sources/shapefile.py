@@ -118,10 +118,14 @@ def read_shapefile_dataset(path: str, *, with_attrs: bool = True,
             if shx_arr is not None and end is not None and end > start:
                 # seek+read ONLY this task's record byte range (plus the
                 # 100-byte header): N tasks = one file's worth of total IO,
-                # not N full-file reads
-                first_off = int(shx_arr[start, 0]) * 2
-                last_end = (int(shx_arr[end - 1, 0]) * 2
-                            + 8 + int(shx_arr[end - 1, 1]) * 2)
+                # not N full-file reads. The window is [min offset, max
+                # record end) over the slice — NOT first..last — because
+                # padded/non-contiguous shx layouts (which decode_records
+                # supports, src/reader.rs:134-145) may order records
+                # non-monotonically in the file.
+                ent = shx_arr[start:end]
+                first_off = int(ent[:, 0].min()) * 2
+                last_end = int((ent[:, 0] * 2 + 8 + ent[:, 1] * 2).max())
                 with open(shp_path, "rb") as f:
                     hdr = shp_mod.read_header(f.read(shp_mod.HEADER_SIZE))
                     f.seek(first_off)

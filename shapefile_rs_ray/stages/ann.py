@@ -59,21 +59,20 @@ def _merge_topk(best_id, best_cos, new_id, new_cos, k):
             np.take_along_axis(cand_cos, o2, axis=1))
 
 
-class CosineTopK:
-    """map_batches actor: per query row, the k most-cosine-similar corpus
-    rows (self-match excluded when ids collide).
+class _ShardedCorpus:
+    """Shared corpus access for the ANN actors: one broadcast (ids, M) ref,
+    a raw (ids, M) tuple, or a list of Arrow shard refs (Dataset path).
+    Prepared shards are cached per actor under a BYTE budget — a corpus
+    bigger than the budget degrades to per-call re-fetch from the (local,
+    possibly spilled) object store instead of growing the heap without
+    bound."""
 
-    `corpus_ref` is either one ObjectRef to (ids, M) — broadcast table —
-    or a list of ObjectRefs to Arrow shard tables (Dataset path).
-    """
-
-    def __init__(self, corpus_ref, k: int = 1, id_col: str = "vec_id",
-                 block: int = 1024, max_cached_shards: int = 1024):
+    def __init__(self, corpus_ref, id_col: str,
+                 cache_budget_bytes: int = 2 << 30):
         import ray
-        self.k = k
         self.id_col = id_col
-        self.block = block
-        self.max_cached = max_cached_shards
+        self.cache_budget = cache_budget_bytes
+        self._cached_bytes = 0
         self._cache: dict[int, tuple] = {}
         if isinstance(corpus_ref, list):
             self.shard_refs = corpus_ref
@@ -84,15 +83,39 @@ class CosineTopK:
             self.single = _prepare(ids, M)
             self.shard_refs = None
 
-    def _shard(self, i):
-        got = self._cache.get(i)
-        if got is None:
-            import ray
-            ids, M = _matrix(ray.get(self.shard_refs[i]), self.id_col)
-            got = _prepare(ids, M)
-            if len(self._cache) < self.max_cached:
-                self._cache[i] = got
-        return got
+    def shards(self):
+        if self.single is not None:
+            yield self.single
+            return
+        for i in range(len(self.shard_refs)):
+            got = self._cache.get(i)
+            if got is None:
+                import ray
+                ids, M = _matrix(ray.get(self.shard_refs[i]), self.id_col)
+                got = _prepare(ids, M)
+                nbytes = got[1].nbytes + 2 * got[0].nbytes
+                if self._cached_bytes + nbytes <= self.cache_budget:
+                    self._cache[i] = got
+                    self._cached_bytes += nbytes
+            yield got
+
+
+class CosineTopK:
+    """map_batches actor: per query row, the k most-cosine-similar corpus
+    rows (self-match excluded when ids collide).
+
+    `corpus_ref` is either one ObjectRef to (ids, M) — broadcast table —
+    or a list of ObjectRefs to Arrow shard tables (Dataset path). Both
+    shapes produce IDENTICAL output: kk = min(k, corpus_rows - 1) ranks for
+    every query (the sharded path counts corpus rows while streaming).
+    """
+
+    def __init__(self, corpus_ref, k: int = 1, id_col: str = "vec_id",
+                 block: int = 1024):
+        self.k = k
+        self.id_col = id_col
+        self.block = block
+        self.corpus = _ShardedCorpus(corpus_ref, id_col)
 
     def _score(self, qids, Q, qn, cids, M, norms, kk):
         """(per-shard) top-kk ids+cos for each query row, ties (cos desc,
@@ -113,32 +136,25 @@ class CosineTopK:
         qids, Q = _matrix(batch, self.id_col)
         n = len(qids)
         qn = np.sqrt((Q * Q).sum(axis=1))
-        if self.single is not None:
-            cids, M, norms = self.single
-            kk = min(self.k, max(len(cids) - 1, 0))
-            if kk == 0 or n == 0:
-                return _empty_topk(self.id_col)
-            best_id, _ = self._score(qids, Q, qn, cids, M, norms, kk)
-        else:
-            kk = self.k
-            best_id = np.empty((n, 0), np.int64)
-            best_cos = np.empty((n, 0), np.float64)
-            for i in range(len(self.shard_refs)):
-                cids, M, norms = self._shard(i)
-                sk = min(kk, len(cids))
-                if sk == 0 or n == 0:
-                    continue
-                nid, ncos = self._score(qids, Q, qn, cids, M, norms, sk)
-                best_id, best_cos = _merge_topk(best_id, best_cos,
-                                                nid, ncos, kk)
-            if best_id.shape[1] == 0:
-                return _empty_topk(self.id_col)
-            # drop -inf fillers (self-only shards / corpus smaller than k)
-            valid = best_cos > -np.inf
-            kk = int(valid.sum(axis=1).min()) if n else 0
-            if kk == 0:
-                return _empty_topk(self.id_col)
-            best_id = best_id[:, :kk]
+        best_id = np.empty((n, 0), np.int64)
+        best_cos = np.empty((n, 0), np.float64)
+        c = 0                         # total corpus rows seen
+        for cids, M, norms in self.corpus.shards():
+            c += len(cids)
+            sk = min(self.k, len(cids))
+            if sk == 0 or n == 0:
+                continue
+            nid, ncos = self._score(qids, Q, qn, cids, M, norms, sk)
+            best_id, best_cos = _merge_topk(best_id, best_cos,
+                                            nid, ncos, self.k)
+        # the broadcast semantic, shard-independently: every query gets
+        # exactly kk = min(k, c-1) ranks (each row has >= c-1 finite
+        # candidates; -inf self-match fillers sort last in the merge and
+        # can never displace a finite cosine)
+        kk = min(self.k, max(c - 1, 0))
+        if kk == 0 or n == 0 or best_id.shape[1] < kk:
+            return _empty_topk(self.id_col)
+        best_id = best_id[:, :kk]
         out_q = np.repeat(qids, kk)
         out_n = np.tile(np.arange(1, kk + 1), n)
         return pa.table({self.id_col: pa.array(out_q, pa.int64()),
@@ -177,31 +193,10 @@ class NearDupPairs:
     """map_batches actor: (id_a < id_b, cosine >= threshold) pairs of the
     query batch vs the (broadcast-or-sharded) corpus."""
 
-    def __init__(self, corpus_ref, threshold: float, id_col: str = "vec_id",
-                 max_cached_shards: int = 1024):
-        import ray
+    def __init__(self, corpus_ref, threshold: float, id_col: str = "vec_id"):
         self.threshold = threshold
         self.id_col = id_col
-        self.max_cached = max_cached_shards
-        self._cache: dict[int, tuple] = {}
-        if isinstance(corpus_ref, list):
-            self.shard_refs = corpus_ref
-            self.single = None
-        else:
-            ids, M = (ray.get(corpus_ref)
-                      if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref)
-            self.single = _prepare(ids, M)
-            self.shard_refs = None
-
-    def _shard(self, i):
-        got = self._cache.get(i)
-        if got is None:
-            import ray
-            ids, M = _matrix(ray.get(self.shard_refs[i]), self.id_col)
-            got = _prepare(ids, M)
-            if len(self._cache) < self.max_cached:
-                self._cache[i] = got
-        return got
+        self.corpus = _ShardedCorpus(corpus_ref, id_col)
 
     def _pairs(self, bids, B, bn, cids, M, norms):
         cos = (B @ M.T) / (bn[:, None] * norms[None, :])
@@ -214,9 +209,7 @@ class NearDupPairs:
         bids, B = _matrix(batch, self.id_col)
         bn = np.sqrt((B * B).sum(axis=1))
         outs_a, outs_b = [], []
-        shards = ([self.single] if self.single is not None
-                  else [self._shard(i) for i in range(len(self.shard_refs))])
-        for cids, M, norms in shards:
+        for cids, M, norms in self.corpus.shards():
             if len(cids) == 0:
                 continue
             ga, gb = self._pairs(bids, B, bn, cids, M, norms)

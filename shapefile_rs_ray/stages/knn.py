@@ -69,6 +69,16 @@ class GridKnnIndex:
         site-index rows + (m, k) d2, ties (d2 asc, site_id asc)."""
         n_sites = len(self.ids)
         kk = min(k, n_sites)
+
+        def score(have: np.ndarray):
+            # candidates sorted by id once -> stable argsort on d2 breaks
+            # exact-distance ties by ascending site_id
+            cand = have[np.argsort(self.ids[have], kind="stable")]
+            dx = x[:, None] - self.lon[cand][None, :]
+            dy = y[:, None] - self.lat[cand][None, :]
+            d2 = dx * dx + dy * dy
+            return cand, d2
+
         parts: list[np.ndarray] = []
         have = np.empty(0, np.int64)
         ring = 0
@@ -79,12 +89,7 @@ class GridKnnIndex:
                 parts.extend(new)
                 have = np.concatenate(parts)
             if len(have) >= kk:
-                # candidates sorted by id once -> stable argsort on d2
-                # breaks exact-distance ties by ascending site_id
-                cand = have[np.argsort(self.ids[have], kind="stable")]
-                dx = x[:, None] - self.lon[cand][None, :]
-                dy = y[:, None] - self.lat[cand][None, :]
-                d2 = dx * dx + dy * dy
+                cand, d2 = score(have)
                 worst = np.sqrt(
                     np.partition(d2, kk - 1, axis=1)[:, kk - 1].max())
                 # a site outside Chebyshev ring r is >= r*cs from anywhere
@@ -93,10 +98,13 @@ class GridKnnIndex:
                     sel = np.argsort(d2, axis=1, kind="stable")[:, :kk]
                     return cand[sel], np.take_along_axis(d2, sel, axis=1)
             ring += 1
-            if ring > self.max_ring and len(have) >= kk:
-                # numerical-degeneracy fallback: everything gathered
-                parts = [np.arange(n_sites)]
-                have = parts[0]
+            if ring > self.max_ring:
+                # numerical-degeneracy fallback: score EVERY site once and
+                # return directly — re-entering the gather loop would stack
+                # ring buckets on top of the full set and duplicate sites
+                cand, d2 = score(np.arange(n_sites))
+                sel = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                return cand[sel], np.take_along_axis(d2, sel, axis=1)
 
     def query_batch(self, x: np.ndarray, y: np.ndarray,
                     k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -279,3 +279,56 @@ def test_lsh_topk_recall_and_determinism(ray_session):
     hits = (top1 == exact.loc[top1.index]).mean()
     assert coverage >= 0.95, f"LSH coverage {coverage:.2f}"
     assert hits >= 0.8, f"LSH recall@1 {hits:.2f} on covered vectors"
+
+
+def test_grid_knn_far_query_fallback_no_duplicates():
+    """A query far outside the site grid exercises the degenerate fallback;
+    it must return k DISTINCT sites matching brute force (the old fallback
+    re-stacked ring buckets on the full set and could emit one site in two
+    top-k slots)."""
+    from shapefile_rs_ray.stages.knn import GridKnnIndex
+    rng = np.random.default_rng(7)
+    slon = rng.uniform(0, 1, 200)
+    slat = rng.uniform(0, 1, 200)
+    sid = np.arange(200, dtype=np.int64)
+    g = GridKnnIndex(slon, slat, sid, cell_size=0.05)
+    x = np.array([1000.0, -500.0, 0.5])
+    y = np.array([1000.0, -500.0, 0.5])
+    got, got_d2 = g.query_batch(x, y, 5)
+    for i in range(len(x)):
+        assert len(set(got[i].tolist())) == 5, "duplicate site in top-k"
+        d2 = (slon - x[i]) ** 2 + (slat - y[i]) ** 2
+        exp = np.lexsort((sid, d2))[:5]
+        assert np.array_equal(got[i], exp)
+
+
+def test_cosine_topk_small_corpus_parity(ray_session):
+    """corpus_rows <= k: the sharded path must emit the broadcast
+    semantic's kk = min(k, corpus_rows - 1) ranks for EVERY query,
+    independent of batch composition or shard membership."""
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.ann import cosine_topk
+    path = f"{SF}/embeddings.parquet"
+    full = pq.read_table(path, columns=["vec_id", "embedding"])
+    small_tbl = full.slice(0, 3)                     # 3-vector corpus
+    small_ds = ray.data.from_arrow(small_tbl).map_batches(
+        lambda b: b, batch_format="pyarrow",
+        batch_size=1).materialize()                  # 3 shards of 1 row
+    qs1 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    a = (cosine_topk(qs1, small_tbl, k=3).to_pandas()
+         .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    qs2 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    b = (cosine_topk(qs2, small_ds, k=3).to_pandas()
+         .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert set(a.groupby("vec_id")["rank"].max()) == {2}   # kk = c-1
+
+
+def test_dbf_blank_datetime_is_null():
+    import pyarrow as _pa
+    from tests.test_dbf_types import _make_dbf
+    from shapefile_rs_ray.geometry import dbf as dbf_mod
+    buf = _make_dbf([("ts", "T", 8, 0)], [(b" " * 8,)])
+    t = dbf_mod.read_dbf_bytes(buf)
+    assert t["ts"][0].as_py() is None
