@@ -356,6 +356,92 @@ def _session_windows(sf_dir: str):
     return session_windows(ev)
 
 
+def _events_hopping(sf_dir: str):
+    """Hopping (sliding) windows: 1h length advancing every 15min — each
+    event explodes map-side into its 4 windows, then the tumbling
+    partial + coarse user-hash merge."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.windows import hopping_window_counts
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    return hopping_window_counts(ev)
+
+
+def _top_events_user(sf_dir: str):
+    """Grouped top-k: each user's 3 highest-value events (value desc,
+    event_id asc ties) — coarse user-hash partitions + one vectorized
+    lexsort/rank kernel per partition."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.windows import grouped_topk
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "value"])
+    return grouped_topk(ev, k=3)
+
+
+def _orders_by_nation(sf_dir: str):
+    """Broadcast equi-join (orders x customer dimension via ray.put +
+    searchsorted, zero shuffle) + order-free per-nation aggregates."""
+    import os
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.relational import (broadcast_join,
+                                                    grouped_minmax_count)
+    dim = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_nationkey"])
+    dim = dim.rename_columns(["o_custkey", "c_nationkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, key="o_custkey",
+                            dim_cols=("c_nationkey",))
+    return grouped_minmax_count(joined, group_col="c_nationkey",
+                                value_col="o_totalprice")
+
+
+def _lineitem_q1(sf_dir: str):
+    """TPC-H-Q1-flavor grouped aggregate over lineitem: group key packed
+    from the two 1-char status columns (dictionary-encode per batch, ords
+    resolved once on the tiny dictionary), partial collapse per batch,
+    bounded-cardinality final groupby. sum_qty is an exact integer sum
+    (l_quantity is integral); price aggregates are order-free MIN/MAX."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.relational import grouped_minmax_count
+
+    def pack_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        key = np.zeros(batch.num_rows, np.int64)
+        for col, shift in (("l_returnflag", 8), ("l_linestatus", 0)):
+            enc = pc.dictionary_encode(batch[col]).combine_chunks()
+            codes = np.array([ord(v.as_py()) for v in enc.dictionary],
+                             np.int64)
+            key += codes[np.asarray(enc.indices, np.int64)] << shift
+        return batch.append_column("grp", pa.array(key, pa.int64()))
+
+    def unpack_key(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch["grp"], np.int64)
+        return pa.table({
+            "l_returnflag": pa.array([chr(v >> 8) for v in g.tolist()]),
+            "l_linestatus": pa.array([chr(v & 255) for v in g.tolist()]),
+            "n_rows": batch["n_rows"],
+            "sum_qty": batch["sum_int"],
+            "max_value": batch["max_value"],
+            "min_value": batch["min_value"],
+        })
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+    keyed = li.map_batches(pack_key, batch_format="pyarrow")
+    agg = grouped_minmax_count(keyed, group_col="grp",
+                               value_col="l_extendedprice",
+                               sum_int_col="l_quantity")
+    return agg.map_batches(unpack_key, batch_format="pyarrow")
+
+
 def _top_events(sf_dir: str):
     import os
     import ray
@@ -462,6 +548,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": _image_meta,
         "audio_frames": _audio_frames,
         "events_window": _events_window,
+        "events_hopping": _events_hopping,
+        "top_events_user": _top_events_user,
+        "orders_by_nation": _orders_by_nation,
+        "lineitem_q1": _lineitem_q1,
         "asof_join": _asof_join,
         "session_windows": _session_windows,
         "top_events": _top_events,
@@ -633,6 +723,33 @@ FROM (SELECT event_id, user_id, ts,
              epoch_us(ts) - lag(epoch_us(ts))
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       FROM events)""",
+        "events_hopping": """
+SELECT user_id,
+       CAST(epoch_us(ts) // 900000000 - j AS BIGINT) AS window,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(value) AS max_value
+FROM events CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 4))
+GROUP BY user_id, 2""",
+        "top_events_user": """
+SELECT user_id, rank, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events) WHERE rank <= 3""",
+        "orders_by_nation": """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MAX(o_totalprice) AS max_value,
+       MIN(o_totalprice) AS min_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey""",
+        "lineitem_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       MAX(l_extendedprice) AS max_value,
+       MIN(l_extendedprice) AS min_value
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "top_events": ("SELECT event_id, user_id, value FROM events "
                        "ORDER BY value DESC, event_id LIMIT 100"),
         "distinct_langs": ("WITH " + pages +

@@ -1,0 +1,112 @@
+"""Relational operators over the driver's TPC-H-style tables: broadcast
+equi-join + grouped aggregates, Ray-Data-first.
+
+The join is the canonical small-side pattern (CLAUDE.md / SURVEY §2.6):
+the dimension table ships ONCE via ray.put, every map_batches task answers
+its probe batch with one vectorized np.searchsorted over the sorted key
+column — no shuffle at all. The fact side streams. Aggregates follow the
+partial-before-shuffle shape used everywhere else in the engine: per-batch
+vectorized collapse to one row per group, then a tiny groupby over group
+partials (group cardinality — nations, flag/status pairs — is bounded, so
+the final groupby is NOT the per-distinct-key anti-pattern).
+
+Float caution: SUM over f64 is merge-order-sensitive, so oracle-checked
+aggregates stick to COUNT / MIN / MAX plus integer SUMs (l_quantity is
+integral by construction; the cast is exact on both engine and oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class BroadcastJoin:
+    """map_batches actor: inner equi-join of each probe batch against a
+    broadcast dimension table.
+
+    __init__ (once per actor) fetches the dimension from the object store
+    and sorts its key column; __call__ resolves each probe key with one
+    np.searchsorted. Nulls and misses drop (inner join). Duplicate
+    dimension keys are rejected at build time — the pattern targets
+    key-unique dimensions; a multi-match join needs the shuffle path.
+    """
+
+    def __init__(self, dim_ref, key: str, dim_cols: tuple[str, ...]):
+        import ray
+        dim = (ray.get(dim_ref)
+               if isinstance(dim_ref, ray.ObjectRef) else dim_ref)
+        keys = np.asarray(dim[key], np.int64)
+        order = np.argsort(keys, kind="stable")
+        if len(keys) > 1 and (keys[order][1:] == keys[order][:-1]).any():
+            raise ValueError(f"dimension key {key!r} is not unique")
+        self.keys = keys[order]
+        self.key = key
+        self.cols = {c: pc.take(dim[c], pa.array(order)) for c in dim_cols}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probe = np.asarray(batch[self.key], np.int64)
+        pos = np.searchsorted(self.keys, probe)
+        pos_c = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+        hit = (len(self.keys) > 0) & (self.keys[pos_c] == probe)
+        idx = np.nonzero(hit)[0]
+        out = {c: pc.take(batch[c], pa.array(idx))
+               for c in batch.column_names}
+        take_dim = pa.array(pos_c[idx])
+        for c, arr in self.cols.items():
+            out[c] = pc.take(arr, take_dim)
+        return pa.table(out)
+
+
+def broadcast_join(ds, dim_table: pa.Table, *, key: str,
+                   dim_cols: tuple[str, ...], concurrency=(1, 4)):
+    """ds (fact side, streams) INNER JOIN dim_table (broadcast) on `key`;
+    appends `dim_cols` from the dimension."""
+    import ray
+    ref = ray.put(dim_table)
+    return ds.map_batches(
+        BroadcastJoin,
+        fn_constructor_kwargs={"dim_ref": ref, "key": key,
+                               "dim_cols": dim_cols},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+def grouped_minmax_count(ds, *, group_col: str, value_col: str,
+                         sum_int_col: str | None = None):
+    """Per-group (n_rows, max_value, min_value[, sum_int]) with the
+    partial-before-shuffle shape: one vectorized collapse per batch, then a
+    bounded-cardinality groupby merge. All aggregates are merge-order-free
+    (COUNT/MIN/MAX/int-SUM), so the result is bit-identical to SQL."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col], np.int64)
+        v = np.asarray(batch[value_col], np.float64)
+        order = np.argsort(g, kind="stable")
+        gs, vs = g[order], v[order]
+        uniq, start = np.unique(gs, return_index=True)
+        bounds = np.append(start, len(gs))
+        out = {
+            group_col: pa.array(uniq, pa.int64()),
+            "n_rows": pa.array(bounds[1:] - bounds[:-1], pa.int64()),
+            "max_value": pa.array(np.maximum.reduceat(vs, start)
+                                  if len(gs) else np.empty(0), pa.float64()),
+            "min_value": pa.array(np.minimum.reduceat(vs, start)
+                                  if len(gs) else np.empty(0), pa.float64()),
+        }
+        if sum_int_col is not None:
+            s = np.asarray(batch[sum_int_col], np.float64).astype(
+                np.int64)[order]
+            out["sum_int"] = pa.array(np.add.reduceat(s, start)
+                                      if len(gs) else np.empty(0, np.int64),
+                                      pa.int64())
+        return pa.table(out)
+
+    aggs = [Sum("n_rows", alias_name="n_rows"),
+            Max("max_value", alias_name="max_value"),
+            Min("min_value", alias_name="min_value")]
+    if sum_int_col is not None:
+        aggs.append(Sum("sum_int", alias_name="sum_int"))
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).aggregate(*aggs))

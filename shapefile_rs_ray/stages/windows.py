@@ -31,8 +31,11 @@ def tumbling_window_counts(events, *, window_s: int = WINDOW_SECONDS):
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = np.asarray(batch["ts"].cast(pa.int64()))  # us since epoch
-        win = ts // (window_s * 1_000_000)
+        if "window" in batch.column_names:     # pre-assigned (hopping path)
+            win = np.asarray(batch["window"], np.int64)
+        else:
+            ts = np.asarray(batch["ts"].cast(pa.int64()))  # us since epoch
+            win = ts // (window_s * 1_000_000)
         users = np.asarray(batch["user_id"], np.int64)
         vals = np.asarray(batch["value"], np.float64)
         # group on the (user, window) pair via lexsort + run detection — no
@@ -76,6 +79,69 @@ def tumbling_window_counts(events, *, window_s: int = WINDOW_SECONDS):
     return (_partition_by_user(
                 events.map_batches(partial, batch_format="pyarrow"))
             .groupby("__p").map_groups(merge, batch_format="pyarrow"))
+
+
+def hopping_window_counts(events, *, window_s: int = WINDOW_SECONDS,
+                          hop_s: int = 900):
+    """Hopping (sliding) windows: length `window_s`, advancing by `hop_s`
+    (must divide window_s). Every event lands in exactly window_s/hop_s
+    windows — a map-side EXPLODE by window index (row-local, order-free),
+    then the identical partial + coarse-user-partition merge as the
+    tumbling path. Output: (user_id, window, n_events, max_value) where
+    `window` is the hop index of the window's start (start = window*hop_s).
+    """
+    assert window_s % hop_s == 0
+    fanout = window_s // hop_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].cast(pa.int64()))      # us since epoch
+        base = ts // (hop_s * 1_000_000)
+        users = np.asarray(batch["user_id"], np.int64)
+        vals = np.asarray(batch["value"], np.float64)
+        n = len(ts)
+        j = np.tile(np.arange(fanout, dtype=np.int64), n)
+        win = np.repeat(base, fanout) - j
+        return pa.table({
+            "user_id": pa.array(np.repeat(users, fanout), pa.int64()),
+            "window": pa.array(win, pa.int64()),
+            "value": pa.array(np.repeat(vals, fanout), pa.float64()),
+        })
+
+    exploded = events.map_batches(explode, batch_format="pyarrow")
+    return tumbling_window_counts(exploded, window_s=hop_s)
+
+
+def grouped_topk(events, *, k: int = 3, parts: int = 251):
+    """Top-k events per user by (value desc, event_id asc) — the grouped
+    top-k operator. One shuffle into coarse user-hash partitions, one
+    vectorized lexsort + run-rank kernel per partition (no per-user
+    Python). Output: (user_id, rank, event_id, value)."""
+
+    def local(part: pa.Table) -> pa.Table:
+        users = np.asarray(part["user_id"], np.int64)
+        eids = np.asarray(part["event_id"], np.int64)
+        vals = np.asarray(part["value"], np.float64)
+        order = np.lexsort((eids, -vals, users))
+        u, e, v = users[order], eids[order], vals[order]
+        new = np.empty(len(u), bool)
+        new[0:1] = True
+        new[1:] = u[1:] != u[:-1]
+        rank = np.arange(len(u)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(u)), 0)) + 1
+        m = rank <= k
+        return pa.table({
+            "user_id": pa.array(u[m], pa.int64()),
+            "rank": pa.array(rank[m], pa.int64()),
+            "event_id": pa.array(e[m], pa.int64()),
+            "value": pa.array(v[m], pa.float64()),
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], np.int64)
+        return batch.append_column("__p", pa.array(u % parts, pa.int64()))
+
+    return (events.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__p").map_groups(local, batch_format="pyarrow"))
 
 
 USER_PARTITIONS = 251   # prime (CLAUDE.md: never a power of two near packing)

@@ -97,3 +97,68 @@ def test_nth_shape_and_count_and_typed_read():
     assert t.num_rows == 1 and t["geom_id"][0].as_py() == 1
     with pytest.raises(shp.MismatchShapeType):
         read_shapefile_table(f"{D}/line.shp", expect_type=shp.POLYGON)
+
+
+def test_hopping_windows_fanout(ray_session):
+    """Every event lands in exactly window/hop windows; counts match a
+    driver-side recompute."""
+    import os
+    import ray
+    import numpy as np
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.windows import hopping_window_counts
+    sf = "/root/testdata/sf0.001"
+    ev = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    got = hopping_window_counts(ev).to_pandas()
+    tbl = pq.read_table(os.path.join(sf, "events.parquet"),
+                        columns=["user_id", "ts", "value"])
+    n = tbl.num_rows
+    assert got.n_events.sum() == n * 4
+    ts = np.asarray(tbl["ts"].cast("int64"))
+    users = np.asarray(tbl["user_id"])
+    base = ts // (900 * 1_000_000)
+    import collections
+    exp = collections.Counter()
+    for u, b in zip(users, base):
+        for j in range(4):
+            exp[(u, b - j)] += 1
+    gmap = {(r.user_id, r.window): r.n_events for r in got.itertuples()}
+    assert gmap == dict(exp)
+
+
+def test_grouped_topk_ties_and_rank(ray_session):
+    import ray
+    import pyarrow as pa
+    from shapefile_rs_ray.stages.windows import grouped_topk
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13, 20], pa.int64()),
+        "value": pa.array([5.0, 5.0, 7.0, 1.0, 3.0]),
+    })
+    got = (grouped_topk(ray.data.from_arrow(t), k=3).to_pandas()
+           .sort_values(["user_id", "rank"]).reset_index(drop=True))
+    # user 1: 12 (7.0), then the 5.0 tie broken by event_id: 10, 11
+    assert got[got.user_id == 1].event_id.tolist() == [12, 10, 11]
+    assert got[got.user_id == 2].event_id.tolist() == [20]
+
+
+def test_broadcast_join_rejects_dup_keys_and_inner_drops(ray_session):
+    import ray
+    import pyarrow as pa
+    import pytest
+    from shapefile_rs_ray.stages.relational import (BroadcastJoin,
+                                                    broadcast_join)
+    dim = pa.table({"k": pa.array([1, 2, 2], pa.int64()),
+                    "v": pa.array(["a", "b", "c"])})
+    with pytest.raises(ValueError):
+        BroadcastJoin(dim, "k", ("v",))
+    dim_ok = pa.table({"k": pa.array([1, 3], pa.int64()),
+                       "v": pa.array(["a", "c"])})
+    fact = pa.table({"k": pa.array([1, 2, 3, 3], pa.int64()),
+                     "x": pa.array([10, 20, 30, 40], pa.int64())})
+    out = (broadcast_join(ray.data.from_arrow(fact), dim_ok,
+                          key="k", dim_cols=("v",)).to_pandas()
+           .sort_values("x").reset_index(drop=True))
+    assert out.x.tolist() == [10, 30, 40]          # inner: key 2 dropped
+    assert out.v.tolist() == ["a", "c", "c"]
