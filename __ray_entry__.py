@@ -442,6 +442,52 @@ def _lineitem_q1(sf_dir: str):
     return agg.map_batches(unpack_key, batch_format="pyarrow")
 
 
+def _lineitem_orders(sf_dir: str):
+    """Large-large shuffle equi-join (both sides hash-partition once on the
+    key; per-partition sort + searchsorted local join) -> per-orderstatus
+    aggregate. The scale path when the dimension outgrows broadcast."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.relational import (grouped_minmax_count,
+                                                    shuffle_join)
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"])
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"])
+        .map_batches(lambda b: b.rename_columns(["l_orderkey",
+                                                 "o_orderstatus"]),
+                     batch_format="pyarrow"))
+    joined = shuffle_join(li, orders, key="l_orderkey",
+                          right_cols=("o_orderstatus",))
+
+    def pack(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(batch["o_orderstatus"]).combine_chunks()
+        codes = np.array([ord(v.as_py()) for v in enc.dictionary], np.int64)
+        key = codes[np.asarray(enc.indices, np.int64)]
+        return batch.append_column("grp", pa.array(key, pa.int64()))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch["grp"], np.int64)
+        return pa.table({
+            "o_orderstatus": pa.array([chr(v) for v in g.tolist()]),
+            "n_rows": batch["n_rows"],
+            "sum_qty": batch["sum_int"],
+            "max_value": batch["max_value"],
+            "min_value": batch["min_value"],
+        })
+
+    agg = grouped_minmax_count(joined.map_batches(pack,
+                                                  batch_format="pyarrow"),
+                               group_col="grp",
+                               value_col="l_extendedprice",
+                               sum_int_col="l_quantity")
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
 def _top_events(sf_dir: str):
     import os
     import ray
@@ -552,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_user": _top_events_user,
         "orders_by_nation": _orders_by_nation,
         "lineitem_q1": _lineitem_q1,
+        "lineitem_orders": _lineitem_orders,
         "asof_join": _asof_join,
         "session_windows": _session_windows,
         "top_events": _top_events,
@@ -750,6 +797,14 @@ SELECT l_returnflag, l_linestatus,
        MAX(l_extendedprice) AS max_value,
        MIN(l_extendedprice) AS min_value
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "lineitem_orders": """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       MAX(l_extendedprice) AS max_value,
+       MIN(l_extendedprice) AS min_value
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus""",
         "top_events": ("SELECT event_id, user_id, value FROM events "
                        "ORDER BY value DESC, event_id LIMIT 100"),
         "distinct_langs": ("WITH " + pages +

@@ -72,6 +72,89 @@ def broadcast_join(ds, dim_table: pa.Table, *, key: str,
         batch_format="pyarrow", concurrency=concurrency)
 
 
+JOIN_PARTS = 251   # prime (CLAUDE.md partition-modulus rule)
+
+
+def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
+                 parts: int = JOIN_PARTS):
+    """Large-large inner equi-join: BOTH sides shuffle once into `parts`
+    coarse key-hash partitions (tagged union, one exchange), then each
+    partition joins locally with one sort + np.searchsorted — no per-key
+    groups, no broadcast. Use when the dimension side outgrows broadcast;
+    `broadcast_join` is the zero-shuffle fast path otherwise.
+
+    The right side must be key-unique (validated per partition — a
+    partition sees EVERY right row for its keys, so the check is global).
+    Output: all left columns + `right_cols`.
+    """
+
+    def tag(side: int, keep: tuple[str, ...]):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch[key], np.int64)
+            out = {key: pa.array(k, pa.int64()),
+                   "__side": pa.array(np.full(len(k), side, np.int64)),
+                   "__p": pa.array(k % parts, pa.int64())}
+            for c in keep:
+                out[c] = batch[c]
+            return pa.table(out)
+        return fn
+
+    left_cols = [c for c in left.schema().names if c != key]
+    tagged_l = left.map_batches(tag(0, tuple(left_cols)),
+                                batch_format="pyarrow")
+    tagged_r = right.map_batches(tag(1, tuple(right_cols)),
+                                 batch_format="pyarrow")
+
+    # union of differing schemas: pad each side with the other's columns
+    # as nulls so blocks concatenate cleanly
+    def pad(cols_missing: tuple[str, ...], types: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in cols_missing:
+                batch = batch.append_column(
+                    c, pa.nulls(batch.num_rows, types[c]))
+            return batch
+        return fn
+
+    l_schema = {c: tagged_l.schema().base_schema.field(c).type
+                for c in left_cols}
+    r_schema = {c: tagged_r.schema().base_schema.field(c).type
+                for c in right_cols}
+    tagged_l = tagged_l.map_batches(pad(tuple(right_cols), r_schema),
+                                    batch_format="pyarrow")
+    tagged_r = tagged_r.map_batches(pad(tuple(left_cols), l_schema),
+                                    batch_format="pyarrow")
+    ordered = [key, "__side", "__p", *left_cols, *right_cols]
+    tagged_l = tagged_l.select_columns(ordered)
+    tagged_r = tagged_r.select_columns(ordered)
+
+    def local_join(part: pa.Table) -> pa.Table:
+        side = np.asarray(part["__side"], np.int64)
+        keys = np.asarray(part[key], np.int64)
+        l_idx = np.nonzero(side == 0)[0]
+        r_idx = np.nonzero(side == 1)[0]
+        rk = keys[r_idx]
+        order = np.argsort(rk, kind="stable")
+        rk = rk[order]
+        r_idx = r_idx[order]
+        if len(rk) > 1 and (rk[1:] == rk[:-1]).any():
+            raise ValueError(f"right side key {key!r} is not unique")
+        lk = keys[l_idx]
+        pos = np.searchsorted(rk, lk)
+        pos_c = np.clip(pos, 0, max(len(rk) - 1, 0))
+        hit = (len(rk) > 0) & (rk[pos_c] == lk)
+        lsel = l_idx[hit]
+        rsel = r_idx[pos_c[hit]]
+        out = {key: pa.array(keys[lsel], pa.int64())}
+        for c in left_cols:
+            out[c] = pc.take(part[c], pa.array(lsel))
+        for c in right_cols:
+            out[c] = pc.take(part[c], pa.array(rsel))
+        return pa.table(out)
+
+    return (tagged_l.union(tagged_r)
+            .groupby("__p").map_groups(local_join, batch_format="pyarrow"))
+
+
 def grouped_minmax_count(ds, *, group_col: str, value_col: str,
                          sum_int_col: str | None = None):
     """Per-group (n_rows, max_value, min_value[, sum_int]) with the

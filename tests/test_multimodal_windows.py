@@ -162,3 +162,34 @@ def test_broadcast_join_rejects_dup_keys_and_inner_drops(ray_session):
            .sort_values("x").reset_index(drop=True))
     assert out.x.tolist() == [10, 30, 40]          # inner: key 2 dropped
     assert out.v.tolist() == ["a", "c", "c"]
+
+
+def test_shuffle_join_equals_broadcast_join(ray_session):
+    """Large-large shuffle join must produce exactly the broadcast join's
+    rows; per-partition right-key uniqueness holds globally (a partition
+    sees every right row for its keys)."""
+    import ray
+    import pyarrow as pa
+    import pytest
+    from shapefile_rs_ray.stages.relational import (broadcast_join,
+                                                    shuffle_join)
+    rng = __import__("numpy").random.default_rng(3)
+    n = 5000
+    fact = pa.table({"k": pa.array(rng.integers(0, 800, n), "int64"),
+                     "x": pa.array(rng.integers(0, 10**6, n), "int64")})
+    dim = pa.table({"k": pa.array(range(0, 1000, 2), "int64"),
+                    "v": pa.array([f"d{i}" for i in range(500)])})
+    a = (broadcast_join(ray.data.from_arrow(fact), dim, key="k",
+                        dim_cols=("v",)).to_pandas()
+         .sort_values(["k", "x"]).reset_index(drop=True))
+    b = (shuffle_join(ray.data.from_arrow(fact), ray.data.from_arrow(dim),
+                      key="k", right_cols=("v",)).to_pandas()
+         .sort_values(["k", "x"]).reset_index(drop=True))
+    assert sorted(a.columns) == sorted(b.columns)
+    assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
+    # duplicate right keys surface as an error, not silent wrong rows
+    dup = pa.table({"k": pa.array([1, 1], "int64"),
+                    "v": pa.array(["a", "b"])})
+    with pytest.raises(Exception):
+        shuffle_join(ray.data.from_arrow(fact), ray.data.from_arrow(dup),
+                     key="k", right_cols=("v",)).materialize()
