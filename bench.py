@@ -103,9 +103,15 @@ def run_queries() -> tuple[dict, dict]:
         extra["joined_rows"] = joined_rows
 
     def q_pip_cellpart():
+        # skew sketch from a 5x-cheaper synthesis (repl=5 of REPL pages)
+        # instead of random_sample, which would re-run the FULL synthesis
+        # and discard 95% of it
+        pre_repl = max(1, REPL // 20)
+        pre = read_webpages(SF_DIR, repl=pre_repl, with_html=False)
         j = cell_partitioned_pip(pages(), polys, zoom=7,
                                  keep_cols=("page_id",),
-                                 hot_threshold=100_000, presample=0.05)
+                                 hot_threshold=100_000,
+                                 pre_ds=pre, pre_fraction=pre_repl / REPL)
         return j.count()
 
     timed("pip_cellpart", q_pip_cellpart)

@@ -67,12 +67,19 @@ def _dedup_pairs(pairs, extra_col: str | None = None, parts: int = 61):
             .groupby("__p").map_groups(local, batch_format="pyarrow"))
 
 
-def exact_dedup(pages, *, id_col: str = "page_id", text_col: str = "text"):
+def exact_dedup(pages, *, id_col: str = "page_id", text_col: str = "text",
+                parts: int = 251):
     """Dataset -> Dataset(page_id, n_copies): the minimum id per distinct
     text and the duplicate-group size (group key = sha256 of the text; a
-    collision would need 2^-128 odds, documented deviation from group-by-text).
+    collision would need 2^-128 odds, documented deviation from
+    group-by-text).
+
+    Per-batch partials collapse to one row per distinct text BEFORE the
+    exchange; the final merge is NOT groupby(h) — distinct-text count grows
+    with the corpus, the measured-pathological per-distinct-key shape — but
+    ONE shuffle into `parts` coarse prime-modulus hash partitions, each
+    merged with a single lexsort + reduceat.
     """
-    from ray.data.aggregate import Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         h = hashing.content_hash64(batch[text_col].to_pylist()).view(np.int64)
@@ -85,13 +92,23 @@ def exact_dedup(pages, *, id_col: str = "page_id", text_col: str = "text"):
         counts = (bounds[1:] - bounds[:-1])
         return pa.table({"h": pa.array(uniq, pa.int64()),
                          "min_id": pa.array(mins, pa.int64()),
-                         "n": pa.array(counts, pa.int64())})
+                         "n": pa.array(counts, pa.int64()),
+                         "__p": pa.array(uniq % parts, pa.int64())})
 
-    agg = (pages.map_batches(partial, batch_format="pyarrow")
-                .groupby("h")
-                .aggregate(Min("min_id", alias_name=id_col),
-                           Sum("n", alias_name="n_copies")))
-    return agg.select_columns([id_col, "n_copies"])
+    def merge(part: pa.Table) -> pa.Table:
+        h = np.asarray(part["h"], np.int64)
+        mins = np.asarray(part["min_id"], np.int64)
+        n = np.asarray(part["n"], np.int64)
+        order = np.argsort(h, kind="stable")
+        hs, mins_s, n_s = h[order], mins[order], n[order]
+        uniq, start = np.unique(hs, return_index=True)
+        return pa.table({
+            id_col: pa.array(np.minimum.reduceat(mins_s, start), pa.int64()),
+            "n_copies": pa.array(np.add.reduceat(n_s, start), pa.int64()),
+        })
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby("__p").map_groups(merge, batch_format="pyarrow"))
 
 
 PAIR_PARTS = 61   # prime: survives any power-of-two key packing upstream

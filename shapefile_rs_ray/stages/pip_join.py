@@ -137,6 +137,7 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
                          keep_cols=("page_id", "url"),
                          hot_threshold: int = 50_000,
                          presample: float = 1.0,
+                         pre_ds=None, pre_fraction: float = 1.0,
                          lon_col="lon", lat_col="lat",
                          id_col="page_id"):
     """Shuffle-based PIP join: groupby(cell [+salt]) + per-group local join.
@@ -155,14 +156,21 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
     polys_ref = ray.put(polys)
     map_ref = ray.put(cell_to_polys)
 
-    # skew pre-pass; with presample < 1 it runs on a seeded sample with a
-    # proportionally scaled threshold (hot-cell detection only tunes the
-    # salting — correctness never depends on it — so a sketch suffices,
-    # which is what a 100 TB run would do)
-    pre_ds = ds if presample >= 1.0 else ds.random_sample(presample, seed=7)
-    pre_threshold = max(1, int(hot_threshold * presample))
-    # n_salts = ceil(count/threshold) is scale-free: sampled counts against
-    # the proportionally scaled threshold estimate the same salt counts
+    # skew pre-pass; hot-cell detection only tunes the salting —
+    # correctness never depends on it — so a sketch suffices (what a
+    # 100 TB run would do). Two sketch shapes:
+    #  * pre_ds + pre_fraction: a CHEAPER dataset the caller can produce
+    #    for ~pre_fraction of the rows (e.g. a reduced synthesis
+    #    replication) — random_sample(ds) would still execute the full
+    #    upstream and only then drop rows, paying a whole extra pass.
+    #  * presample < 1: a seeded post-hoc sample of ds (fallback).
+    # n_salts = ceil(count/threshold) is scale-free: sketch counts against
+    # the proportionally scaled threshold estimate the same salt counts.
+    if pre_ds is None:
+        pre_ds = ds if presample >= 1.0 else ds.random_sample(presample,
+                                                              seed=7)
+        pre_fraction = presample
+    pre_threshold = max(1, int(hot_threshold * pre_fraction))
     hot = detect_hot_cells(pre_ds, zoom, pre_threshold,
                            lon_col=lon_col, lat_col=lat_col)
 
