@@ -67,15 +67,18 @@ def _tile_cells(sf_dir: str):
 
 
 def _hot_cells(sf_dir: str):
-    """Cells with page count above threshold (exact counts; the salted
-    skew pre-pass itself is exercised inside pip_join_cellpart)."""
-    from ray.data.aggregate import Count
-    from shapefile_rs_ray.pipelines.flagship import add_grid_cell
+    """Cells with page count above threshold — exact counts through the
+    coarse-partition merge (occupied cells grow with the corpus at zoom 12,
+    so no per-distinct-cell groupby); the salted skew pre-pass itself is
+    exercised inside pip_join_cellpart."""
+    from shapefile_rs_ray.pipelines.flagship import GRID_ZOOM
     from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.pip_join import cell_counts
     ds = read_webpages(sf_dir, with_html=False)
-    keyed = ds.map_batches(add_grid_cell, batch_format="pyarrow")
-    counts = keyed.groupby("cell").aggregate(Count(alias_name="n_pages"))
-    return counts.filter(expr=f"n_pages > {HOT_CELL_THRESHOLD}")
+    counts = cell_counts(ds, GRID_ZOOM)
+    return (counts.filter(expr=f"n > {HOT_CELL_THRESHOLD}")
+            .map_batches(lambda b: b.rename_columns(["cell", "n_pages"]),
+                         batch_format="pyarrow"))
 
 
 def _pip_join(sf_dir: str):

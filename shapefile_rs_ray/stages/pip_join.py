@@ -110,21 +110,42 @@ def broadcast_pip_join(ds, polys: list[SimplePolygon], *,
 # --------------------------------------------------------------------------
 
 
-def detect_hot_cells(ds, zoom: int, threshold: int,
-                     lon_col="lon", lat_col="lat") -> dict[int, int]:
-    """Cheap pre-pass: per-batch partial cell counts -> tiny groupby ->
-    {hot_cell: n_salts}. n_salts scales with the overflow factor, so a cell
-    with 50x the threshold gets ~50 sub-keys."""
+def cell_counts(ds, zoom: int, lon_col="lon", lat_col="lat",
+                parts: int = 251):
+    """Exact per-cell page counts: per-batch partial collapse (one row per
+    occupied cell per batch), then ONE shuffle into `parts` coarse
+    prime-modulus partitions merged with lexsort+reduceat — occupied-cell
+    count grows with the corpus at high zooms, so a per-distinct-cell
+    groupby is the measured-pathological shape. Returns Dataset(cell, n)."""
+
     def partial_counts(batch: pa.Table) -> pa.Table:
         c = cells_mod.grid_cell(np.asarray(batch[lon_col], np.float64),
                                 np.asarray(batch[lat_col], np.float64), zoom)
         uniq, counts = np.unique(c, return_counts=True)
         return pa.table({"cell": pa.array(uniq, pa.int64()),
-                         "n": pa.array(counts, pa.int64())})
+                         "n": pa.array(counts, pa.int64()),
+                         "__p": pa.array(uniq % parts, pa.int64())})
 
-    from ray.data.aggregate import Sum
-    agg = (ds.map_batches(partial_counts, batch_format="pyarrow")
-             .groupby("cell").aggregate(Sum("n", alias_name="n")))
+    def merge(part: pa.Table) -> pa.Table:
+        c = np.asarray(part["cell"], np.int64)
+        n = np.asarray(part["n"], np.int64)
+        order = np.argsort(c, kind="stable")
+        cs, ns = c[order], n[order]
+        uniq, start = np.unique(cs, return_index=True)
+        return pa.table({"cell": pa.array(uniq, pa.int64()),
+                         "n": pa.array(np.add.reduceat(ns, start),
+                                       pa.int64())})
+
+    return (ds.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby("__p").map_groups(merge, batch_format="pyarrow"))
+
+
+def detect_hot_cells(ds, zoom: int, threshold: int,
+                     lon_col="lon", lat_col="lat") -> dict[int, int]:
+    """Cheap pre-pass: exact cell counts -> {hot_cell: n_salts}. n_salts
+    scales with the overflow factor, so a cell with 50x the threshold gets
+    ~50 sub-keys. Only the (rare) above-threshold rows reach the driver."""
+    agg = cell_counts(ds, zoom, lon_col=lon_col, lat_col=lat_col)
     hot = {}
     for row in agg.filter(expr=f"n > {threshold}").take_all():
         # the shuffle key packs the salt into 10 bits -> hard cap 1024
