@@ -3,7 +3,7 @@
 One entry per operator/pipeline from SURVEY.md §2 (+ the training-data
 suite). Each queries() callable takes `sf_dir` and returns a Dataset /
 pandas DataFrame / pyarrow Table; oracle_sql() carries the matching DuckDB
-SQL — 30 of 32 queries have full rows+schema+hash oracles, including the
+SQL — 35 of 37 queries have full rows+schema+hash oracles, including the
 bit-exact SQL recomputations of minhash (exact-Jaccard restatement), the
 64-bit simhash (crc32 + splitmix64 in HUGEINT), winnowing fingerprints,
 langid and the S2/hex tilings. Only `ann_lsh_top1` (approximate by design;
@@ -383,6 +383,31 @@ def _top_events_user(sf_dir: str):
     return grouped_topk(ev, k=3)
 
 
+
+def _pack_char_cols(batch: pa.Table, cols_shifts) -> pa.Table:
+    """Pack 1-char string columns into one int64 `grp` key: dictionary-
+    encode per batch (batch-local codes), resolve ords once on the tiny
+    dictionary, shift-combine. Shared by the lineitem aggregates."""
+    import pyarrow.compute as pc
+    key = np.zeros(batch.num_rows, np.int64)
+    for col, shift in cols_shifts:
+        enc = pc.dictionary_encode(batch[col]).combine_chunks()
+        codes = np.array([ord(v.as_py()) for v in enc.dictionary], np.int64)
+        key += codes[np.asarray(enc.indices, np.int64)] << shift
+    return batch.append_column("grp", pa.array(key, pa.int64()))
+
+
+def _unpack_char_cols(batch: pa.Table, cols_shifts,
+                      value_cols: dict[str, str]) -> pa.Table:
+    g = np.asarray(batch["grp"], np.int64)
+    out = {}
+    for col, shift in cols_shifts:
+        out[col] = pa.array([chr((v >> shift) & 255) for v in g.tolist()])
+    for out_name, src in value_cols.items():
+        out[out_name] = batch[src]
+    return pa.table(out)
+
+
 def _orders_by_nation(sf_dir: str):
     """Broadcast equi-join (orders x customer dimension via ray.put +
     searchsorted, zero shuffle) + order-free per-nation aggregates."""
@@ -413,26 +438,15 @@ def _lineitem_q1(sf_dir: str):
     import ray
     from shapefile_rs_ray.stages.relational import grouped_minmax_count
 
+    shifts = (("l_returnflag", 8), ("l_linestatus", 0))
+    vals = {"n_rows": "n_rows", "sum_qty": "sum_int",
+            "max_value": "max_value", "min_value": "min_value"}
+
     def pack_key(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        key = np.zeros(batch.num_rows, np.int64)
-        for col, shift in (("l_returnflag", 8), ("l_linestatus", 0)):
-            enc = pc.dictionary_encode(batch[col]).combine_chunks()
-            codes = np.array([ord(v.as_py()) for v in enc.dictionary],
-                             np.int64)
-            key += codes[np.asarray(enc.indices, np.int64)] << shift
-        return batch.append_column("grp", pa.array(key, pa.int64()))
+        return _pack_char_cols(batch, shifts)
 
     def unpack_key(batch: pa.Table) -> pa.Table:
-        g = np.asarray(batch["grp"], np.int64)
-        return pa.table({
-            "l_returnflag": pa.array([chr(v >> 8) for v in g.tolist()]),
-            "l_linestatus": pa.array([chr(v & 255) for v in g.tolist()]),
-            "n_rows": batch["n_rows"],
-            "sum_qty": batch["sum_int"],
-            "max_value": batch["max_value"],
-            "min_value": batch["min_value"],
-        })
+        return _unpack_char_cols(batch, shifts, vals)
 
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -466,22 +480,15 @@ def _lineitem_orders(sf_dir: str):
     joined = shuffle_join(li, orders, key="l_orderkey",
                           right_cols=("o_orderstatus",))
 
+    shifts = (("o_orderstatus", 0),)
+    vals = {"n_rows": "n_rows", "sum_qty": "sum_int",
+            "max_value": "max_value", "min_value": "min_value"}
+
     def pack(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        enc = pc.dictionary_encode(batch["o_orderstatus"]).combine_chunks()
-        codes = np.array([ord(v.as_py()) for v in enc.dictionary], np.int64)
-        key = codes[np.asarray(enc.indices, np.int64)]
-        return batch.append_column("grp", pa.array(key, pa.int64()))
+        return _pack_char_cols(batch, shifts)
 
     def unpack(batch: pa.Table) -> pa.Table:
-        g = np.asarray(batch["grp"], np.int64)
-        return pa.table({
-            "o_orderstatus": pa.array([chr(v) for v in g.tolist()]),
-            "n_rows": batch["n_rows"],
-            "sum_qty": batch["sum_int"],
-            "max_value": batch["max_value"],
-            "min_value": batch["min_value"],
-        })
+        return _unpack_char_cols(batch, shifts, vals)
 
     agg = grouped_minmax_count(joined.map_batches(pack,
                                                   batch_format="pyarrow"),

@@ -103,7 +103,7 @@ def run_queries() -> tuple[dict, dict]:
         extra["joined_rows"] = joined_rows
 
     def q_pip_cellpart():
-        # skew sketch from a 5x-cheaper synthesis (repl=5 of REPL pages)
+        # skew sketch from a 20x-cheaper synthesis (repl=REPL/20 pages)
         # instead of random_sample, which would re-run the FULL synthesis
         # and discard 95% of it
         pre_repl = max(1, REPL // 20)

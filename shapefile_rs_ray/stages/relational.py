@@ -28,9 +28,11 @@ class BroadcastJoin:
 
     __init__ (once per actor) fetches the dimension from the object store
     and sorts its key column; __call__ resolves each probe key with one
-    np.searchsorted. Nulls and misses drop (inner join). Duplicate
-    dimension keys are rejected at build time — the pattern targets
-    key-unique dimensions; a multi-match join needs the shuffle path.
+    np.searchsorted. Null probe keys and misses drop (inner join; null
+    keys are filtered EXPLICITLY — a bare int64 cast would turn them into
+    INT64_MIN and let two nulls join). Duplicate dimension keys are
+    rejected at build time — the pattern targets key-unique dimensions; a
+    multi-match join needs the shuffle path.
     """
 
     def __init__(self, dim_ref, key: str, dim_cols: tuple[str, ...]):
@@ -46,10 +48,16 @@ class BroadcastJoin:
         self.cols = {c: pc.take(dim[c], pa.array(order)) for c in dim_cols}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[self.key]))
+        if len(self.keys) == 0 or batch.num_rows == 0:
+            out = {c: batch[c].slice(0, 0) for c in batch.column_names}
+            for c, arr in self.cols.items():
+                out[c] = arr.slice(0, 0)
+            return pa.table(out)
         probe = np.asarray(batch[self.key], np.int64)
         pos = np.searchsorted(self.keys, probe)
-        pos_c = np.clip(pos, 0, max(len(self.keys) - 1, 0))
-        hit = (len(self.keys) > 0) & (self.keys[pos_c] == probe)
+        pos_c = np.clip(pos, 0, len(self.keys) - 1)
+        hit = self.keys[pos_c] == probe
         idx = np.nonzero(hit)[0]
         out = {c: pc.take(batch[c], pa.array(idx))
                for c in batch.column_names}
@@ -60,10 +68,15 @@ class BroadcastJoin:
 
 
 def broadcast_join(ds, dim_table: pa.Table, *, key: str,
-                   dim_cols: tuple[str, ...], concurrency=(1, 4)):
+                   dim_cols: tuple[str, ...], concurrency=None):
     """ds (fact side, streams) INNER JOIN dim_table (broadcast) on `key`;
-    appends `dim_cols` from the dimension."""
+    appends `dim_cols` from the dimension. Default concurrency is a FIXED
+    pool of cpus-1 actors (an autoscaling (min,max) pool sticks at min
+    under fused chains — the measured CLAUDE.md pathology; cpus-1 leaves
+    headroom so small clusters don't deadlock the upstream read)."""
     import ray
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
     ref = ray.put(dim_table)
     return ds.map_batches(
         BroadcastJoin,
@@ -90,6 +103,7 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
 
     def tag(side: int, keep: tuple[str, ...]):
         def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_valid(batch[key]))  # null keys drop
             k = np.asarray(batch[key], np.int64)
             out = {key: pa.array(k, pa.int64()),
                    "__side": pa.array(np.full(len(k), side, np.int64)),
@@ -99,7 +113,13 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
             return pa.table(out)
         return fn
 
-    left_cols = [c for c in left.schema().names if c != key]
+    # schemas come from the INPUT datasets (parquet metadata / upstream
+    # inference, already resolved) — asking the tagged map_batches outputs
+    # would force eager execution of a block per side just to re-read
+    # types tag() passes through unchanged
+    l_base = left.schema().base_schema
+    r_base = right.schema().base_schema
+    left_cols = [c for c in l_base.names if c != key]
     tagged_l = left.map_batches(tag(0, tuple(left_cols)),
                                 batch_format="pyarrow")
     tagged_r = right.map_batches(tag(1, tuple(right_cols)),
@@ -115,10 +135,8 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
             return batch
         return fn
 
-    l_schema = {c: tagged_l.schema().base_schema.field(c).type
-                for c in left_cols}
-    r_schema = {c: tagged_r.schema().base_schema.field(c).type
-                for c in right_cols}
+    l_schema = {c: l_base.field(c).type for c in left_cols}
+    r_schema = {c: r_base.field(c).type for c in right_cols}
     tagged_l = tagged_l.map_batches(pad(tuple(right_cols), r_schema),
                                     batch_format="pyarrow")
     tagged_r = tagged_r.map_batches(pad(tuple(left_cols), l_schema),
@@ -139,9 +157,16 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
         if len(rk) > 1 and (rk[1:] == rk[:-1]).any():
             raise ValueError(f"right side key {key!r} is not unique")
         lk = keys[l_idx]
+        if len(rk) == 0 or len(lk) == 0:
+            # a residue class can hold left rows with no right rows (or
+            # vice versa): a valid inner join with zero matches here
+            out = {key: pa.array([], pa.int64())}
+            for c in left_cols + list(right_cols):
+                out[c] = part[c].slice(0, 0)
+            return pa.table(out)
         pos = np.searchsorted(rk, lk)
-        pos_c = np.clip(pos, 0, max(len(rk) - 1, 0))
-        hit = (len(rk) > 0) & (rk[pos_c] == lk)
+        pos_c = np.clip(pos, 0, len(rk) - 1)
+        hit = rk[pos_c] == lk
         lsel = l_idx[hit]
         rsel = r_idx[pos_c[hit]]
         out = {key: pa.array(keys[lsel], pa.int64())}

@@ -17,7 +17,8 @@ import pyarrow.compute as pc
 WINDOW_SECONDS = 3600
 
 
-def tumbling_window_counts(events, *, window_s: int = WINDOW_SECONDS):
+def tumbling_window_counts(events, *, window_s: int = WINDOW_SECONDS,
+                           window_col: str | None = None):
     """(user_id, window, n_events, max_value) per tumbling window.
 
     window = floor(epoch_seconds / window_s). Pure partial+final aggregate:
@@ -31,8 +32,8 @@ def tumbling_window_counts(events, *, window_s: int = WINDOW_SECONDS):
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        if "window" in batch.column_names:     # pre-assigned (hopping path)
-            win = np.asarray(batch["window"], np.int64)
+        if window_col is not None:   # pre-assigned buckets (hopping path)
+            win = np.asarray(batch[window_col], np.int64)
         else:
             ts = np.asarray(batch["ts"].cast(pa.int64()))  # us since epoch
             win = ts // (window_s * 1_000_000)
@@ -108,7 +109,8 @@ def hopping_window_counts(events, *, window_s: int = WINDOW_SECONDS,
         })
 
     exploded = events.map_batches(explode, batch_format="pyarrow")
-    return tumbling_window_counts(exploded, window_s=hop_s)
+    return tumbling_window_counts(exploded, window_s=hop_s,
+                                  window_col="window")
 
 
 def grouped_topk(events, *, k: int = 3, parts: int = 251):

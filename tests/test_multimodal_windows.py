@@ -193,3 +193,28 @@ def test_shuffle_join_equals_broadcast_join(ray_session):
     with pytest.raises(Exception):
         shuffle_join(ray.data.from_arrow(fact), ray.data.from_arrow(dup),
                      key="k", right_cols=("v",)).materialize()
+
+
+def test_joins_handle_empty_sides_and_null_keys(ray_session):
+    """Review regressions: an empty dimension / a residue class with no
+    right rows is a valid zero-match inner join (not an IndexError), and
+    null keys drop instead of joining as INT64_MIN."""
+    import ray
+    import pyarrow as pa
+    from shapefile_rs_ray.stages.relational import (broadcast_join,
+                                                    shuffle_join)
+    fact = pa.table({"k": pa.array([5, None, 6], pa.int64()),
+                     "x": pa.array([1, 2, 3], pa.int64())})
+    empty_dim = pa.table({"k": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.string())})
+    out = broadcast_join(ray.data.from_arrow(fact), empty_dim,
+                         key="k", dim_cols=("v",), concurrency=2).to_pandas()
+    assert len(out) == 0
+    # shuffle join: left key 5 has no right rows anywhere; null on both
+    # sides must NOT match
+    dim = pa.table({"k": pa.array([6, None], pa.int64()),
+                    "v": pa.array(["b", "n"], pa.string())})
+    out2 = (shuffle_join(ray.data.from_arrow(fact),
+                         ray.data.from_arrow(dim),
+                         key="k", right_cols=("v",)).to_pandas())
+    assert out2.x.tolist() == [3] and out2.v.tolist() == ["b"]
