@@ -266,6 +266,11 @@ def write_dbf(table: pa.Table, encoding: str = "utf-8",
         elif pa.types.is_date(typ):
             fields.append(DbfField(name[:10], "D", 8, 0))
             pycols.append(vals)
+        elif pa.types.is_timestamp(typ):
+            # 'T' DateTime: LE i32 julian day + LE i32 ms-of-day (the same
+            # binary layout the reader decodes)
+            fields.append(DbfField(name[:10], "T", 8, 0))
+            pycols.append(vals)
         elif pa.types.is_integer(typ):
             w = max([len(str(int(v))) for v in vals if v is not None] + [1])
             fields.append(DbfField(name[:10], "N", min(max(w, 1), 254), 0))
@@ -309,6 +314,14 @@ def write_dbf(table: pa.Table, encoding: str = "utf-8",
             elif f.ftype == "D":
                 out += (v.strftime("%Y%m%d").encode() if v is not None
                         else b" " * 8)
+            elif f.ftype == "T":
+                if v is None:
+                    out += b"\x00" * 8     # jdn 0 -> null on read
+                else:
+                    jdn = v.date().toordinal() + _UNIX_ORDINAL_OFFSET
+                    ms = ((v.hour * 3600 + v.minute * 60 + v.second) * 1000
+                          + v.microsecond // 1000)
+                    out += struct.pack("<ii", jdn, ms)
             else:  # N
                 if v is None:
                     out += b" " * f.length

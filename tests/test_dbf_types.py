@@ -130,3 +130,16 @@ def test_unknown_encoding_rejected(tmp_path):
     from shapefile_rs_ray.sources.shapefile import ShapefilePartitionWriter
     with pytest.raises(ValueError):
         ShapefilePartitionWriter(str(tmp_path), encoding="koi8-r")
+
+
+def test_timestamp_write_read_roundtrip():
+    """Arrow timestamp columns write as binary 'T' fields (not stringified)
+    and round-trip exactly at ms precision; nulls survive."""
+    ts = [dt.datetime(2024, 3, 15, 13, 45, 30, 250000),
+          None,
+          dt.datetime(1999, 12, 31, 23, 59, 59, 999000)]
+    tbl = pa.table({"when": pa.array(ts, pa.timestamp("ms"))})
+    buf = dbf_mod.write_dbf(tbl)
+    back = dbf_mod.read_dbf_bytes(buf)
+    assert back["when"].type == pa.timestamp("ms")
+    assert back["when"].to_pylist() == ts
