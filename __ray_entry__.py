@@ -260,6 +260,15 @@ def _hex_cells(sf_dir: str):
         assign, batch_format="pyarrow")
 
 
+def _quality_corpus(sf_dir: str):
+    """The composite curation pipeline: quality gate -> language gate ->
+    exact dedup keeping the min-id page per surviving text family — one
+    streaming chain, filters before the (only) shuffle."""
+    from shapefile_rs_ray.pipelines.curation import curate_corpus
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    return curate_corpus(read_webpages(sf_dir, with_html=False))
+
+
 def _minhash_pairs(sf_dir: str):
     from shapefile_rs_ray.sources.webpages import read_webpages
     from shapefile_rs_ray.stages.dedup import minhash_lsh_pairs
@@ -594,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _langid,
         "cells_multi": _cells_multi,
         "hex_cells": _hex_cells,
+        "quality_corpus": _quality_corpus,
         "minhash_pairs": _minhash_pairs,
         "simhash_pairs": _simhash_pairs,
         "fingerprints": _fingerprints,
@@ -735,6 +745,15 @@ clone_pairs AS (SELECT a.page_id AS id_a, b.page_id AS id_b
                   ON a.text = b.text AND a.page_id < b.page_id)
 SELECT DISTINCT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
 FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM clone_pairs)""",
+        "quality_corpus": f"""
+WITH {pages},
+g AS (SELECT page_id, url, text, {tok['n_tokens']} AS n_tokens
+      FROM pages
+      WHERE {tok['is_quality']} AND {langid_sql('text')} = 'en')
+SELECT page_id, url, n_tokens FROM (
+  SELECT page_id, url, n_tokens,
+         MIN(page_id) OVER (PARTITION BY text) AS m FROM g)
+WHERE page_id = m""",
         "exact_dedup": (
             f"WITH {pages} SELECT MIN(page_id) AS page_id, "
             f"CAST(COUNT(*) AS BIGINT) AS n_copies FROM pages GROUP BY text"),
