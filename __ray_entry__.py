@@ -3,7 +3,7 @@
 One entry per operator/pipeline from SURVEY.md §2 (+ the training-data
 suite). Each queries() callable takes `sf_dir` and returns a Dataset /
 pandas DataFrame / pyarrow Table; oracle_sql() carries the matching DuckDB
-SQL — 35 of 37 queries have full rows+schema+hash oracles, including the
+SQL — 36 of 38 queries have full rows+schema+hash oracles, including the
 bit-exact SQL recomputations of minhash (exact-Jaccard restatement), the
 64-bit simhash (crc32 + splitmix64 in HUGEINT), winnowing fingerprints,
 langid and the S2/hex tilings. Only `ann_lsh_top1` (approximate by design;

@@ -200,6 +200,13 @@ def run_queries() -> tuple[dict, dict]:
 
     timed("simhash_pairs", q_simhash)
 
+    def q_quality_corpus():
+        # the composite curation chain: stats -> langid -> gate -> dedup
+        from shapefile_rs_ray.pipelines.curation import curate_corpus
+        return curate_corpus(pages()).count()
+
+    timed("quality_corpus", q_quality_corpus)
+
     ray.shutdown()
     return times, extra
 

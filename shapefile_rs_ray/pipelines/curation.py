@@ -40,8 +40,16 @@ def curate_corpus(pages, *, lang: str = "en", id_col: str = "page_id",
         batch = batch.filter(keep)
         h = hashing.content_hash64(
             batch[text_col].to_pylist()).view(np.int64)
-        batch = batch.append_column("__h", pa.array(h, pa.int64()))
-        return batch.append_column("__p", pa.array(h % parts, pa.int64()))
+        # PROJECT before the exchange: the keep-min decision needs only
+        # (hash, id) — shipping the text bodies through the shuffle would
+        # multiply the exchange volume ~100x for columns keep_min drops
+        return pa.table({
+            id_col: batch[id_col],
+            "url": batch["url"],
+            "n_tokens": batch["n_tokens"],
+            "__h": pa.array(h, pa.int64()),
+            "__p": pa.array(h % parts, pa.int64()),
+        })
 
     def keep_min(part: pa.Table) -> pa.Table:
         h = np.asarray(part["__h"], np.int64)
@@ -58,8 +66,15 @@ def curate_corpus(pages, *, lang: str = "en", id_col: str = "page_id",
             "n_tokens": pc.take(part["n_tokens"], sel),
         })
 
-    # LangId is an actor stage (stopword tables built once per actor)
-    langed = pages.map_batches(LangId, batch_format="pyarrow",
-                               concurrency=(1, 4))
+    # plain task stage, not an actor pool: LangId setup (compile one regex,
+    # sort 4 language keys) is microseconds, and tasks use every CPU
+    # immediately while an autoscaling pool sticks at its minimum and
+    # serializes the whole fused synthesis+stats chain behind it
+    lang_stage = LangId()
+
+    def langid_batch(batch: pa.Table) -> pa.Table:
+        return lang_stage(batch)
+
+    langed = pages.map_batches(langid_batch, batch_format="pyarrow")
     gated = langed.map_batches(gate, batch_format="pyarrow")
     return gated.groupby("__p").map_groups(keep_min, batch_format="pyarrow")
