@@ -129,3 +129,20 @@ def test_cli_decode_smoke():
     assert out.returncode == 0, out.stderr[-500:]
     first = json.loads(out.stdout.strip().splitlines()[0])
     assert first["records"] == 1
+
+
+def test_split_read_with_attrs_matches_whole_file(ray_session):
+    """Split-planned ReadTasks (shx byte-range + dbf record-range reads)
+    must reassemble to exactly the whole-file read, attrs included, with
+    the sniffed .cpg encoding."""
+    from shapefile_rs_ray.sources.shapefile import (read_shapefile_dataset,
+                                                    read_shapefile_table)
+    src = "/root/reference/tests/data/file_cp936.shp"
+    whole = read_shapefile_table(src)
+    ds = read_shapefile_dataset(src, records_per_task=1)   # max splitting
+    got = (ds.to_pandas().sort_values("geom_id").reset_index(drop=True))
+    exp = whole.to_pandas().sort_values("geom_id").reset_index(drop=True)
+    assert got["geom_id"].tolist() == exp["geom_id"].tolist()
+    assert [a["TEST"] for a in got["attrs"]] == \
+           [a["TEST"] for a in exp["attrs"]]
+    assert got["xy"].map(str).tolist() == exp["xy"].map(str).tolist()
