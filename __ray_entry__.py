@@ -312,6 +312,20 @@ def _ann_lsh_top1(sf_dir: str):
     return lsh_topk(ds, k=1)
 
 
+def _ann_ivf_top1(sf_dir: str):
+    """IVF approximate top-1: seeded-k-means coarse centroids, per-actor
+    inverted lists from the object-store corpus refs, nprobe nearest-
+    centroid search. Approximate -> rows-only (recall and the
+    nprobe=n_centroids==exact degenerate case are pytest-asserted)."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.ann import ivf_topk
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    corpus = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    queries = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return ivf_topk(queries, corpus, k=1)
+
+
 def _html_extract(sf_dir: str):
     """html:binary -> extracted text via RE2 tag-strip (multimodal decode
     path with a real kernel; byte-compared against DuckDB regexp)."""
@@ -609,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _fingerprints,
         "ann_top1": _ann_top1,
         "ann_lsh_top1": _ann_lsh_top1,
+        "ann_ivf_top1": _ann_ivf_top1,
         "decode_lakes": _decode_lakes,
         "html_extract": _html_extract,
         "image_meta": _image_meta,

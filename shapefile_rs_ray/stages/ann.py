@@ -337,3 +337,138 @@ def lsh_topk(embeddings, *, k: int = 1, planes: int = 4, bands: int = 16,
                                         batch_format="pyarrow"))
     return (cands.map_batches(add_vpart, batch_format="pyarrow")
             .groupby("__p").map_groups(merge, batch_format="pyarrow"))
+
+
+def ivf_topk(embeddings, corpus, *, k: int = 1, n_centroids: int = 16,
+             nprobe: int = 4, seed: int = 7, sample_rows: int = 4096,
+             id_col: str = "vec_id", concurrency=(1, 4)):
+    """IVF-style approximate top-k: the second scale path next to lsh_topk.
+
+    Train: seeded Lloyd k-means on a bounded driver-side SAMPLE of the
+    corpus (centroids are the only driver state — n_centroids x dim
+    floats, broadcastable at any corpus size). Index: corpus vectors are
+    assigned to their nearest centroid; the inverted lists live as
+    per-centroid matrices inside each actor, built once in __init__ from
+    the object-store corpus ref. Search: each query probes its `nprobe`
+    nearest centroids and scores exactly within those lists — the classic
+    recall/compute dial (nprobe = n_centroids degenerates to exact).
+
+    Approximate => rows-only at the gate; recall@1 vs the exact path is
+    pytest-measured like lsh_topk. Ties inside probed lists follow the
+    engine-wide (cos desc, id asc) rule.
+    """
+    import ray
+
+    def _kmeans(M: np.ndarray) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        n = len(M)
+        kc = min(n_centroids, n)
+        C = M[rng.choice(n, kc, replace=False)].copy()
+        for _ in range(10):
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(kc):
+                m = a == c
+                if m.any():
+                    C[c] = M[m].mean(axis=0)
+        return C
+
+    # bounded sample for training: first `sample_rows` of the corpus —
+    # deterministic, and for the Dataset path it reads only the first few
+    # object-store shards (at scale swap in a seeded ds.random_sample)
+    corpus_ref = _corpus_ref(corpus, id_col)
+    if isinstance(corpus, pa.Table):
+        sample = corpus.slice(0, sample_rows)
+    else:
+        got, total = [], 0
+        for ref in corpus_ref:
+            t = ray.get(ref)
+            got.append(t)
+            total += t.num_rows
+            if total >= sample_rows:
+                break
+        sample = pa.concat_tables(got).slice(0, sample_rows)
+    _, SM = _matrix(sample, id_col)
+    C = _kmeans(SM)
+    cref = ray.put(C)
+
+    class IvfSearch:
+        def __init__(self):
+            self.C = ray.get(cref)
+            # build inverted lists once per actor from the corpus shards
+            ids_all, M_all = [], []
+            refs = (corpus_ref if isinstance(corpus_ref, list)
+                    else [corpus_ref])
+            for r in refs:
+                got = ray.get(r)
+                if isinstance(got, pa.Table):
+                    i, m = _matrix(got, id_col)
+                else:
+                    i, m = got
+                ids_all.append(np.asarray(i, np.int64))
+                M_all.append(np.asarray(m, np.float64))
+            ids = np.concatenate(ids_all)
+            M = np.vstack(M_all)
+            assign = np.argmin(
+                ((M[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2),
+                axis=1)
+            self.lists = []
+            for c in range(len(self.C)):
+                sel = np.nonzero(assign == c)[0]
+                li, lm = ids[sel], M[sel]
+                order = np.argsort(li, kind="stable")   # id-sorted ties
+                li, lm = li[order], lm[order]
+                self.lists.append((li, lm,
+                                   np.sqrt((lm * lm).sum(axis=1))))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qids, Q = _matrix(batch, id_col)
+            n = len(qids)
+            if n == 0:
+                return _empty_topk(id_col)
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            qd2 = ((Q[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2)
+            probes = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+            out_q, out_r, out_n = [], [], []
+            # group queries by identical probe set to batch the matmuls
+            keys = np.ascontiguousarray(np.sort(probes, axis=1))
+            view = keys.view([("", keys.dtype)] * keys.shape[1]).ravel()
+            order = np.argsort(view, kind="stable")
+            new = np.empty(n, bool)
+            new[0:1] = True
+            new[1:] = view[order][1:] != view[order][:-1]
+            starts = np.nonzero(new)[0]
+            bounds = np.append(starts, n)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                rows = order[s:e]
+                probe_set = keys[rows[0]]
+                li = np.concatenate([self.lists[c][0] for c in probe_set])
+                lm = np.vstack([self.lists[c][1] for c in probe_set])
+                ln = np.concatenate([self.lists[c][2] for c in probe_set])
+                if len(li) == 0:
+                    continue
+                o = np.argsort(li, kind="stable")
+                li, lm, ln = li[o], lm[o], ln[o]
+                cos = (Q[rows] @ lm.T) / (qn[rows][:, None] * ln[None, :])
+                cos[qids[rows][:, None] == li[None, :]] = -np.inf
+                kk = min(k, max(len(li) - 1, 0))
+                if kk <= 0:
+                    continue
+                sel = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+                valid = np.take_along_axis(cos, sel, axis=1) > -np.inf
+                for j, row in enumerate(rows):
+                    nv = int(valid[j].sum())
+                    if nv == 0:
+                        continue
+                    out_q.append(np.full(nv, qids[row], np.int64))
+                    out_r.append(np.arange(1, nv + 1, dtype=np.int64))
+                    out_n.append(li[sel[j][:nv]])
+            if not out_q:
+                return _empty_topk(id_col)
+            return pa.table({
+                id_col: pa.array(np.concatenate(out_q), pa.int64()),
+                "rank": pa.array(np.concatenate(out_r), pa.int64()),
+                "nn_id": pa.array(np.concatenate(out_n), pa.int64())})
+
+    return embeddings.map_batches(IvfSearch, batch_format="pyarrow",
+                                  batch_size=4096, concurrency=concurrency)

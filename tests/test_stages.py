@@ -332,3 +332,35 @@ def test_dbf_blank_datetime_is_null():
     buf = _make_dbf([("ts", "T", 8, 0)], [(b" " * 8,)])
     t = dbf_mod.read_dbf_bytes(buf)
     assert t["ts"][0].as_py() is None
+
+
+def test_ivf_topk_recall_and_determinism(ray_session):
+    """IVF path: deterministic (seeded centroids), full coverage at
+    nprobe=4/16, recall@1 measured vs the exact path; nprobe=n_centroids
+    degenerates to exact."""
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.ann import cosine_topk, ivf_topk
+    path = f"{SF}/embeddings.parquet"
+    corpus = pq.read_table(path, columns=["vec_id", "embedding"])
+    n = corpus.num_rows
+    qs = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    exact = (cosine_topk(qs, corpus, k=1).to_pandas()
+             .set_index("vec_id")["nn_id"])
+    ds1 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    got1 = (ivf_topk(ds1, corpus, k=1).to_pandas()
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    ds2 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    got2 = (ivf_topk(ds2, corpus, k=1).to_pandas()
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    assert got1.equals(got2)
+    top1 = got1[got1["rank"] == 1].set_index("vec_id")["nn_id"]
+    coverage = len(top1) / n
+    recall = (top1 == exact.loc[top1.index]).mean()
+    assert coverage >= 0.95, f"IVF coverage {coverage:.2f}"
+    assert recall >= 0.5, f"IVF recall@1 {recall:.2f}"
+    # exhaustive probing == exact
+    ds3 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    full = (ivf_topk(ds3, corpus, k=1, n_centroids=8, nprobe=8).to_pandas()
+            .set_index("vec_id")["nn_id"])
+    assert (full == exact.loc[full.index]).all()
