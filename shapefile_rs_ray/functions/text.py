@@ -72,37 +72,67 @@ STOPWORDS = {
 
 
 class LangId:
-    """Stateful language-ID stage: stopword tables + compiled tokenizer built
-    once per actor (__init__), scored per batch (__call__). Ties broken by
-    language code; CJK-dominant text -> 'zh'; no tokens -> 'und'."""
+    """Stateful language-ID stage: stopword value-sets built once
+    (__init__), scored per batch (__call__) with Arrow kernels — no
+    per-row Python in the hot path. Ties broken by language code;
+    CJK-dominant text -> 'zh'; no tokens -> 'und'.
+
+    Equivalence notes (these keep langid_sql and predict() bit-identical):
+    tokens = non-empty pieces of splitting on '[^a-zA-Z]+' == the old
+    re.findall('[a-zA-Z]+'); per-lang hits via pc.is_in on the lowered
+    flat token array + np.add.reduceat over doc offsets; the
+    first-strictly-greater scan over sorted languages becomes an argmax
+    over the (langs-sorted) hit matrix (np.argmax returns the FIRST max).
+    """
 
     def __init__(self):
-        import re
-        self.word_re = re.compile(r"[a-zA-Z]+")
         self.langs = sorted(k for k in STOPWORDS if STOPWORDS[k])
+        self.sets = {lang: pa.array(sorted(STOPWORDS[lang]))
+                     for lang in self.langs}
 
     def predict(self, texts: list[str]) -> list[str]:
-        out = []
-        for t in texts:
-            cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
-            if cjk * 4 > min(len(t), 400):
-                out.append("zh")
-                continue
-            words = [w.lower() for w in self.word_re.findall(t)]
-            if not words:
-                out.append("und")
-                continue
-            best_lang, best = "und", 0
-            for lang in self.langs:
-                hits = sum(1 for w in words if w in STOPWORDS[lang])
-                if hits > best:
-                    best_lang, best = lang, hits
-            out.append(best_lang if best > 0 else "en")
-        return out
+        return (self(pa.table({"text": pa.array(texts, pa.string())}))
+                ["lang_pred"].to_pylist())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = self.predict(batch["text"].to_pylist())
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        import pyarrow.compute as pc
+        text = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray) else batch["text"]
+        n = len(text)
+        if n == 0:
+            return batch.append_column("lang_pred",
+                                       pa.array([], pa.string()))
+        # CJK pre-test over the first 400 codepoints
+        t400 = pc.utf8_slice_codeunits(text, 0, 400)
+        cjk = pc.count_substring_regex(t400, "[一-鿿]")
+        cjk = np.asarray(cjk, np.int64)
+        tlen = np.asarray(pc.utf8_length(text), np.int64)
+        is_zh = cjk * 4 > np.minimum(tlen, 400)
+        # tokenize: non-empty split pieces == findall('[a-zA-Z]+')
+        toks = pc.split_pattern_regex(text, "[^a-zA-Z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.utf8_lower(toks.flatten())
+        offsets = np.asarray(toks.offsets, np.int64)
+        nonempty_tok = np.asarray(pc.not_equal(flat, pa.scalar("")),
+                                  bool)
+        seg = np.zeros(len(flat) + 1, np.int64)
+        np.add.at(seg, offsets[1:], 1)      # doc boundary markers
+        doc_of = np.cumsum(seg[:-1])        # doc index per flat token
+        n_words = np.bincount(doc_of[nonempty_tok], minlength=n + 1)[:n]
+        hits = np.zeros((n, len(self.langs)), np.int64)
+        for j, lang in enumerate(self.langs):
+            m = np.asarray(pc.is_in(flat, value_set=self.sets[lang]), bool)
+            hits[:, j] = np.bincount(doc_of[m], minlength=n + 1)[:n]
+        best_j = np.argmax(hits, axis=1)    # FIRST max == sorted-lang scan
+        best = hits[np.arange(n), best_j]
+        lang_arr = np.array(self.langs)
+        preds = np.where(is_zh, "zh",
+                         np.where(n_words == 0, "und",
+                                  np.where(best > 0, lang_arr[best_j],
+                                           "en")))
+        return batch.append_column("lang_pred",
+                                   pa.array(preds.tolist(), pa.string()))
 
 
 def langid_sql(text_expr: str = "text") -> str:
