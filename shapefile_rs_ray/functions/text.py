@@ -180,6 +180,12 @@ def doc_fingerprints(texts: list[str]) -> np.ndarray:
     per window, xor-folded. Deterministic across processes (no PYTHONHASHSEED
     dependence)."""
     out = np.empty(len(texts), np.int64)
+    # k-gram weights are text-independent — computed once per call, not
+    # once per document
+    powers = np.empty(_FP_K, np.uint64)
+    powers[-1] = np.uint64(1)
+    for c in range(_FP_K - 2, -1, -1):
+        powers[c] = powers[c + 1] * _FP_BASE
     for i, t in enumerate(texts):
         b = np.frombuffer(t.encode("utf-8"), np.uint8)
         if len(b) < _FP_K:
@@ -188,12 +194,8 @@ def doc_fingerprints(texts: list[str]) -> np.ndarray:
                 h = (h ^ np.uint64(c)) * np.uint64(1099511628211)
             out[i] = np.int64(h & np.uint64((1 << 62) - 1))
             continue
-        # polynomial rolling hash of all k-grams, vectorized via cumulative
-        # products trick: h[j] = sum_{c=0..k-1} b[j+c]*BASE^(k-1-c) mod 2^64
-        powers = np.empty(_FP_K, np.uint64)
-        powers[-1] = np.uint64(1)
-        for c in range(_FP_K - 2, -1, -1):
-            powers[c] = powers[c + 1] * _FP_BASE
+        # polynomial rolling hash of all k-grams, vectorized:
+        # h[j] = sum_{c=0..k-1} b[j+c]*BASE^(k-1-c) mod 2^64
         n = len(b) - _FP_K + 1
         h = np.zeros(n, np.uint64)
         for c in range(_FP_K):
