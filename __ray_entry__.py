@@ -523,12 +523,15 @@ def _lineitem_orders(sf_dir: str):
 
 
 def _top_events(sf_dir: str):
+    """Global top-100 by (value desc, event_id asc) — map-side partial
+    top-k per batch + one tiny final merge; NO AllToAll Sort of the table
+    (the round-2 version global-sorted 1e12 rows for a top-100)."""
     import os
     import ray
+    from shapefile_rs_ray.stages.windows import global_topk
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "user_id", "value"])
-    return (ev.sort(["value", "event_id"], descending=[True, False])
-              .limit(100))
+    return global_topk(ev, k=100)
 
 
 def _distinct_langs(sf_dir: str):

@@ -152,8 +152,15 @@ class CosineTopK:
         # candidates; -inf self-match fillers sort last in the merge and
         # can never displace a finite cosine)
         kk = min(self.k, max(c - 1, 0))
-        if kk == 0 or n == 0 or best_id.shape[1] < kk:
+        if kk == 0 or n == 0:
             return _empty_topk(self.id_col)
+        if best_id.shape[1] < kk:
+            # shard accounting broke an invariant (every query must have
+            # >= kk merged candidates); fail loudly instead of silently
+            # dropping the whole batch at the gate
+            raise AssertionError(
+                f"top-k merge produced {best_id.shape[1]} < kk={kk} "
+                f"candidates for a {n}-row batch (corpus rows seen: {c})")
         best_id = best_id[:, :kk]
         out_q = np.repeat(qids, kk)
         out_n = np.tile(np.arange(1, kk + 1), n)

@@ -115,12 +115,14 @@ class GridKnnIndex:
         out_d2 = np.empty((n, kk), np.float64)
         qx = np.floor(x / self.cs).astype(np.int64)
         qy = np.floor(y / self.cs).astype(np.int64)
-        key = qx * 1_000_003 + qy
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
+        # group on the (qx, qy) PAIR (lexsort + two-column run detection):
+        # a packed/hashed scalar key could collide and silently hand a
+        # query group the wrong ring origin, breaking the exact-stop bound
+        order = np.lexsort((qy, qx))
+        xs, ys = qx[order], qy[order]
         new = np.empty(n, bool)
         new[0:1] = True
-        new[1:] = ks[1:] != ks[:-1]
+        new[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
         starts = np.nonzero(new)[0]
         bounds = np.append(starts, n)
         for s, e in zip(bounds[:-1], bounds[1:]):
@@ -206,17 +208,24 @@ def knn_join(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray], *,
         concurrency=concurrency)
 
 
+CELL_PARTS = 251   # prime (CLAUDE.md partition-modulus rule)
+
+
 def knn_join_cellpart(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray],
                       *, k: int = 3, zoom: int = 6,
-                      keep_cols=("page_id",), lon_col="lon", lat_col="lat"):
+                      keep_cols=("page_id",), lon_col="lon", lat_col="lat",
+                      parts: int = CELL_PARTS):
     """J3 scale path: kNN as a groupby-by-cell shuffle.
 
-    The doc side shuffles ONCE by its grid cell; per cell group, candidate
+    The doc side shuffles ONCE into `parts` coarse cell-hash partitions
+    (cell % prime — NOT one group per distinct cell: partition count is
+    fixed and scale-free, each partition holds many whole cells and is
+    processed by one task). Per cell run inside a partition, candidate
     sites come from expanding square rings of neighbor cells around the
-    group's cell until >= k candidates exist AND the ring's minimum
+    run's cell until >= k candidates exist AND the ring's minimum
     possible distance exceeds the worst kth-candidate bound for every
     corner of the cell (so the answer is exact, not approximate). The
-    per-group search is the same vectorized brute kernel over the candidate
+    per-run search is the same vectorized brute kernel over the candidate
     subset. Output is identical to the broadcast knn_join.
 
     Partitioning assumption: the site set is visible to every group (tiny,
@@ -237,7 +246,8 @@ def knn_join_cellpart(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray],
     def add_cell(batch: pa.Table) -> pa.Table:
         c = grid_cell(np.asarray(batch[lon_col], np.float64),
                       np.asarray(batch[lat_col], np.float64), zoom)
-        return batch.append_column("__cell", pa.array(c, pa.int64()))
+        batch = batch.append_column("__cell", pa.array(c, pa.int64()))
+        return batch.append_column("__p", pa.array(c % parts, pa.int64()))
 
     cell_w = 360.0 / z2
     cell_h = 180.0 / z2
@@ -248,8 +258,32 @@ def knn_join_cellpart(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray],
             self.sx = self.scell // z2
             self.sy = self.scell % z2
 
-        def __call__(self, group: pa.Table) -> pa.Table:
-            cell = int(group["__cell"][0].as_py())
+        def __call__(self, part: pa.Table) -> pa.Table:
+            """One partition = many whole cells: sort by cell, run the
+            per-cell ring kernel on each run, concat."""
+            cells = np.asarray(part["__cell"], np.int64)
+            order = np.argsort(cells, kind="stable")
+            sorted_cells = cells[order]
+            new = np.empty(len(cells), bool)
+            new[0:1] = True
+            new[1:] = sorted_cells[1:] != sorted_cells[:-1]
+            starts = np.nonzero(new)[0]
+            bounds = np.append(starts, len(cells))
+            outs = []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                rows = order[s:e]
+                outs.append(self._one_cell(
+                    part.take(pa.array(rows)), int(sorted_cells[s])))
+            if not outs:
+                z = pa.array([], pa.int64())
+                out = {c: _pc.take(part[c], pa.array([], pa.int64()))
+                       for c in keep_cols}
+                out.update({"rank": z, "site_id": z,
+                            "dist2": pa.array([], pa.float64())})
+                return pa.table(out)
+            return pa.concat_tables(outs)
+
+        def _one_cell(self, group: pa.Table, cell: int) -> pa.Table:
             cx, cy = cell // z2, cell % z2
             ring = 0
             while True:
@@ -293,5 +327,5 @@ def knn_join_cellpart(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray],
             return pa.table(out)
 
     keyed = ds.map_batches(add_cell, batch_format="pyarrow")
-    return keyed.groupby("__cell").map_groups(
+    return keyed.groupby("__p").map_groups(
         CellKnn, batch_format="pyarrow", concurrency=(1, 4))

@@ -146,6 +146,36 @@ def grouped_topk(events, *, k: int = 3, parts: int = 251):
             .groupby("__p").map_groups(local, batch_format="pyarrow"))
 
 
+def global_topk(ds, *, k: int = 100, value_col: str = "value",
+                id_col: str = "event_id", keep_cols=("user_id",)):
+    """Global top-k rows by (value desc, id asc) WITHOUT a global sort.
+
+    Every batch reduces map-side to its own ≤k rows (one vectorized lexsort
+    per batch — the only data that leaves a task is k rows), then the tiny
+    partials coalesce into one block for a final identical kernel. At 1e12
+    rows the exchange volume is k × n_blocks rows, not the table; the
+    AllToAll Sort operator never appears in the plan (pytest asserts this).
+    Output columns: (id_col, *keep_cols, value_col).
+    """
+    keep = list(keep_cols)
+
+    def local(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch[value_col], np.float64)
+        ids = np.asarray(batch[id_col], np.int64)
+        order = np.lexsort((ids, -vals))[:k]
+        take = pa.array(order)
+        out = {id_col: pa.array(ids[order], pa.int64())}
+        for c in keep:
+            out[c] = pc.take(batch[c], take)
+        out[value_col] = pa.array(vals[order], pa.float64())
+        return pa.table(out)
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    # k × n_blocks rows -> one block -> one final kernel (tiny by design)
+    return partials.repartition(1).map_batches(local, batch_format="pyarrow",
+                                               batch_size=None)
+
+
 USER_PARTITIONS = 251   # prime (CLAUDE.md: never a power of two near packing)
 
 

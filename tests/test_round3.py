@@ -1,0 +1,104 @@
+"""Regression tests for the round-2 verdict/advice items (round 3)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_global_topk_matches_sort_and_has_no_sort_operator(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.windows import global_topk
+    ev = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+    got = global_topk(ev, k=100).materialize()
+    # the map-side design must never plan an AllToAll Sort of the table
+    assert "Sort" not in got.stats()
+    df = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    exp = (df.sort_values(["value", "event_id"], ascending=[False, True])
+           .head(100).reset_index(drop=True))
+    gdf = (got.to_pandas()
+           .sort_values(["value", "event_id"], ascending=[False, True])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(gdf[["event_id", "user_id", "value"]],
+                                  exp[["event_id", "user_id", "value"]])
+
+
+def test_global_topk_ties_break_by_id(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.windows import global_topk
+    t = pa.table({"event_id": pa.array([5, 3, 9, 1], pa.int64()),
+                  "user_id": pa.array([0, 0, 0, 0], pa.int64()),
+                  "value": pa.array([7.0, 7.0, 7.0, 1.0], pa.float64())})
+    out = (global_topk(ray.data.from_arrow(t), k=2).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["event_id"].tolist() == [3, 5]
+
+
+def test_grid_knn_groups_on_cell_pair_not_hash():
+    """Queries in cells whose packed-hash keys could collide must still be
+    grouped by the true (qx, qy) pair (ADVICE knn.py:118)."""
+    from shapefile_rs_ray.stages.knn import GridKnnIndex
+    # sites on a line; cell size 1.0
+    sx = np.arange(20, dtype=np.float64)
+    sy = np.zeros(20)
+    ids = np.arange(20, dtype=np.int64)
+    idx = GridKnnIndex(sx, sy, ids, 1.0)
+    # queries in distinct (qx, qy) cells that an additive hash could merge
+    qx = np.array([0.5, 3.5, 17.5])
+    qy = np.array([0.2, 0.2, 0.2])
+    got_i, got_d = idx.query_batch(qx, qy, k=2)
+    # brute force oracle
+    for j in range(len(qx)):
+        d2 = (sx - qx[j]) ** 2 + (sy - qy[j]) ** 2
+        exp = np.argsort(d2, kind="stable")[:2]
+        np.testing.assert_array_equal(got_i[j], exp)
+
+
+def test_cosine_topk_raises_on_broken_merge_invariant():
+    """ADVICE ann.py:155: an under-filled merge must fail loudly, not
+    silently drop the batch. The invariant is unreachable through the
+    public API, so break _score to simulate a future accounting bug."""
+    from shapefile_rs_ray.stages.ann import CosineTopK
+    corpus = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                              pa.list_(pa.float64()))})
+    ids = np.asarray(corpus["vec_id"], np.int64)
+    M = np.asarray(corpus["embedding"].combine_chunks().flatten(),
+                   np.float64).reshape(3, 2)
+    stage = CosineTopK((ids, M), k=2)
+    assert stage(corpus.slice(0, 1)).num_rows == 2   # healthy path
+
+    broken = CosineTopK((ids, M), k=2)
+    orig = broken._score
+
+    def lossy(*a, **kw):
+        oid, ocos = orig(*a, **kw)
+        return oid[:, :1], ocos[:, :1]     # drop a candidate column
+
+    broken._score = lossy
+    with pytest.raises(AssertionError, match="top-k merge"):
+        broken(corpus.slice(0, 1))
+
+
+def test_knn_cellpart_partition_count_independent_of_zoom(ray_session):
+    """The cell-partitioned kNN must shuffle into the coarse prime-modulus
+    partitions (many cells per group), not one group per distinct cell."""
+    import ray
+    from shapefile_rs_ray.functions.synth import sites
+    from shapefile_rs_ray.stages.knn import knn_join, knn_join_cellpart
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    ds = read_webpages(SF, with_html=False)
+    got = (knn_join_cellpart(ds, sites(), k=3, zoom=8, parts=13)
+           .to_pandas().sort_values(["page_id", "rank"])
+           .reset_index(drop=True))
+    exp = (knn_join(read_webpages(SF, with_html=False), sites(), k=3)
+           .to_pandas().sort_values(["page_id", "rank"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["page_id", "rank", "site_id"]],
+                                  exp[["page_id", "rank", "site_id"]])
+    np.testing.assert_allclose(got["dist2"], exp["dist2"], rtol=0, atol=0)
