@@ -522,6 +522,49 @@ def _lineitem_orders(sf_dir: str):
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
+def _cust_orders_left(sf_dir: str):
+    """Left-outer MULTI-MATCH broadcast join: every customer x each of its
+    high-value orders (several per customer), customers with none emitting
+    one null-padded row. Exercises the duplicate-dim-key run-length
+    expansion and the null path of BroadcastJoin(how='left')."""
+    import os
+    import ray
+    import duckdb
+    from shapefile_rs_ray.stages.relational import broadcast_join
+    dim = duckdb.sql(
+        f"SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'orders.parquet')}') "
+        f"WHERE o_totalprice > 300000").arrow()
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    return broadcast_join(cust, dim, key="c_custkey",
+                          dim_cols=("o_orderkey", "o_totalprice"),
+                          how="left")
+
+
+def _orders_lineitem_left(sf_dir: str):
+    """Left-outer MULTI-MATCH shuffle join (the scale path): orders x their
+    >=40-quantity lineitems — duplicate right keys expand run-length, and
+    orders with no qualifying lineitem emit one null-padded row."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.relational import shuffle_join
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"])
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+        .filter(expr="l_quantity >= 40.0")
+        .map_batches(lambda b: b.rename_columns(
+            ["o_orderkey", "l_linenumber", "l_quantity"]),
+            batch_format="pyarrow"))
+    return shuffle_join(orders, li, key="o_orderkey",
+                        right_cols=("l_linenumber", "l_quantity"),
+                        how="left")
+
+
 def _top_events(sf_dir: str):
     """Global top-100 by (value desc, event_id asc) — map-side partial
     top-k per batch + one tiny final merge; NO AllToAll Sort of the table
@@ -638,6 +681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _orders_by_nation,
         "lineitem_q1": _lineitem_q1,
         "lineitem_orders": _lineitem_orders,
+        "cust_orders_left": _cust_orders_left,
+        "orders_lineitem_left": _orders_lineitem_left,
         "asof_join": _asof_join,
         "session_windows": _session_windows,
         "top_events": _top_events,
@@ -853,6 +898,16 @@ SELECT o_orderstatus,
        MIN(l_extendedprice) AS min_value
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus""",
+        "cust_orders_left": """
+SELECT c_custkey, c_nationkey, o_orderkey, o_totalprice
+FROM customer LEFT JOIN
+     (SELECT * FROM orders WHERE o_totalprice > 300000) o
+     ON c_custkey = o.o_custkey""",
+        "orders_lineitem_left": """
+SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+FROM orders LEFT JOIN
+     (SELECT * FROM lineitem WHERE l_quantity >= 40.0) l
+     ON o_orderkey = l.l_orderkey""",
         "top_events": ("SELECT event_id, user_id, value FROM events "
                        "ORDER BY value DESC, event_id LIMIT 100"),
         "distinct_langs": ("WITH " + pages +

@@ -22,58 +22,90 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _match_ranges(lo: np.ndarray, counts: np.ndarray):
+    """Vectorized expansion of per-probe [lo, lo+count) right-row ranges:
+    returns flat right indices aligned with np.repeat(probe, counts)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.cumsum(counts) - counts
+    offs = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    return np.repeat(lo, counts) + offs
+
+
 class BroadcastJoin:
-    """map_batches actor: inner equi-join of each probe batch against a
-    broadcast dimension table.
+    """map_batches actor: equi-join of each probe batch against a
+    broadcast dimension table — inner or left-outer, one-to-MANY.
 
     __init__ (once per actor) fetches the dimension from the object store
     and sorts its key column; __call__ resolves each probe key with one
-    np.searchsorted. Null probe keys and misses drop (inner join; null
-    keys are filtered EXPLICITLY — a bare int64 cast would turn them into
-    INT64_MIN and let two nulls join). Duplicate dimension keys are
-    rejected at build time — the pattern targets key-unique dimensions; a
-    multi-match join needs the shuffle path.
+    searchsorted left/right pair and expands duplicate matches with a
+    run-length np.repeat gather (no per-row Python). Inner join: null
+    probe keys and misses drop (nulls are filtered EXPLICITLY — a bare
+    int64 cast would turn them into INT64_MIN and let two nulls join).
+    Left join: miss rows and null-key rows emit once with null dim_cols.
     """
 
-    def __init__(self, dim_ref, key: str, dim_cols: tuple[str, ...]):
+    def __init__(self, dim_ref, key: str, dim_cols: tuple[str, ...],
+                 how: str = "inner"):
         import ray
+        assert how in ("inner", "left")
         dim = (ray.get(dim_ref)
                if isinstance(dim_ref, ray.ObjectRef) else dim_ref)
         keys = np.asarray(dim[key], np.int64)
         order = np.argsort(keys, kind="stable")
-        if len(keys) > 1 and (keys[order][1:] == keys[order][:-1]).any():
-            raise ValueError(f"dimension key {key!r} is not unique")
         self.keys = keys[order]
         self.key = key
+        self.how = how
         self.cols = {c: pc.take(dim[c], pa.array(order)) for c in dim_cols}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_valid(batch[self.key]))
-        if len(self.keys) == 0 or batch.num_rows == 0:
+        valid = pc.is_valid(batch[self.key])
+        if self.how == "inner":
+            batch = batch.filter(valid)
+        n = batch.num_rows
+        if n == 0:
             out = {c: batch[c].slice(0, 0) for c in batch.column_names}
             for c, arr in self.cols.items():
                 out[c] = arr.slice(0, 0)
             return pa.table(out)
-        probe = np.asarray(batch[self.key], np.int64)
-        pos = np.searchsorted(self.keys, probe)
-        pos_c = np.clip(pos, 0, len(self.keys) - 1)
-        hit = self.keys[pos_c] == probe
-        idx = np.nonzero(hit)[0]
-        out = {c: pc.take(batch[c], pa.array(idx))
-               for c in batch.column_names}
-        take_dim = pa.array(pos_c[idx])
+        probe = np.asarray(batch[self.key].fill_null(0), np.int64)
+        lo = np.searchsorted(self.keys, probe, "left")
+        hi = np.searchsorted(self.keys, probe, "right")
+        counts = hi - lo
+        if self.how == "left":
+            # null-key rows never match but still emit once
+            counts = counts * np.asarray(valid, bool)
+            ecounts = np.maximum(counts, 1)
+        else:
+            ecounts = counts
+        rows = np.repeat(np.arange(n), ecounts)
+        take_rows = pa.array(rows)
+        out = {c: pc.take(batch[c], take_rows) for c in batch.column_names}
+        dim_idx = _match_ranges(lo, counts)
+        if self.how == "left":
+            matched = np.repeat(counts > 0, ecounts)
+            full = np.zeros(len(rows), np.int64)
+            full[matched] = dim_idx
+            take_dim = pa.array(full, mask=~matched)
+        else:
+            take_dim = pa.array(dim_idx)
         for c, arr in self.cols.items():
             out[c] = pc.take(arr, take_dim)
         return pa.table(out)
 
 
 def broadcast_join(ds, dim_table: pa.Table, *, key: str,
-                   dim_cols: tuple[str, ...], concurrency=None):
-    """ds (fact side, streams) INNER JOIN dim_table (broadcast) on `key`;
-    appends `dim_cols` from the dimension. Default concurrency is a FIXED
-    pool of cpus-1 actors (an autoscaling (min,max) pool sticks at min
-    under fused chains — the measured CLAUDE.md pathology; cpus-1 leaves
-    headroom so small clusters don't deadlock the upstream read)."""
+                   dim_cols: tuple[str, ...], how: str = "inner",
+                   concurrency=None):
+    """ds (probe side, streams) JOIN dim_table (broadcast) on `key`;
+    appends `dim_cols` from the dimension. `how`: "inner" or "left"
+    (left-outer: unmatched probe rows keep null dim_cols). Duplicate
+    dimension keys multi-match (one output row per match). Default
+    concurrency is a FIXED pool of cpus-1 actors (an autoscaling
+    (min,max) pool sticks at min under fused chains — the measured
+    CLAUDE.md pathology; cpus-1 leaves headroom so small clusters don't
+    deadlock the upstream read)."""
     import ray
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
@@ -81,30 +113,49 @@ def broadcast_join(ds, dim_table: pa.Table, *, key: str,
     return ds.map_batches(
         BroadcastJoin,
         fn_constructor_kwargs={"dim_ref": ref, "key": key,
-                               "dim_cols": dim_cols},
+                               "dim_cols": dim_cols, "how": how},
         batch_format="pyarrow", concurrency=concurrency)
 
 
 JOIN_PARTS = 251   # prime (CLAUDE.md partition-modulus rule)
 
 
-def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
-                 parts: int = JOIN_PARTS):
-    """Large-large inner equi-join: BOTH sides shuffle once into `parts`
-    coarse key-hash partitions (tagged union, one exchange), then each
-    partition joins locally with one sort + np.searchsorted — no per-key
-    groups, no broadcast. Use when the dimension side outgrows broadcast;
-    `broadcast_join` is the zero-shuffle fast path otherwise.
+NULL_KEY_SENTINEL = np.int64(-(2 ** 63))   # INT64_MIN
 
-    The right side must be key-unique (validated per partition — a
-    partition sees EVERY right row for its keys, so the check is global).
+
+def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
+                 how: str = "inner", parts: int = JOIN_PARTS):
+    """Large-large equi-join: BOTH sides shuffle once into `parts`
+    coarse key-hash partitions (tagged union, one exchange), then each
+    partition joins locally with one sort + a searchsorted left/right
+    range expansion — no per-key groups, no broadcast. Use when the
+    dimension side outgrows broadcast; `broadcast_join` is the
+    zero-shuffle fast path otherwise.
+
+    Duplicate right keys multi-match (one output row per left x right
+    match — the run-length np.repeat gather). `how="left"` emits
+    unmatched left rows (including null-key left rows) once with null
+    `right_cols`; inner drops them. Right-side null keys always drop.
     Output: all left columns + `right_cols`.
     """
+    assert how in ("inner", "left")
 
     def tag(side: int, keep: tuple[str, ...]):
         def fn(batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.is_valid(batch[key]))  # null keys drop
-            k = np.asarray(batch[key], np.int64)
+            if side == 1 or how == "inner":
+                batch = batch.filter(pc.is_valid(batch[key]))
+                k = np.asarray(batch[key], np.int64)
+                if side == 1 and len(k) and (k == NULL_KEY_SENTINEL).any():
+                    raise ValueError(
+                        f"right key {key!r} uses the INT64_MIN null-key "
+                        f"sentinel; remap it before shuffle_join")
+            else:
+                # left-outer keeps null-key left rows: sentinel key (can
+                # never equal a right key — guarded above) routes them
+                # through the shuffle and out unmatched
+                k = np.asarray(pc.fill_null(batch[key],
+                                            int(NULL_KEY_SENTINEL)),
+                               np.int64)
             out = {key: pa.array(k, pa.int64()),
                    "__side": pa.array(np.full(len(k), side, np.int64)),
                    "__p": pa.array(k % parts, pa.int64())}
@@ -154,26 +205,38 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
         order = np.argsort(rk, kind="stable")
         rk = rk[order]
         r_idx = r_idx[order]
-        if len(rk) > 1 and (rk[1:] == rk[:-1]).any():
-            raise ValueError(f"right side key {key!r} is not unique")
         lk = keys[l_idx]
-        if len(rk) == 0 or len(lk) == 0:
+        if len(lk) == 0 or (len(rk) == 0 and how == "inner"):
             # a residue class can hold left rows with no right rows (or
             # vice versa): a valid inner join with zero matches here
             out = {key: pa.array([], pa.int64())}
             for c in left_cols + list(right_cols):
                 out[c] = part[c].slice(0, 0)
             return pa.table(out)
-        pos = np.searchsorted(rk, lk)
-        pos_c = np.clip(pos, 0, len(rk) - 1)
-        hit = rk[pos_c] == lk
-        lsel = l_idx[hit]
-        rsel = r_idx[pos_c[hit]]
-        out = {key: pa.array(keys[lsel], pa.int64())}
+        lo = np.searchsorted(rk, lk, "left")
+        hi = np.searchsorted(rk, lk, "right")
+        counts = hi - lo
+        ecounts = np.maximum(counts, 1) if how == "left" else counts
+        lsel = l_idx[np.repeat(np.arange(len(lk)), ecounts)]
+        rng = _match_ranges(lo, counts)
+        out_keys = keys[lsel]
+        if how == "left":
+            out_keys = np.where(out_keys == NULL_KEY_SENTINEL, 0, out_keys)
+            key_null = keys[lsel] == NULL_KEY_SENTINEL
+            out = {key: pa.array(out_keys, pa.int64(), mask=key_null)}
+        else:
+            out = {key: pa.array(out_keys, pa.int64())}
         for c in left_cols:
             out[c] = pc.take(part[c], pa.array(lsel))
+        if how == "left":
+            matched = np.repeat(counts > 0, ecounts)
+            full = np.zeros(len(lsel), np.int64)
+            full[matched] = r_idx[rng] if len(rng) else rng
+            take_r = pa.array(full, mask=~matched)
+        else:
+            take_r = pa.array(r_idx[rng] if len(rng) else rng)
         for c in right_cols:
-            out[c] = pc.take(part[c], pa.array(rsel))
+            out[c] = pc.take(part[c], take_r)
         return pa.table(out)
 
     return (tagged_l.union(tagged_r)

@@ -85,6 +85,71 @@ def test_cosine_topk_raises_on_broken_merge_invariant():
         broken(corpus.slice(0, 1))
 
 
+def _join_fixture():
+    left = pa.table({
+        "k": pa.array([1, 2, 3, None, 5], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"])})
+    right = pa.table({
+        "k": pa.array([1, 1, 3, 9], pa.int64()),
+        "rv": pa.array([10.0, 11.0, 30.0, 90.0], pa.float64())})
+    return left, right
+
+
+def _expected_left_join():
+    # k=1 matches twice, k=3 once, k=2 / null / 5 unmatched
+    return pd.DataFrame({
+        "k": [1.0, 1.0, 2.0, 3.0, np.nan, 5.0],
+        "lv": ["a", "a", "b", "c", "d", "e"],
+        "rv": [10.0, 11.0, np.nan, 30.0, np.nan, np.nan]})
+
+
+def _canon_join(df):
+    return (df.sort_values(["lv", "rv"], na_position="last")
+            .reset_index(drop=True)[["k", "lv", "rv"]])
+
+
+def test_broadcast_join_multimatch_left_outer(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.relational import broadcast_join
+    left, right = _join_fixture()
+    got = broadcast_join(ray.data.from_arrow(left), right, key="k",
+                         dim_cols=("rv",), how="left",
+                         concurrency=2).to_pandas()
+    pd.testing.assert_frame_equal(_canon_join(got),
+                                  _canon_join(_expected_left_join()))
+    inner = broadcast_join(ray.data.from_arrow(left), right, key="k",
+                           dim_cols=("rv",), concurrency=2).to_pandas()
+    assert sorted(inner["rv"].tolist()) == [10.0, 11.0, 30.0]
+
+
+def test_shuffle_join_multimatch_left_outer(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.relational import shuffle_join
+    left, right = _join_fixture()
+    got = shuffle_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                       key="k", right_cols=("rv",), how="left",
+                       parts=3).to_pandas()
+    pd.testing.assert_frame_equal(_canon_join(got),
+                                  _canon_join(_expected_left_join()))
+    inner = shuffle_join(ray.data.from_arrow(left),
+                         ray.data.from_arrow(right),
+                         key="k", right_cols=("rv",), parts=3).to_pandas()
+    assert sorted(inner["rv"].tolist()) == [10.0, 11.0, 30.0]
+
+
+def test_shuffle_join_rejects_sentinel_right_key(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.relational import (NULL_KEY_SENTINEL,
+                                                    shuffle_join)
+    left, _ = _join_fixture()
+    bad = pa.table({"k": pa.array([int(NULL_KEY_SENTINEL)], pa.int64()),
+                    "rv": pa.array([1.0], pa.float64())})
+    ds = shuffle_join(ray.data.from_arrow(left), ray.data.from_arrow(bad),
+                      key="k", right_cols=("rv",), how="left", parts=3)
+    with pytest.raises(Exception, match="sentinel"):
+        ds.materialize()
+
+
 def test_knn_cellpart_partition_count_independent_of_zoom(ray_session):
     """The cell-partitioned kNN must shuffle into the coarse prime-modulus
     partitions (many cells per group), not one group per distinct cell."""
