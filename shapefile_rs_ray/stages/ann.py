@@ -346,23 +346,43 @@ def lsh_topk(embeddings, *, k: int = 1, planes: int = 4, bands: int = 16,
             .groupby("__p").map_groups(merge, batch_format="pyarrow"))
 
 
+def _centroid_d2(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, n_centroids) squared distances via the |x|^2 - 2xC^T + |c|^2
+    expansion — an (n, k) temporary, never the (n, k, dim) broadcast that
+    OOMed the round-2 implementation."""
+    return ((M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T)
+            + (C * C).sum(axis=1)[None, :])
+
+
+IVF_PARTS = 61   # prime (CLAUDE.md partition-modulus rule)
+
+
 def ivf_topk(embeddings, corpus, *, k: int = 1, n_centroids: int = 16,
              nprobe: int = 4, seed: int = 7, sample_rows: int = 4096,
-             id_col: str = "vec_id", concurrency=(1, 4)):
+             id_col: str = "vec_id", parts: int = IVF_PARTS):
     """IVF-style approximate top-k: the second scale path next to lsh_topk.
 
     Train: seeded Lloyd k-means on a bounded driver-side SAMPLE of the
     corpus (centroids are the only driver state — n_centroids x dim
-    floats, broadcastable at any corpus size). Index: corpus vectors are
-    assigned to their nearest centroid; the inverted lists live as
-    per-centroid matrices inside each actor, built once in __init__ from
-    the object-store corpus ref. Search: each query probes its `nprobe`
-    nearest centroids and scores exactly within those lists — the classic
-    recall/compute dial (nprobe = n_centroids degenerates to exact).
+    floats, broadcastable at any corpus size).
 
-    Approximate => rows-only at the gate; recall@1 vs the exact path is
-    pytest-measured like lsh_topk. Ties inside probed lists follow the
-    engine-wide (cos desc, id asc) rule.
+    Index + search are ONE shuffle, no per-actor corpus replication (the
+    round-2 version rebuilt the whole corpus's inverted lists inside every
+    actor's __init__ — O(corpus) heap per actor, an OOM at scale):
+
+    * corpus rows tag themselves with their nearest centroid (vectorized
+      `|x|^2 - 2xC^T` assignment) and partition on centroid % prime;
+    * query rows EXPLODE to their `nprobe` nearest centroids and partition
+      the same way;
+    * each partition holds only its centroids' inverted lists plus the
+      queries probing them (resident set ~ corpus/parts), scores exactly
+      within-list, and emits per-(query, centroid) candidates;
+    * a second tiny shuffle on query id merges candidates to the global
+      (cos desc, id asc) top-k — candidate volume is ~ queries x nprobe
+      x k rows of ints+one float, never vectors.
+
+    nprobe = n_centroids degenerates to exact. Approximate => rows-only at
+    the gate; recall@1 vs the exact path is pytest-measured like lsh_topk.
     """
     import ray
 
@@ -372,8 +392,7 @@ def ivf_topk(embeddings, corpus, *, k: int = 1, n_centroids: int = 16,
         kc = min(n_centroids, n)
         C = M[rng.choice(n, kc, replace=False)].copy()
         for _ in range(10):
-            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
+            a = np.argmin(_centroid_d2(M, C), axis=1)
             for c in range(kc):
                 m = a == c
                 if m.any():
@@ -383,99 +402,115 @@ def ivf_topk(embeddings, corpus, *, k: int = 1, n_centroids: int = 16,
     # bounded sample for training: first `sample_rows` of the corpus —
     # deterministic, and for the Dataset path it reads only the first few
     # object-store shards (at scale swap in a seeded ds.random_sample)
-    corpus_ref = _corpus_ref(corpus, id_col)
     if isinstance(corpus, pa.Table):
         sample = corpus.slice(0, sample_rows)
+        corpus_ds = ray.data.from_arrow(corpus)
     else:
         got, total = [], 0
-        for ref in corpus_ref:
+        for ref in corpus.to_arrow_refs():
             t = ray.get(ref)
             got.append(t)
             total += t.num_rows
             if total >= sample_rows:
                 break
         sample = pa.concat_tables(got).slice(0, sample_rows)
+        corpus_ds = corpus
     _, SM = _matrix(sample, id_col)
-    C = _kmeans(SM)
-    cref = ray.put(C)
+    C = _kmeans(SM)        # tiny: shipped inside task closures
 
-    class IvfSearch:
-        def __init__(self):
-            self.C = ray.get(cref)
-            # build inverted lists once per actor from the corpus shards
-            ids_all, M_all = [], []
-            refs = (corpus_ref if isinstance(corpus_ref, list)
-                    else [corpus_ref])
-            for r in refs:
-                got = ray.get(r)
-                if isinstance(got, pa.Table):
-                    i, m = _matrix(got, id_col)
-                else:
-                    i, m = got
-                ids_all.append(np.asarray(i, np.int64))
-                M_all.append(np.asarray(m, np.float64))
-            ids = np.concatenate(ids_all)
-            M = np.vstack(M_all)
-            assign = np.argmin(
-                ((M[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2),
-                axis=1)
-            self.lists = []
-            for c in range(len(self.C)):
-                sel = np.nonzero(assign == c)[0]
-                li, lm = ids[sel], M[sel]
-                order = np.argsort(li, kind="stable")   # id-sorted ties
-                li, lm = li[order], lm[order]
-                self.lists.append((li, lm,
-                                   np.sqrt((lm * lm).sum(axis=1))))
+    def corpus_tag(batch: pa.Table) -> pa.Table:
+        ids, M = _matrix(batch, id_col)
+        a = np.argmin(_centroid_d2(M, C), axis=1).astype(np.int64)
+        return pa.table({
+            "__c": pa.array(a, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "embedding": batch["embedding"].combine_chunks(),
+            "__side": pa.array(np.zeros(len(ids), np.int64)),
+            "__p": pa.array(a % parts, pa.int64())})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            qids, Q = _matrix(batch, id_col)
-            n = len(qids)
-            if n == 0:
-                return _empty_topk(id_col)
-            qn = np.sqrt((Q * Q).sum(axis=1))
-            qd2 = ((Q[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2)
-            probes = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
-            out_q, out_r, out_n = [], [], []
-            # group queries by identical probe set to batch the matmuls
-            keys = np.ascontiguousarray(np.sort(probes, axis=1))
-            view = keys.view([("", keys.dtype)] * keys.shape[1]).ravel()
-            order = np.argsort(view, kind="stable")
-            new = np.empty(n, bool)
-            new[0:1] = True
-            new[1:] = view[order][1:] != view[order][:-1]
-            starts = np.nonzero(new)[0]
-            bounds = np.append(starts, n)
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                rows = order[s:e]
-                probe_set = keys[rows[0]]
-                li = np.concatenate([self.lists[c][0] for c in probe_set])
-                lm = np.vstack([self.lists[c][1] for c in probe_set])
-                ln = np.concatenate([self.lists[c][2] for c in probe_set])
-                if len(li) == 0:
-                    continue
-                o = np.argsort(li, kind="stable")
-                li, lm, ln = li[o], lm[o], ln[o]
-                cos = (Q[rows] @ lm.T) / (qn[rows][:, None] * ln[None, :])
-                cos[qids[rows][:, None] == li[None, :]] = -np.inf
-                kk = min(k, max(len(li) - 1, 0))
-                if kk <= 0:
-                    continue
-                sel = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
-                valid = np.take_along_axis(cos, sel, axis=1) > -np.inf
-                for j, row in enumerate(rows):
-                    nv = int(valid[j].sum())
-                    if nv == 0:
-                        continue
-                    out_q.append(np.full(nv, qids[row], np.int64))
-                    out_r.append(np.arange(1, nv + 1, dtype=np.int64))
-                    out_n.append(li[sel[j][:nv]])
-            if not out_q:
-                return _empty_topk(id_col)
-            return pa.table({
-                id_col: pa.array(np.concatenate(out_q), pa.int64()),
-                "rank": pa.array(np.concatenate(out_r), pa.int64()),
-                "nn_id": pa.array(np.concatenate(out_n), pa.int64())})
+    def query_tag(batch: pa.Table) -> pa.Table:
+        ids, M = _matrix(batch, id_col)
+        npr = min(nprobe, len(C))
+        probes = np.argsort(_centroid_d2(M, C), axis=1,
+                            kind="stable")[:, :npr].astype(np.int64)
+        rep = np.repeat(np.arange(len(ids)), npr)
+        flat = probes.ravel()
+        return pa.table({
+            "__c": pa.array(flat, pa.int64()),
+            id_col: pa.array(ids[rep], pa.int64()),
+            "embedding": pc.take(batch["embedding"].combine_chunks(),
+                                 pa.array(rep)),
+            "__side": pa.array(np.ones(len(flat), np.int64)),
+            "__p": pa.array(flat % parts, pa.int64())})
 
-    return embeddings.map_batches(IvfSearch, batch_format="pyarrow",
-                                  batch_size=4096, concurrency=concurrency)
+    def search(part: pa.Table) -> pa.Table:
+        """One partition = several whole centroids' lists + their probes.
+        Per centroid run: id-sorted list, one matmul for all its queries,
+        per-query top-min(k, list) candidates with self-matches masked."""
+        cent = np.asarray(part["__c"], np.int64)
+        side = np.asarray(part["__side"], np.int64)
+        ids, M = _matrix(part, id_col)
+        order = np.lexsort((ids, side, cent))
+        cent, side, ids, M = cent[order], side[order], ids[order], M[order]
+        norms = np.sqrt((M * M).sum(axis=1))
+        new = np.empty(len(cent), bool)
+        new[0:1] = True
+        new[1:] = cent[1:] != cent[:-1]
+        starts = np.nonzero(new)[0]
+        bounds = np.append(starts, len(cent))
+        out_q, out_n, out_cos = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sd = side[s:e]
+            split = s + int(np.searchsorted(sd, 1, "left"))
+            li, lm, ln = ids[s:split], M[s:split], norms[s:split]
+            qi, qm, qn = ids[split:e], M[split:e], norms[split:e]
+            if len(li) == 0 or len(qi) == 0:
+                continue
+            cos = (qm @ lm.T) / (qn[:, None] * ln[None, :])
+            cos[qi[:, None] == li[None, :]] = -np.inf
+            kk = min(k, len(li))
+            sel = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            c_sel = np.take_along_axis(cos, sel, axis=1)
+            valid = c_sel > -np.inf
+            nv = valid.sum(axis=1)
+            out_q.append(np.repeat(qi, nv))
+            out_n.append(li[sel][valid])
+            out_cos.append(c_sel[valid])
+        if not out_q:
+            z = pa.array([], pa.int64())
+            return pa.table({id_col: z, "nn_id": z,
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_q), pa.int64()),
+            "nn_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "cos": pa.array(np.concatenate(out_cos), pa.float64())})
+
+    def add_qp(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch[id_col], np.int64)
+        return batch.append_column("__p", pa.array(q % parts, pa.int64()))
+
+    def merge(part: pa.Table) -> pa.Table:
+        """Per-query global (cos desc, id asc) top-k over the candidate
+        rows (disjoint lists -> no dedup needed)."""
+        q = np.asarray(part[id_col], np.int64)
+        nn = np.asarray(part["nn_id"], np.int64)
+        cos = np.asarray(part["cos"], np.float64)
+        order = np.lexsort((nn, -cos, q))
+        q, nn, cos = q[order], nn[order], cos[order]
+        new = np.empty(len(q), bool)
+        new[0:1] = True
+        new[1:] = q[1:] != q[:-1]
+        rank = np.arange(len(q)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(q)), 0)) + 1
+        m = rank <= k
+        return pa.table({
+            id_col: pa.array(q[m], pa.int64()),
+            "rank": pa.array(rank[m], pa.int64()),
+            "nn_id": pa.array(nn[m], pa.int64())})
+
+    tagged_c = corpus_ds.map_batches(corpus_tag, batch_format="pyarrow")
+    tagged_q = embeddings.map_batches(query_tag, batch_format="pyarrow")
+    cands = (tagged_c.union(tagged_q)
+             .groupby("__p").map_groups(search, batch_format="pyarrow"))
+    return (cands.map_batches(add_qp, batch_format="pyarrow")
+            .groupby("__p").map_groups(merge, batch_format="pyarrow"))
