@@ -627,23 +627,14 @@ def _union_split(sf_dir: str):
 
 def _decode_lakes(sf_dir: str):
     """Shapefile decode as a query surface: per-record geometry summary of
-    the 1162-lake corpus through the Ray datasource (golden values are
-    asserted in pytest; driver does the rows-only check)."""
-    import pyarrow.compute as pc
-    from shapefile_rs_ray.sources.shapefile import read_shapefile_dataset
-
-    def summarize(batch: pa.Table) -> pa.Table:
-        bbox = batch["bbox"].combine_chunks()
-        return pa.table({
-            "geom_id": batch["geom_id"],
-            "shape_type": batch["shape_type"],
-            "n_parts": pc.cast(pc.list_value_length(batch["xy"]), pa.int64()),
-            "xmin": bbox.field("xmin"), "ymin": bbox.field("ymin"),
-            "xmax": bbox.field("xmax"), "ymax": bbox.field("ymax"),
-        })
-
+    the 1162-lake corpus through the Ray datasource. Hash-checked at the
+    gate against the single-node whole-file decode golden written by
+    oracles.ensure_artifacts() (the decoder itself is byte-golden-tested
+    in pytest against the reference's read_tests assertions)."""
+    from shapefile_rs_ray.sources.shapefile import (geometry_summary,
+                                                    read_shapefile_dataset)
     ds = read_shapefile_dataset(LAKES, records_per_task=300)
-    return ds.map_batches(summarize, batch_format="pyarrow")
+    return ds.map_batches(geometry_summary, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -751,6 +742,9 @@ def oracle_sql() -> dict[str, str]:
             + " FROM pages"),
         "langid": (f"WITH {pages} SELECT page_id, "
                    f"{langid_sql('text')} AS lang_pred FROM pages"),
+        "decode_lakes": (
+            "SELECT geom_id, shape_type, n_parts, xmin, ymin, xmax, ymax "
+            f"FROM read_parquet('{oracles.LAKES_SUMMARY_PQ}')"),
         "cells_multi": oracles.cells_multi_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "fingerprints": oracles.fingerprints_sql(),

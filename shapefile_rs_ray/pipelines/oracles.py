@@ -27,14 +27,17 @@ LAKES = "/root/reference/tests/data/ne_10m_lakes_north_america.shp"
 EDGES_PQ = os.path.join(ORACLE_DIR, "lakes_edges.parquet")
 BOXES_PQ = os.path.join(ORACLE_DIR, "lakes_boxes.parquet")
 S2_LOOKUP_PQ = os.path.join(ORACLE_DIR, "s2_lookup.parquet")
+LAKES_SUMMARY_PQ = os.path.join(ORACLE_DIR, "lakes_summary.parquet")
 
 
 def ensure_artifacts() -> None:
-    """Idempotently write the polygon edge/bbox parquets and the S2 Hilbert
-    lookup table (pure functions of the read-only fixtures / the public S2
-    scheme; safe under concurrent callers via tmp+rename)."""
+    """Idempotently write the polygon edge/bbox parquets, the S2 Hilbert
+    lookup table, and the single-node decode golden for decode_lakes (pure
+    functions of the read-only fixtures / the public S2 scheme; safe under
+    concurrent callers via tmp+rename)."""
     if (os.path.exists(EDGES_PQ) and os.path.exists(BOXES_PQ)
-            and os.path.exists(S2_LOOKUP_PQ)):
+            and os.path.exists(S2_LOOKUP_PQ)
+            and os.path.exists(LAKES_SUMMARY_PQ)):
         return
     os.makedirs(ORACLE_DIR, exist_ok=True)
     polys = load_polygons(LAKES)
@@ -54,8 +57,14 @@ def ensure_artifacts() -> None:
         "idx": pa.array(np.arange(len(_LOOKUP_POS), dtype=np.int64)),
         "val": pa.array(_LOOKUP_POS, pa.int64()),
     })
+    # decode_lakes golden: the whole-file SINGLE-NODE decode (the path the
+    # reference's read_tests assert against), summarized with the same
+    # projection the Ray datasource query uses — the driver's hash compare
+    # then verifies the distributed split/assembly path record-for-record
+    from ..sources.shapefile import geometry_summary, read_shapefile_table
+    summary = geometry_summary(read_shapefile_table(LAKES, with_attrs=False))
     for path, tbl in ((EDGES_PQ, edges), (BOXES_PQ, boxes),
-                      (S2_LOOKUP_PQ, lookup)):
+                      (S2_LOOKUP_PQ, lookup), (LAKES_SUMMARY_PQ, summary)):
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)

@@ -267,3 +267,19 @@ def read_nth_shape(path: str, n: int, with_attrs: bool = True) -> pa.Table:
         enc = dbf_mod.sniff_cpg(shp_path) or "utf-8"
         attrs = dbf_mod.read_dbf(dbf_path, enc).slice(n, 1)
     return shape_table_to_arrow(st, attrs)
+
+
+def geometry_summary(batch: pa.Table) -> pa.Table:
+    """Per-record (geom_id, shape_type, n_parts, bbox) summary of a geometry
+    table — the decode_lakes gate projection, shared by the Ray query and
+    the single-node golden oracle artifact so the driver's hash compare
+    covers the datasource split/assembly path end-to-end."""
+    import pyarrow.compute as pc
+    bbox = batch["bbox"].combine_chunks()
+    return pa.table({
+        "geom_id": batch["geom_id"],
+        "shape_type": batch["shape_type"],
+        "n_parts": pc.cast(pc.list_value_length(batch["xy"]), pa.int64()),
+        "xmin": bbox.field("xmin"), "ymin": bbox.field("ymin"),
+        "xmax": bbox.field("xmax"), "ymax": bbox.field("ymax"),
+    })
