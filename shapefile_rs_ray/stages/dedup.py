@@ -117,6 +117,7 @@ PAIR_PARTS = 61   # prime: survives any power-of-two key packing upstream
 def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
                       text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, jaccard_threshold: float = 0.8,
+                      max_driver_candidates: int = 2_000_000,
                       concurrency=(1, 4)):
     """Near-duplicate pairs (id_a < id_b, exact word-3-shingle Jaccard >=
     threshold) among LSH candidates. Returns Dataset(id_a, id_b).
@@ -139,6 +140,15 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
     collision reps' shingles move), verified by the exact string-set
     Jaccard, and confirmed family pairs expand to member pairs through the
     member rows. Texts never shuffle.
+
+    Driver memory is BOUNDED: when the collision set exceeds
+    `max_driver_candidates` rows (adversarial / heavily clustered
+    corpora), pass 2 runs in hash-residue CHUNKS of ~that size. The chunk
+    id is a pure function of the (h_a, h_b) pair, so cross-partition
+    duplicates of a pair land in the same chunk and the global pair dedup
+    stays exact; each chunk pays one extra rep-filtered pass over the
+    corpus — the trade for never holding an unbounded candidate set on
+    the driver.
     """
     import ray
 
@@ -268,13 +278,54 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
     clones = (mixed.filter(expr="kind == 0")
               .map_batches(rename_pair, batch_format="pyarrow"))
 
-    # ---- pass 2: verify candidate family pairs by exact shingle Jaccard
-    cand_tbl = (mixed.filter(expr="kind == 1")
-                .select_columns(["a", "b", "rep_a", "rep_b"]).to_pandas())
-    if len(cand_tbl) == 0:
+    # ---- pass 2: verify candidate family pairs by exact shingle Jaccard,
+    # in driver-bounded chunks of <= ~max_driver_candidates rows
+    cand_ds = (mixed.filter(expr="kind == 1")
+               .select_columns(["a", "b", "rep_a", "rep_b"]))
+    n_cand_rows = cand_ds.count()
+    if n_cand_rows == 0:
         return _dedup_pairs(clones)
+    n_chunks = max(1, -(-n_cand_rows // max_driver_candidates))
+    if n_chunks > 1:
+        def add_chunk(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch["a"], np.int64).view(np.uint64)
+            b = np.asarray(batch["b"], np.int64).view(np.uint64)
+            mix = a ^ (b * np.uint64(0x9E3779B97F4A7C15))
+            return batch.append_column(
+                "__chunk",
+                pa.array((mix % np.uint64(n_chunks)).astype(np.int64)))
+        cand_ds = cand_ds.map_batches(
+            add_chunk, batch_format="pyarrow").materialize()
 
-    # global dedup of (h_a, h_b) — int columns only, driver-held
+    members = mixed.filter(expr="kind == 2").select_columns(["a", "b"])
+    verified = [clones]
+    for ci in range(n_chunks):
+        chunk = (cand_ds if n_chunks == 1
+                 else cand_ds.filter(expr=f"__chunk == {ci}")
+                 .select_columns(["a", "b", "rep_a", "rep_b"]))
+        cand_tbl = chunk.to_pandas()
+        if len(cand_tbl) == 0:
+            continue
+        expanded = _verify_chunk(
+            pages, members, cand_tbl, id_col=id_col, text_col=text_col,
+            jaccard_threshold=jaccard_threshold)
+        if expanded is not None:
+            verified.append(expanded)
+    out = verified[0]
+    if len(verified) > 1:
+        out = out.union(*verified[1:])
+    return _dedup_pairs(out)
+
+
+def _verify_chunk(pages, members, cand_tbl, *, id_col: str, text_col: str,
+                  jaccard_threshold: float):
+    """One pass-2 chunk: exact-Jaccard verify + member expansion of a
+    driver-held candidate slice. Returns the expanded pair Dataset, or
+    None when nothing confirms."""
+    import ray
+
+    # global dedup of (h_a, h_b) — int columns only, driver-held; the
+    # chunk id is a function of (a, b), so a pair's duplicates are all here
     ca = cand_tbl["a"].to_numpy(np.int64)
     cb = cand_tbl["b"].to_numpy(np.int64)
     cra = cand_tbl["rep_a"].to_numpy(np.int64)
@@ -342,7 +393,7 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
                  .groupby("__p").map_groups(verify, batch_format="pyarrow")
                  .to_pandas())
     if len(confirmed) == 0:
-        return _dedup_pairs(clones)
+        return None
     conf_idx = confirmed["pair_idx"].to_numpy(np.int64)
 
     # ---- expansion: confirmed (h_a, h_b) -> member id pairs, via the
@@ -399,10 +450,8 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
             "id_a": pa.array(np.concatenate(out_a), pa.int64()),
             "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    members = mixed.filter(expr="kind == 2").select_columns(["a", "b"])
-    expanded = (members.map_batches(route_members, batch_format="pyarrow")
-                .groupby("__p").map_groups(expand, batch_format="pyarrow"))
-    return _dedup_pairs(clones.union(expanded))
+    return (members.map_batches(route_members, batch_format="pyarrow")
+            .groupby("__p").map_groups(expand, batch_format="pyarrow"))
 
 
 def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",

@@ -150,6 +150,36 @@ def test_shuffle_join_rejects_sentinel_right_key(ray_session):
         ds.materialize()
 
 
+def test_minhash_driver_candidate_cap_chunks(ray_session):
+    """VERDICT r2: an adversarial all-near-dup corpus must not grow the
+    driver candidate set unbounded — pass 2 chunks at
+    max_driver_candidates and the chunked result is identical to the
+    unchunked one."""
+    import ray
+    from shapefile_rs_ray.stages.dedup import minhash_lsh_pairs
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while seven wizards brew quirky potions beyond the misty "
+            "mountain ridge at dawn")
+    texts, ids = [], []
+    for i in range(12):   # 12 distinct near-dup texts -> C(12,2)=66 pairs
+        texts.append(base + f" variant tail {i}")
+        ids.append(i)
+    texts.append("completely unrelated text about parquet shuffles")
+    ids.append(99)
+    t = pa.table({"page_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+
+    def run(cap):
+        ds = ray.data.from_arrow(t).repartition(4)
+        out = minhash_lsh_pairs(ds, max_driver_candidates=cap).to_pandas()
+        return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    unchunked = run(10_000_000)
+    chunked = run(25)                      # forces several chunks
+    pd.testing.assert_frame_equal(chunked, unchunked)
+    assert len(unchunked) > 50             # the near-dup family did expand
+
+
 def test_ivf_partitions_bound_resident_set(ray_session):
     """VERDICT r2: no IVF actor may hold the whole corpus. The shuffled
     design bounds a partition to its centroids' inverted lists — assert
