@@ -22,6 +22,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPL = int(os.environ.get("GRAFT_REPL", "100"))
+# this sandbox VM shares its host: single samples vary ~2x run-to-run
+# (BASELINE.md), so each query reports the MEDIAN of GRAFT_SAMPLES runs
+SAMPLES = int(os.environ.get("GRAFT_SAMPLES", "3"))
 ONLY = set(filter(None, os.environ.get("GRAFT_ONLY", "").split(",")))
 SCALING_REPL = int(os.environ.get("GRAFT_SCALING_REPL", "2000"))
 # the scaling pair: defaults to 4 vs 16 vCPUs because this sandbox VM's
@@ -68,14 +71,20 @@ def run_queries() -> tuple[dict, dict]:
 
     n_pages = None
     times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     extra: dict = {}
 
     def timed(name, fn):
         if ONLY and name not in ONLY:
             return None
-        t0 = time.perf_counter()
-        out = fn()
-        times[name] = round(time.perf_counter() - t0, 3)
+        import statistics
+        ts, out = [], None
+        for _ in range(max(1, SAMPLES)):
+            t0 = time.perf_counter()
+            out = fn()
+            ts.append(round(time.perf_counter() - t0, 3))
+        times[name] = round(statistics.median(ts), 3)
+        samples[name] = ts
         return out
 
     def pages():
@@ -208,6 +217,8 @@ def run_queries() -> tuple[dict, dict]:
     timed("quality_corpus", q_quality_corpus)
 
     ray.shutdown()
+    extra["query_samples"] = samples
+    extra["samples_per_query"] = max(1, SAMPLES)
     return times, extra
 
 
@@ -222,6 +233,11 @@ def main():
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_ONLY="pip_broadcast,token_stats",
                        GRAFT_REPL=str(SCALING_REPL),
+                       # one sample per config: the scaling repl is large
+                       # enough to dominate variance, and the pair runs in
+                       # fresh processes either way
+                       GRAFT_SAMPLES=os.environ.get("GRAFT_SAMPLES_SCALING",
+                                                    "1"),
                        # identical pool fraction (3/4) in both configs
                        GRAFT_POOL=str(max(2, ncpu * 3 // 4)))
             out = subprocess.run([sys.executable, __file__], env=env,
