@@ -3,14 +3,14 @@
 One entry per operator/pipeline from SURVEY.md §2 (+ the training-data
 suite). Each queries() callable takes `sf_dir` and returns a Dataset /
 pandas DataFrame / pyarrow Table; oracle_sql() carries the matching DuckDB
-SQL — 36 of 39 queries have full rows+schema+hash oracles, including the
+SQL — 39 of 41 queries have full rows+schema+hash oracles, including the
 bit-exact SQL recomputations of minhash (exact-Jaccard restatement), the
 64-bit simhash (crc32 + splitmix64 in HUGEINT), winnowing fingerprints,
-langid and the S2/hex tilings. Only `ann_lsh_top1`/`ann_ivf_top1`
-(approximate by design; recall + exact-degenerate cases measured in
-pytest) and `decode_lakes` (shapefile wire decode — DuckDB's spatial
-extension cannot load offline; byte-level goldens in pytest) use the
-driver's rows-only check.
+langid, the S2/hex tilings, and decode_lakes (hash-compared against the
+single-node whole-file decode golden). Only `ann_lsh_top1`/`ann_ivf_top1`
+(approximate by design) use the driver's rows-only check — and both emit
+the exact cosine of every returned pair as a pytest-verified consistency
+contract next to the measured recall.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().

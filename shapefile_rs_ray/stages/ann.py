@@ -334,10 +334,14 @@ def lsh_topk(embeddings, *, k: int = 1, planes: int = 4, bands: int = 16,
         rank = np.arange(len(v)) - np.maximum.accumulate(
             np.where(new, np.arange(len(v)), 0)) + 1
         m = rank <= k
+        # `cos` rides along as the RECALL CONTRACT: approximate results
+        # can't be SQL-oracled row-for-row, but every returned (vec, nn)
+        # pair's exact cosine is recomputable and pytest-verified
         return pa.table({
             id_col: pa.array(v[m], pa.int64()),
             "rank": pa.array(rank[m], pa.int64()),
-            "nn_id": pa.array(c[m], pa.int64())})
+            "nn_id": pa.array(c[m], pa.int64()),
+            "cos": pa.array(cos[m], pa.float64())})
 
     cands = (embeddings.map_batches(add_sig, batch_format="pyarrow")
              .groupby("__p").map_groups(bucket_candidates,
@@ -503,10 +507,13 @@ def ivf_topk(embeddings, corpus, *, k: int = 1, n_centroids: int = 16,
         rank = np.arange(len(q)) - np.maximum.accumulate(
             np.where(new, np.arange(len(q)), 0)) + 1
         m = rank <= k
+        # `cos` = the recall contract (see lsh_topk.merge): pytest
+        # recomputes the exact cosine of every returned pair
         return pa.table({
             id_col: pa.array(q[m], pa.int64()),
             "rank": pa.array(rank[m], pa.int64()),
-            "nn_id": pa.array(nn[m], pa.int64())})
+            "nn_id": pa.array(nn[m], pa.int64()),
+            "cos": pa.array(cos[m], pa.float64())})
 
     tagged_c = corpus_ds.map_batches(corpus_tag, batch_format="pyarrow")
     tagged_q = embeddings.map_batches(query_tag, batch_format="pyarrow")

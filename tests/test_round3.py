@@ -180,6 +180,34 @@ def test_minhash_driver_candidate_cap_chunks(ray_session):
     assert len(unchunked) > 50             # the near-dup family did expand
 
 
+def test_ann_cos_contract(ray_session):
+    """VERDICT r2 #8: approximate ANN emits the exact cosine of every
+    returned (vec, nn) pair so consumers can verify consistency even where
+    recall < 1. Recompute each pair's cosine from the raw vectors and
+    compare."""
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.ann import _matrix, ivf_topk, lsh_topk
+    path = f"{SF}/embeddings.parquet"
+    corpus = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids, M = _matrix(corpus, "vec_id")
+    pos = {int(v): i for i, v in enumerate(ids)}
+    norms = np.sqrt((M * M).sum(axis=1))
+
+    def check(df):
+        assert "cos" in df.columns and len(df) > 0
+        a = np.array([pos[v] for v in df["vec_id"]])
+        b = np.array([pos[v] for v in df["nn_id"]])
+        exact = (M[a] * M[b]).sum(axis=1) / (norms[a] * norms[b])
+        np.testing.assert_allclose(df["cos"].to_numpy(), exact,
+                                   rtol=0, atol=1e-9)
+
+    ds1 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    check(lsh_topk(ds1, k=1).to_pandas())
+    ds2 = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    check(ivf_topk(ds2, corpus, k=1).to_pandas())
+
+
 def test_ivf_partitions_bound_resident_set(ray_session):
     """VERDICT r2: no IVF actor may hold the whole corpus. The shuffled
     design bounds a partition to its centroids' inverted lists — assert
