@@ -143,16 +143,17 @@ def test_grouped_topk_ties_and_rank(ray_session):
     assert got[got.user_id == 2].event_id.tolist() == [20]
 
 
-def test_broadcast_join_rejects_dup_keys_and_inner_drops(ray_session):
+def test_broadcast_join_multimatch_and_inner_drops(ray_session):
     import ray
     import pyarrow as pa
-    import pytest
     from shapefile_rs_ray.stages.relational import (BroadcastJoin,
                                                     broadcast_join)
+    # duplicate dim keys multi-match (round-3 feature; round 2 rejected)
     dim = pa.table({"k": pa.array([1, 2, 2], pa.int64()),
                     "v": pa.array(["a", "b", "c"])})
-    with pytest.raises(ValueError):
-        BroadcastJoin(dim, "k", ("v",))
+    stage = BroadcastJoin(dim, "k", ("v",))
+    got = stage(pa.table({"k": pa.array([2], pa.int64())}))
+    assert sorted(got["v"].to_pylist()) == ["b", "c"]
     dim_ok = pa.table({"k": pa.array([1, 3], pa.int64()),
                        "v": pa.array(["a", "c"])})
     fact = pa.table({"k": pa.array([1, 2, 3, 3], pa.int64()),
@@ -187,12 +188,14 @@ def test_shuffle_join_equals_broadcast_join(ray_session):
          .sort_values(["k", "x"]).reset_index(drop=True))
     assert sorted(a.columns) == sorted(b.columns)
     assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
-    # duplicate right keys surface as an error, not silent wrong rows
+    # duplicate right keys multi-match (round-3 feature; round 2 rejected)
     dup = pa.table({"k": pa.array([1, 1], "int64"),
                     "v": pa.array(["a", "b"])})
-    with pytest.raises(Exception):
-        shuffle_join(ray.data.from_arrow(fact), ray.data.from_arrow(dup),
-                     key="k", right_cols=("v",)).materialize()
+    n1 = int((fact["k"].to_pandas() == 1).sum())
+    out = shuffle_join(ray.data.from_arrow(fact), ray.data.from_arrow(dup),
+                       key="k", right_cols=("v",)).to_pandas()
+    assert len(out) == 2 * n1
+    assert sorted(out.v.unique().tolist()) == ["a", "b"]
 
 
 def test_joins_handle_empty_sides_and_null_keys(ray_session):
