@@ -1,0 +1,536 @@
+"""Bit-compatible Uber H3 cell indexing (encode: lat/lng -> H3 cell id).
+
+Implements the public H3 v3/v4 cell-indexing algorithm (icosahedral
+gnomonic projection onto 20 faces, aperture-7 hex lattice with
+Class II/III alternation, 122 base cells, pentagon K-subsequence
+handling) from first principles:
+
+* The 20 face-center geo coordinates and Class II i-axis azimuths are
+  the public constants from H3's ``faceijk.c`` (Apache-2.0).  Both are
+  *validated geometrically* in ``scripts/derive_h3_tables.py``: the
+  centers form an exact regular icosahedron (dot-product spectrum
+  {±1, ±√5/3, ±1/3}) and each azimuth points at a derived icosahedron
+  vertex to ~7e-14.
+* Everything else is DERIVED, not transcribed: the 122 base cells are
+  enumerated as res-0 lattice points and numbered by descending
+  latitude (hypothesis confirmed: the 12 pentagons land exactly at the
+  published pentagon base-cell numbers {4,14,24,38,49,58,63,72,83,97,
+  107,117}); the (face, ijk) -> (baseCell, ccwRot60, cwOffset) table is
+  solved from cross-face consistency constraints (an eps-straddling
+  point pair across an icosa edge is one physical cell, so both encode
+  paths must emit one index) anchored only at home-face entries.  The
+  solved cwOffset structure reproduces real H3's ``cwOffsetPent``
+  shape exactly: two cw faces per non-polar pentagon, none for the two
+  polar pentagons (4, 117).
+* Validation vectors (public H3 docs/README values) pass byte-for-byte:
+  ``85283473fffffff`` / ``87283472bffffff`` / ``8928308280fffff`` (SF
+  points at res 5/7/9), ``8075fffffffffff`` (res-0 cell of 0°N 0°E),
+  and the documented res-9 k-ring neighborhood; see tests/test_h3.py.
+
+Reference parity role: the reference repo has no tiling (it is a
+shapefile codec; see SURVEY.md §2.10) — H3 res 4-9 assignment is named
+by the north star ("assign every web page's geocoded coordinates to H3
+(res 4-9) and S2 cells via batched map_batches encoders").
+
+Two independent implementations live here on purpose:
+
+* :func:`encode_vec` — the production vectorized numpy kernel used in
+  ``map_batches`` stages.
+* :func:`encode_scalar` — a straight-line scalar transliteration of
+  the algorithm, used to generate the DuckDB-oracle golden table so
+  the driver gate hash-checks the vectorized path against independent
+  control flow (same float ops in the same order, so agreement is
+  bit-level).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+# public H3 faceijk.c constants (geo radians); geometrically validated
+# by scripts/derive_h3_tables.py
+FACE_CENTER_GEO = np.array([
+    [0.803582649718989942, 1.248397419617396099],
+    [1.307747883455638156, 2.536945009877921159],
+    [1.054751253523952054, -1.347517358900396623],
+    [0.600191595538186799, -0.450603909469755746],
+    [0.491715428198773866, 0.401988202911306943],
+    [0.172745327415618701, 1.678146885280433686],
+    [0.605929321571350690, 2.953923329812411617],
+    [0.427370518328979641, -1.888876200336285401],
+    [-0.079066118549212831, -0.733429513380867741],
+    [-0.230961644455383637, 0.506495587332349035],
+    [0.079066118549212831, 2.408163140208925497],
+    [0.230961644455383637, -2.635097066257444203],
+    [-0.172745327415618701, -1.463445768309359553],
+    [-0.605929321571350690, -0.187669323777381622],
+    [-0.427370518328979641, 1.252716453253569838],
+    [-0.600191595538186799, 2.690988744120037492],
+    [-0.491715428198773866, -2.739604450678486295],
+    [-0.803582649718989942, -1.893195233972397139],
+    [-1.307747883455638156, -0.604647643711872080],
+    [-1.054751253523952054, 1.794075294689396615],
+])
+AZ0 = np.array([
+    5.619958268523939882, 5.760339081714187279, 0.780213654393430055,
+    0.430469363979999913, 6.130269123335111400, 2.692877706530642877,
+    2.982963003477243874, 3.532912002790141181, 3.494305004259568154,
+    3.003214169499538391, 5.930472956509811562, 0.138378484090254847,
+    0.448714947059150361, 0.158629650112549365, 5.891865957979238535,
+    2.711123289609793325, 3.294508837434268316, 3.804819692245439833,
+    3.664438879055192436, 2.361378999196363184,
+])
+_FACE_XYZ = np.stack([
+    np.cos(FACE_CENTER_GEO[:, 0]) * np.cos(FACE_CENTER_GEO[:, 1]),
+    np.cos(FACE_CENTER_GEO[:, 0]) * np.sin(FACE_CENTER_GEO[:, 1]),
+    np.sin(FACE_CENTER_GEO[:, 0]),
+], axis=1)
+
+# gnomonic unit scale (tan of the face-center->vertex angle / 2 = 1/phi^2;
+# the derivation script checks tan(theta_cv)/2 equals this to ~3e-15)
+RES0_U_GNOMONIC = 0.38196601125010500003
+M_AP7_ROT_RADS = 0.333473172251832115336090755351601070065900389
+M_SIN60 = np.sqrt(3.0) / 2.0
+M_SQRT7 = 2.6457513110645905905016157536392604257102
+# per-res gnomonic scale via repeated multiply (H3's own loop semantics;
+# shared by BOTH encode paths so the float value is identical)
+_SCALE = [1.0]
+for _ in range(16):
+    _SCALE.append(_SCALE[-1] * M_SQRT7)
+
+MAX_RES = 15
+_TWO_PI = 2.0 * np.pi
+
+# ------------------------------------------------------- derived tables
+# (face, i, j, k) -> base cell / ccw rotations / pentagon cwOffset flag,
+# flattened 20*3*3*3 (index = ((face*3 + i)*3 + j)*3 + k).  -1 = not
+# reachable by any geo encode path (verified by the derivation script's
+# reachability audit); hitting one raises loudly.
+_BC_FLAT = [
+    16, 18, 24, 33, 30, 32, 49, 48, -1, 8, 5, 10, 22, -1, -1, 41, -1, -1, 4, 0, -1, 15, -1, -1, -1, -1, -1,
+    2, 6, 14, 10, 11, 17, 24, 23, -1, 0, 1, 9, 5, -1, -1, 18, -1, -1, 4, 3, -1, 8, -1, -1, -1, -1, -1,
+    7, 21, 38, 9, 19, 34, 14, 20, -1, 3, 13, 29, 1, -1, -1, 6, -1, -1, 4, 12, -1, 0, -1, -1, -1, -1, -1,
+    26, 42, 58, 29, 43, 62, 38, 47, -1, 12, 28, 44, 13, -1, -1, 21, -1, -1, 4, 15, -1, 3, -1, -1, -1, -1, -1,
+    31, 41, 49, 44, 53, 61, 58, 65, -1, 15, 22, 33, 28, -1, -1, 42, -1, -1, 4, 8, -1, 12, -1, -1, -1, -1, -1,
+    50, 48, 49, 32, 30, 33, 24, 18, -1, 70, 67, 66, 52, -1, -1, 37, -1, -1, 83, 87, -1, 74, -1, -1, -1, -1, -1,
+    25, 23, 24, 17, 11, 10, 14, 6, -1, 45, 39, 37, 35, -1, -1, 27, -1, -1, 63, 59, -1, 56, -1, -1, -1, -1, -1,
+    36, 20, 14, 34, 19, 9, 38, 21, -1, 55, 40, 27, 54, -1, -1, 51, -1, -1, 72, 60, -1, 73, -1, -1, -1, -1, -1,
+    64, 47, 38, 62, 43, 29, 58, 42, -1, 84, 69, 51, 82, -1, -1, 76, -1, -1, 97, 89, -1, 98, -1, -1, -1, -1, -1,
+    75, 65, 58, 61, 53, 44, 49, 41, -1, 94, 86, 76, 81, -1, -1, 66, -1, -1, 107, 104, -1, 101, -1, -1, -1, -1, -1,
+    57, 59, 63, 74, 78, 79, 83, 92, -1, 37, 39, 45, 52, -1, -1, 70, -1, -1, 24, 23, -1, 32, -1, -1, -1, -1, -1,
+    46, 60, 72, 56, 68, 80, 63, 77, -1, 27, 40, 55, 35, -1, -1, 45, -1, -1, 14, 20, -1, 17, -1, -1, -1, -1, -1,
+    71, 89, 97, 73, 91, 103, 72, 88, -1, 51, 69, 84, 54, -1, -1, 55, -1, -1, 38, 47, -1, 34, -1, -1, -1, -1, -1,
+    96, 104, 107, 98, 110, 115, 97, 111, -1, 76, 86, 94, 82, -1, -1, 84, -1, -1, 58, 65, -1, 62, -1, -1, -1, -1, -1,
+    85, 87, 83, 101, 102, 100, 107, 112, -1, 66, 67, 70, 81, -1, -1, 94, -1, -1, 49, 48, -1, 61, -1, -1, -1, -1, -1,
+    95, 92, 83, 79, 78, 74, 63, 59, -1, 109, 108, 100, 93, -1, -1, 77, -1, -1, 117, 118, -1, 106, -1, -1, -1, -1, -1,
+    90, 77, 63, 80, 68, 56, 72, 60, -1, 106, 93, 79, 99, -1, -1, 88, -1, -1, 117, 109, -1, 113, -1, -1, -1, -1, -1,
+    105, 88, 72, 103, 91, 73, 97, 89, -1, 113, 99, 80, 116, -1, -1, 111, -1, -1, 117, 106, -1, 121, -1, -1, -1, -1, -1,
+    119, 111, 97, 115, 110, 98, 107, 104, -1, 121, 116, 103, 120, -1, -1, 112, -1, -1, 117, 113, -1, 118, -1, -1, -1, -1, -1,
+    114, 112, 107, 100, 102, 101, 83, 87, -1, 118, 120, 115, 108, -1, -1, 92, -1, -1, 117, 121, -1, 109, -1, -1, -1, -1, -1,
+]
+_ROT_FLAT = [
+    0, 0, 0, 0, 0, 3, 1, 3, -1, 0, 0, 5, 0, -1, -1, 1, -1, -1, 0, 5, -1, 1, -1, -1, -1, -1, -1,
+    0, 0, 0, 0, 0, 3, 1, 3, -1, 0, 0, 5, 1, -1, -1, 1, -1, -1, 1, 5, -1, 1, -1, -1, -1, -1, -1,
+    0, 0, 0, 0, 0, 3, 1, 3, -1, 0, 0, 5, 1, -1, -1, 1, -1, -1, 2, 5, -1, 1, -1, -1, -1, -1, -1,
+    0, 0, 0, 0, 0, 3, 1, 3, -1, 0, 0, 5, 1, -1, -1, 1, -1, -1, 3, 5, -1, 1, -1, -1, -1, -1, -1,
+    0, 0, 0, 0, 0, 3, 1, 3, -1, 0, 5, 5, 1, -1, -1, 1, -1, -1, 4, 5, -1, 1, -1, -1, -1, -1, -1,
+    0, 0, 3, 0, 3, 3, 3, 3, -1, 0, 0, 3, 0, -1, -1, 3, -1, -1, 0, 3, -1, 3, -1, -1, -1, -1, -1,
+    0, 0, 3, 0, 3, 3, 3, 3, -1, 0, 0, 3, 0, -1, -1, 3, -1, -1, 0, 3, -1, 3, -1, -1, -1, -1, -1,
+    0, 0, 3, 0, 3, 3, 3, 3, -1, 0, 0, 3, 0, -1, -1, 3, -1, -1, 0, 3, -1, 3, -1, -1, -1, -1, -1,
+    0, 0, 3, 0, 3, 3, 3, 3, -1, 0, 0, 3, 0, -1, -1, 3, -1, -1, 0, 3, -1, 3, -1, -1, -1, -1, -1,
+    0, 0, 3, 0, 3, 3, 3, 3, -1, 0, 0, 3, 0, -1, -1, 3, -1, -1, 0, 3, -1, 3, -1, -1, -1, -1, -1,
+    0, 0, 3, 0, 0, 3, 3, 3, -1, 0, 3, 3, 3, -1, -1, 3, -1, -1, 0, 3, -1, 3, -1, -1, -1, -1, -1,
+    0, 0, 3, 0, 0, 3, 3, 3, -1, 0, 3, 3, 3, -1, -1, 3, -1, -1, 0, 3, -1, 3, -1, -1, -1, -1, -1,
+    0, 0, 3, 0, 0, 3, 3, 3, -1, 0, 3, 3, 3, -1, -1, 3, -1, -1, 0, 3, -1, 3, -1, -1, -1, -1, -1,
+    0, 0, 3, 0, 0, 3, 3, 3, -1, 0, 3, 3, 3, -1, -1, 3, -1, -1, 0, 3, -1, 3, -1, -1, -1, -1, -1,
+    0, 0, 3, 0, 0, 3, 3, 3, -1, 0, 3, 3, 3, -1, -1, 3, -1, -1, 0, 3, -1, 3, -1, -1, -1, -1, -1,
+    0, 0, 0, 0, 3, 3, 1, 3, -1, 0, 0, 5, 0, -1, -1, 1, -1, -1, 0, 5, -1, 1, -1, -1, -1, -1, -1,
+    0, 0, 0, 0, 3, 3, 1, 3, -1, 0, 5, 5, 0, -1, -1, 1, -1, -1, 4, 5, -1, 1, -1, -1, -1, -1, -1,
+    0, 0, 0, 0, 3, 3, 1, 3, -1, 0, 5, 5, 0, -1, -1, 1, -1, -1, 3, 5, -1, 1, -1, -1, -1, -1, -1,
+    0, 0, 0, 0, 3, 3, 1, 3, -1, 0, 5, 5, 0, -1, -1, 1, -1, -1, 2, 5, -1, 1, -1, -1, -1, -1, -1,
+    0, 0, 0, 0, 3, 3, 1, 3, -1, 0, 5, 5, 1, -1, -1, 1, -1, -1, 1, 5, -1, 1, -1, -1, -1, -1, -1,
+]
+_CW_FLAT = [0] * 540
+# solved cwOffset flags: exactly the 20 (face, ijk) entries below (two cw
+# faces per non-polar pentagon, none for the polar pentagons 4/117 —
+# matching real H3's cwOffsetPent structure)
+_CW_TRUE = [
+    (0, 0, 2, 0), (1, 0, 2, 0), (2, 0, 2, 0), (3, 0, 2, 0), (4, 0, 2, 0),
+    (5, 0, 2, 0), (6, 0, 2, 0), (7, 0, 2, 0), (8, 0, 2, 0), (9, 0, 2, 0),
+    (10, 0, 2, 0), (11, 0, 2, 0), (12, 0, 2, 0), (13, 0, 2, 0),
+    (14, 0, 2, 0), (15, 0, 2, 0), (16, 0, 2, 0), (17, 0, 2, 0),
+    (18, 0, 2, 0), (19, 0, 2, 0),
+]
+for _f, _i, _j, _k in _CW_TRUE:
+    _CW_FLAT[((_f * 3 + _i) * 3 + _j) * 3 + _k] = 1
+del _f, _i, _j, _k
+
+BC_TABLE = np.array(_BC_FLAT, np.int16).reshape(20, 3, 3, 3)
+ROT_TABLE = np.array(_ROT_FLAT, np.int16).reshape(20, 3, 3, 3)
+CW_TABLE = np.array(_CW_FLAT, np.int16).reshape(20, 3, 3, 3)
+
+PENTAGON_BCS = (4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+_IS_PENT = np.zeros(122, bool)
+_IS_PENT[list(PENTAGON_BCS)] = True
+
+# digit rotation LUTs (K->IK->I... ccw) and their powers
+_ROT_CCW = np.array([0, 5, 3, 1, 6, 4, 2], np.int64)
+_ROT_CW = np.array([0, 3, 6, 2, 5, 1, 4], np.int64)
+_POW_CCW = np.empty((6, 7), np.int64)
+_POW_CCW[0] = np.arange(7)
+for _k in range(1, 6):
+    _POW_CCW[_k] = _ROT_CCW[_POW_CCW[_k - 1]]
+del _k
+
+
+# ------------------------------------------------------------ vectorized
+def _norm_ijk_vec(i, j, k):
+    m = np.minimum(i, 0)
+    i = i - m; j = j - m; k = k - m
+    m = np.minimum(j, 0)
+    i = i - m; j = j - m; k = k - m
+    m = np.minimum(k, 0)
+    i = i - m; j = j - m; k = k - m
+    return i, j, k
+
+
+def _hex2d_to_ijk_vec(x, y):
+    """vectorized twin of H3 _hex2dToCoordIJK (axes-projection rounding)."""
+    a1 = np.abs(x)
+    a2 = np.abs(y)
+    x2 = a2 / M_SIN60
+    x1 = a1 + x2 / 2.0
+    m1 = x1.astype(np.int64)
+    m2 = x2.astype(np.int64)
+    r1 = x1 - m1
+    r2 = x2 - m2
+
+    lo = r1 < 0.5
+    lo3 = r1 < (1.0 / 3.0)
+    hi3 = r1 >= (2.0 / 3.0)
+    # defaults per branch
+    i = np.where(
+        lo,
+        np.where(lo3, m1,
+                 m1 + np.where((1.0 - r1 <= r2) & (r2 < 2.0 * r1), 1, 0)),
+        np.where(hi3, m1 + 1,
+                 m1 + np.where((2.0 * r1 - 1.0 < r2) & (r2 < 1.0 - r1),
+                               0, 1)),
+    )
+    j = np.where(
+        lo,
+        np.where(lo3,
+                 m2 + np.where(r2 < (1.0 + r1) / 2.0, 0, 1),
+                 m2 + np.where(r2 < 1.0 - r1, 0, 1)),
+        np.where(hi3,
+                 m2 + np.where(r2 < r1 / 2.0, 0, 1),
+                 m2 + np.where(r2 < 1.0 - r1, 0, 1)),
+    )
+    # fold across the axes for negative x / y
+    xneg = x < 0.0
+    jeven = j % 2 == 0
+    i = np.where(xneg,
+                 np.where(jeven,
+                          i - 2 * (i - j // 2),
+                          i - (2 * (i - (j + 1) // 2) + 1)),
+                 i)
+    yneg = y < 0.0
+    i = np.where(yneg, i - (2 * j + 1) // 2, i)
+    j = np.where(yneg, -j, j)
+    return _norm_ijk_vec(i, j, np.zeros_like(i))
+
+
+def _geo_az_vec(lat1, lng1, lat2, lng2):
+    return np.arctan2(
+        np.cos(lat2) * np.sin(lng2 - lng1),
+        np.cos(lat1) * np.sin(lat2)
+        - np.sin(lat1) * np.cos(lat2) * np.cos(lng2 - lng1))
+
+
+def encode_vec(lat_deg: np.ndarray, lng_deg: np.ndarray,
+               res: int) -> np.ndarray:
+    """lat/lng degrees -> H3 cell index (int64), vectorized.
+
+    Raises if any point reaches a table entry the derivation proved
+    unreachable (would indicate a binning bug, never silent corruption).
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res out of range: {res}")
+    lat = np.deg2rad(np.asarray(lat_deg, np.float64))
+    lng = np.deg2rad(np.asarray(lng_deg, np.float64))
+    n = lat.shape[0]
+    if n == 0:
+        return np.empty(0, np.int64)
+
+    coslat = np.cos(lat)
+    v = np.stack([coslat * np.cos(lng), coslat * np.sin(lng),
+                  np.sin(lat)], axis=1)
+    dots = v @ _FACE_XYZ.T
+    face = np.argmax(dots, axis=1)
+    fdot = np.clip(dots[np.arange(n), face], -1.0, 1.0)
+    r = np.arccos(fdot)
+
+    flat1 = FACE_CENTER_GEO[face, 0]
+    flng1 = FACE_CENTER_GEO[face, 1]
+    theta = (AZ0[face] - (_geo_az_vec(flat1, flng1, lat, lng) % _TWO_PI)) \
+        % _TWO_PI
+    if res % 2 == 1:
+        theta = (theta - M_AP7_ROT_RADS) % _TWO_PI
+    gr = np.tan(r) / RES0_U_GNOMONIC * _SCALE[res]
+    small = r < 1e-16
+    x = np.where(small, 0.0, gr * np.cos(theta))
+    y = np.where(small, 0.0, gr * np.sin(theta))
+
+    i, j, k = _hex2d_to_ijk_vec(x, y)
+
+    digits = np.empty((n, res), np.int64)
+    for level in range(res, 0, -1):
+        li, lj, lk = i, j, k
+        i2 = i - k
+        j2 = j - k
+        if level % 2 == 1:      # Class III: ccw aperture-7
+            ui = np.round((3.0 * i2 - j2) / 7.0).astype(np.int64)
+            uj = np.round((i2 + 2.0 * j2) / 7.0).astype(np.int64)
+            i, j, k = _norm_ijk_vec(ui, uj, np.zeros_like(ui))
+            ci, cj, ck = _norm_ijk_vec(3 * i + j, 3 * j + k, i + 3 * k)
+        else:                   # Class II: cw aperture-7
+            ui = np.round((2.0 * i2 + j2) / 7.0).astype(np.int64)
+            uj = np.round((3.0 * j2 - i2) / 7.0).astype(np.int64)
+            i, j, k = _norm_ijk_vec(ui, uj, np.zeros_like(ui))
+            ci, cj, ck = _norm_ijk_vec(3 * i + k, i + 3 * j, j + 3 * k)
+        di, dj, dk = _norm_ijk_vec(li - ci, lj - cj, lk - ck)
+        digits[:, level - 1] = 4 * di + 2 * dj + dk
+
+    if (i > 2).any() or (j > 2).any() or (k > 2).any():
+        bad = np.nonzero((i > 2) | (j > 2) | (k > 2))[0][:3]
+        raise AssertionError(
+            f"res-0 overage out of table range at rows {bad.tolist()}")
+    bc = BC_TABLE[face, i, j, k].astype(np.int64)
+    rot = ROT_TABLE[face, i, j, k].astype(np.int64)
+    if (bc < 0).any():
+        bad = np.nonzero(bc < 0)[0][:3]
+        raise AssertionError(
+            "geo encode reached a table entry the derivation proved "
+            f"unreachable: rows {bad.tolist()} "
+            f"(face,i,j,k)={[(int(face[b]), int(i[b]), int(j[b]), int(k[b])) for b in bad.tolist()]}")
+
+    pent = _IS_PENT[bc]
+    hexm = ~pent
+    # hexagon rows: whole-string digit rotation via LUT powers
+    if hexm.any():
+        rows = np.nonzero(hexm)[0]
+        digits[rows] = _POW_CCW[rot[rows]][
+            np.arange(rows.size)[:, None], digits[rows]]
+    # pentagon rows: rare; scalar finish (K-subsequence skip rotation)
+    if pent.any():
+        cw = CW_TABLE[face, i, j, k]
+        for row in np.nonzero(pent)[0]:
+            dig = digits[row].tolist()
+            digits[row] = _finish_pentagon(dig, int(rot[row]),
+                                           bool(cw[row]))
+
+    h = np.full(n, (1 << 59) | (res << 52), np.int64)
+    h |= bc << 45
+    for idx in range(MAX_RES):
+        shift = 3 * (14 - idx)
+        if idx < res:
+            h |= digits[:, idx] << shift
+        else:
+            h |= np.int64(7) << shift
+    return h
+
+
+def _leading_nonzero(dig):
+    for d in dig:
+        if d:
+            return d
+    return 0
+
+
+def _rotate_pent60ccw(dig):
+    """H3 _h3RotatePent60ccw on a digit list (skips the deleted K axis)."""
+    dig = list(dig)
+    found = False
+    for r in range(len(dig)):
+        dig[r] = int(_ROT_CCW[dig[r]])
+        if not found and dig[r] != 0:
+            found = True
+            if _leading_nonzero(dig) == 1:
+                dig = _rotate_pent60ccw(dig)
+    return dig
+
+
+def _finish_pentagon(dig, rot, cw):
+    if _leading_nonzero(dig) == 1:
+        lut = _ROT_CW if cw else _ROT_CCW
+        dig = [int(lut[d]) for d in dig]
+    for _ in range(rot):
+        dig = _rotate_pent60ccw(dig)
+    return dig
+
+
+# --------------------------------------------------------------- scalar
+def encode_scalar(lat_deg: float, lng_deg: float, res: int) -> int:
+    """Independent scalar transliteration of the same algorithm (oracle
+    golden generator). Shares only the constant/lookup tables with
+    encode_vec; all control flow is separate straight-line Python."""
+    lat = float(np.deg2rad(lat_deg))
+    lng = float(np.deg2rad(lng_deg))
+    cl = np.cos(lat)
+    vx, vy, vz = cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)
+    best, bestd = 0, -2.0
+    for f in range(20):
+        d = (_FACE_XYZ[f, 0] * vx + _FACE_XYZ[f, 1] * vy
+             + _FACE_XYZ[f, 2] * vz)
+        if d > bestd:
+            best, bestd = f, d
+    face = best
+    r = float(np.arccos(min(max(bestd, -1.0), 1.0)))
+    if r < 1e-16:
+        x = y = 0.0
+    else:
+        lat1, lng1 = FACE_CENTER_GEO[face]
+        az = float(np.arctan2(
+            np.cos(lat) * np.sin(lng - lng1),
+            np.cos(lat1) * np.sin(lat)
+            - np.sin(lat1) * np.cos(lat) * np.cos(lng - lng1)))
+        theta = (AZ0[face] - (az % _TWO_PI)) % _TWO_PI
+        if res % 2 == 1:
+            theta = (theta - M_AP7_ROT_RADS) % _TWO_PI
+        gr = float(np.tan(r)) / RES0_U_GNOMONIC * _SCALE[res]
+        x = gr * float(np.cos(theta))
+        y = gr * float(np.sin(theta))
+
+    # _hex2dToCoordIJK, scalar
+    k = 0
+    a1, a2 = abs(x), abs(y)
+    x2 = a2 / M_SIN60
+    x1 = a1 + x2 / 2.0
+    m1, m2 = int(x1), int(x2)
+    r1, r2 = x1 - m1, x2 - m2
+    if r1 < 0.5:
+        if r1 < 1.0 / 3.0:
+            i = m1
+            j = m2 if r2 < (1.0 + r1) / 2.0 else m2 + 1
+        else:
+            j = m2 if r2 < (1.0 - r1) else m2 + 1
+            i = m1 + 1 if (1.0 - r1) <= r2 < (2.0 * r1) else m1
+    else:
+        if r1 < 2.0 / 3.0:
+            j = m2 if r2 < (1.0 - r1) else m2 + 1
+            i = m1 if (2.0 * r1 - 1.0) < r2 < (1.0 - r1) else m1 + 1
+        else:
+            i = m1 + 1
+            j = m2 if r2 < (r1 / 2.0) else m2 + 1
+    if x < 0.0:
+        if j % 2 == 0:
+            i = i - 2 * (i - j // 2)
+        else:
+            i = i - (2 * (i - (j + 1) // 2) + 1)
+    if y < 0.0:
+        i = i - (2 * j + 1) // 2
+        j = -j
+    i, j, k = _norm_ijk_scalar(i, j, k)
+
+    digits = [7] * res
+    for level in range(res, 0, -1):
+        li, lj, lk = i, j, k
+        i2, j2 = i - k, j - k
+        if level % 2 == 1:
+            i, j, k = _norm_ijk_scalar(
+                int(np.round((3.0 * i2 - j2) / 7.0)),
+                int(np.round((i2 + 2.0 * j2) / 7.0)), 0)
+            ci, cj, ck = _norm_ijk_scalar(3 * i + j, 3 * j + k, i + 3 * k)
+        else:
+            i, j, k = _norm_ijk_scalar(
+                int(np.round((2.0 * i2 + j2) / 7.0)),
+                int(np.round((3.0 * j2 - i2) / 7.0)), 0)
+            ci, cj, ck = _norm_ijk_scalar(3 * i + k, i + 3 * j, j + 3 * k)
+        di, dj, dk = _norm_ijk_scalar(li - ci, lj - cj, lk - ck)
+        digits[level - 1] = 4 * di + 2 * dj + dk
+
+    if max(i, j, k) > 2:
+        raise AssertionError(f"res-0 overage {(i, j, k)}")
+    bc = int(BC_TABLE[face, i, j, k])
+    rot = int(ROT_TABLE[face, i, j, k])
+    if bc < 0:
+        raise AssertionError(
+            f"unreachable table entry (face={face}, ijk={(i, j, k)})")
+    if _IS_PENT[bc]:
+        digits = _finish_pentagon(digits, rot, bool(CW_TABLE[face, i, j, k]))
+    else:
+        for _ in range(rot):
+            digits = [int(_ROT_CCW[d]) for d in digits]
+
+    h = (1 << 59) | (res << 52) | (bc << 45)
+    for idx in range(MAX_RES):
+        d = digits[idx] if idx < res else 7
+        h |= d << (3 * (14 - idx))
+    return h
+
+
+def _norm_ijk_scalar(i, j, k):
+    if i < 0:
+        j -= i; k -= i; i = 0
+    if j < 0:
+        i -= j; k -= j; j = 0
+    if k < 0:
+        i -= k; j -= k; k = 0
+    return i, j, k
+
+
+# --------------------------------------------------------------- helpers
+def to_hex(cells: np.ndarray) -> list[str]:
+    """canonical lowercase hex strings (h3ToString): 15 chars for cells."""
+    return [format(c, "x") for c in cells.tolist()]
+
+
+def from_hex(strs) -> np.ndarray:
+    return np.array([int(s, 16) for s in strs], np.int64)
+
+
+def get_resolution(cells: np.ndarray) -> np.ndarray:
+    return (cells >> 52) & 0xF
+
+
+def get_base_cell(cells: np.ndarray) -> np.ndarray:
+    return (cells >> 45) & 0x7F
+
+
+def cell_to_parent(cells: np.ndarray, parent_res: int) -> np.ndarray:
+    """bit-exact h3ToParent: truncate digits below parent_res to 7."""
+    cells = np.asarray(cells, np.int64)
+    res = get_resolution(cells)
+    if (res < parent_res).any():
+        raise ValueError("parent_res coarser than cell resolution required")
+    h = (cells & ~(np.int64(0xF) << 52)) | (np.int64(parent_res) << 52)
+    for idx in range(parent_res, MAX_RES):
+        h = h | (np.int64(7) << (3 * (14 - idx)))
+    return h
+
+
+def cell_to_center_child(cells: np.ndarray, child_res: int) -> np.ndarray:
+    """bit-exact h3ToCenterChild: append 0 digits down to child_res."""
+    cells = np.asarray(cells, np.int64)
+    res = get_resolution(cells)
+    if (res > child_res).any():
+        raise ValueError("child_res finer than cell resolution required")
+    h = (cells & ~(np.int64(0xF) << 52)) | (np.int64(child_res) << 52)
+    for idx in range(MAX_RES):
+        mask = (res <= idx) & (idx < child_res)
+        h = np.where(mask, h & ~(np.int64(7) << (3 * (14 - idx))), h)
+    return h
+
+
+def is_pentagon(cells: np.ndarray) -> np.ndarray:
+    """pentagon iff base cell is one of the 12 and all digits are 0."""
+    cells = np.asarray(cells, np.int64)
+    res = get_resolution(cells)
+    bc = get_base_cell(cells)
+    pent_bc = _IS_PENT[bc]
+    all_zero = np.ones(cells.shape, bool)
+    for idx in range(MAX_RES):
+        d = (cells >> (3 * (14 - idx))) & 7
+        all_zero &= (d == 0) | (idx >= res)
+    return pent_bc & all_zero
