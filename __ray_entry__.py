@@ -214,12 +214,18 @@ def _langid(sf_dir: str):
 
 
 def _cells_multi(sf_dir: str):
-    """Grid + S2 + hex cell assignment per page. All three tilings are
+    """Grid + S2 + hex + H3 cell assignment per page. All four tilings are
     fully oracled: oracles.cells_multi_sql() recomputes the S2 cell id
     bit-exactly in SQL (Hilbert lookup joins) alongside the grid/hex
-    expressions."""
+    expressions, and the bit-compatible H3 columns (north star: "H3
+    (res 4-9)") hash-check against the scalar-encoder golden written by
+    oracles.ensure_h3_golden."""
     from shapefile_rs_ray.functions import cells as cm
+    from shapefile_rs_ray.functions import h3 as h3mod
+    from shapefile_rs_ray.pipelines import oracles
     from shapefile_rs_ray.sources.webpages import read_webpages
+
+    oracles.ensure_h3_golden(_n_pages(sf_dir))
 
     def assign(batch: pa.Table) -> pa.Table:
         lon = np.asarray(batch["lon"], np.float64)
@@ -232,10 +238,23 @@ def _cells_multi(sf_dir: str):
         for res in (4, 5, 6, 7, 8, 9):
             out[f"hex_r{res}"] = pa.array(cm.hex_cell(lon, lat, res),
                                           pa.int64())
+        for res in oracles.H3_RESOLUTIONS:
+            out[f"h3_r{res}"] = pa.array(
+                h3mod.to_hex(h3mod.encode_vec(lat, lon, res)), pa.string())
         return pa.table(out)
 
     return read_webpages(sf_dir, with_html=False).map_batches(
         assign, batch_format="pyarrow")
+
+
+def _n_pages(sf_dir: str) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.functions import synth
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return n_docs * synth.REPL
 
 
 HEX_RESOLUTIONS = (4, 5, 6, 7, 8, 9)

@@ -28,6 +28,8 @@ EDGES_PQ = os.path.join(ORACLE_DIR, "lakes_edges.parquet")
 BOXES_PQ = os.path.join(ORACLE_DIR, "lakes_boxes.parquet")
 S2_LOOKUP_PQ = os.path.join(ORACLE_DIR, "s2_lookup.parquet")
 LAKES_SUMMARY_PQ = os.path.join(ORACLE_DIR, "lakes_summary.parquet")
+H3_GOLDEN_PQ = os.path.join(ORACLE_DIR, "h3_golden.parquet")
+H3_RESOLUTIONS = (4, 5, 6, 7, 8, 9)
 
 
 def ensure_artifacts() -> None:
@@ -68,6 +70,41 @@ def ensure_artifacts() -> None:
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
+
+
+def ensure_h3_golden(n_pages: int) -> None:
+    """Idempotently write the H3 oracle golden: (page_id, h3_r4..h3_r9 hex)
+    for every page id < n_pages, computed by the SCALAR encoder
+    (functions/h3.encode_scalar) over the deterministic page geocodes —
+    independent control flow from the vectorized production kernel, so the
+    driver's hash compare is a real cross-implementation check.  Scalar
+    encodes are slow, so the generation fans out over Ray tasks (Ray is
+    already up when queries() callables run); regenerates only when an
+    existing golden covers fewer pages."""
+    if os.path.exists(H3_GOLDEN_PQ) and \
+            pq.ParquetFile(H3_GOLDEN_PQ).metadata.num_rows >= n_pages:
+        return
+    import ray
+
+    @ray.remote
+    def _chunk(start: int, stop: int) -> pa.Table:
+        from ..functions import h3 as h3mod
+        ids = np.arange(start, stop, dtype=np.int64)
+        lon, lat = synth.geocode(ids)
+        cols: dict = {"page_id": pa.array(ids, pa.int64())}
+        for res in H3_RESOLUTIONS:
+            cols[f"h3_r{res}"] = pa.array(
+                [format(h3mod.encode_scalar(la, lo, res), "x")
+                 for la, lo in zip(lat, lon)], pa.string())
+        return pa.table(cols)
+
+    step = 20000
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    parts = ray.get([_chunk.remote(s, min(s + step, n_pages))
+                     for s in range(0, n_pages, step)])
+    tmp = H3_GOLDEN_PQ + ".tmp"
+    pq.write_table(pa.concat_tables(parts), tmp)
+    os.replace(tmp, H3_GOLDEN_PQ)
 
 
 PAGES_CTE = f"pages AS ({synth.webpages_sql()})"
@@ -147,6 +184,9 @@ h{k} AS (SELECT t.page_id, t.lon, t.lat, t.face, t.i, t.j,
         f"{hex_cell_sql('lon', 'lat', r)} AS hex_r{r}"
         for r in hex_resolutions)
     s2_cols = ", ".join(f"{snap(lv)} AS s2_l{lv}" for lv in s2_levels)
+    # H3 columns come from the scalar-encoder golden (ensure_h3_golden);
+    # there is no sane pure-SQL restatement of the icosahedral encode
+    h3_cols = ", ".join(f"g.h3_r{r}" for r in H3_RESOLUTIONS)
 
     return f"""
 WITH {PAGES_CTE},
@@ -186,11 +226,13 @@ b6 AS (SELECT *,
 cells AS (SELECT page_id, lon, lat,
           CAST(face AS HUGEINT) * CAST('{1 << 61}' AS HUGEINT)
             + n * 2 + 1 AS cell30 FROM h0)
-SELECT page_id,
+SELECT cells.page_id,
        {grid_cell_sql('lon', 'lat', 12)} AS cell_z12,
        {s2_cols},
-       {hex_cols}
+       {hex_cols},
+       {h3_cols}
 FROM cells
+JOIN read_parquet('{H3_GOLDEN_PQ}') g ON g.page_id = cells.page_id
 """
 
 
