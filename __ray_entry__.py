@@ -383,6 +383,19 @@ def _events_window(sf_dir: str):
     return tumbling_window_counts(ev)
 
 
+def _events_late(sf_dir: str):
+    """Watermark / late-data semantics over a deterministic out-of-order
+    replay of the events log (VERDICT-r2 missing #4); fully SQL-oracled
+    via the same arrival-key window function."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.windows import watermark_window_counts
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"])
+    return watermark_window_counts(ev)
+
+
 def _asof_join(sf_dir: str):
     import os
     import ray
@@ -686,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": _image_meta,
         "audio_frames": _audio_frames,
         "events_window": _events_window,
+        "events_late": _events_late,
         "events_hopping": _events_hopping,
         "top_events_user": _top_events_user,
         "orders_by_nation": _orders_by_nation,
@@ -859,6 +873,26 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MAX(value) AS max_value
 FROM events GROUP BY user_id, 2""",
+        "events_late": """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+         (event_id * 2654435761) % 1000000007 AS akey
+  FROM events),
+w AS (
+  SELECT *, MAX(tsu) OVER (PARTITION BY user_id ORDER BY akey, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM e),
+f AS (
+  SELECT user_id, tsu // 3600000000 AS "window", value,
+         CASE WHEN prevmax IS NOT NULL AND tsu < prevmax - 21600000000
+              THEN 1 ELSE 0 END AS late
+  FROM w)
+SELECT user_id, "window",
+       COUNT(*) FILTER (WHERE late = 0) AS n_kept,
+       COUNT(*) FILTER (WHERE late = 1) AS n_late,
+       COALESCE(MAX(value) FILTER (WHERE late = 0),
+                CAST('-1.0' AS DOUBLE)) AS max_kept
+FROM f GROUP BY user_id, 2""",
         "asof_join": """
 WITH m AS (
   SELECT user_id, ts, MAX(event_id) AS match_event_id

@@ -163,6 +163,25 @@ def run_queries() -> tuple[dict, dict]:
     if n_pages is not None:
         extra["n_pages"] = n_pages
 
+    def q_h3_cells():
+        # bit-compatible H3 assignment at all 6 north-star resolutions
+        import numpy as np
+        import pyarrow as pa
+        from shapefile_rs_ray.functions import h3 as h3mod
+
+        def enc(b):
+            lat = np.asarray(b["lat"], np.float64)
+            lon = np.asarray(b["lon"], np.float64)
+            out = {"page_id": b["page_id"]}
+            for res in (4, 5, 6, 7, 8, 9):
+                out[f"h3_r{res}"] = pa.array(
+                    h3mod.encode_vec(lat, lon, res), pa.int64())
+            return pa.table(out)
+
+        return pages().map_batches(enc, batch_format="pyarrow").count()
+
+    timed("h3_cells", q_h3_cells)
+
     def q_decode_lakes():
         # single-core decode kernel over the 1162-lake corpus, repeated 10x
         # (the apples-to-apples comparison against the reference's

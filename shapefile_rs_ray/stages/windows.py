@@ -207,6 +207,85 @@ def _user_ts_sorted(part: pa.Table):
     return order, u, t, e, new_user
 
 
+LATE_US = 6 * 3600 * 1_000_000       # allowed lateness: 6 hours
+
+
+def watermark_window_counts(events, *, window_s: int = WINDOW_SECONDS,
+                            late_us: int = LATE_US,
+                            parts: int = USER_PARTITIONS):
+    """Event-time watermark / late-data semantics (batch interpretation of
+    a streaming ingest; VERDICT-r2's "missing #4").
+
+    The events parquet is time-ordered, so replaying it as-is would never
+    produce late data; arrival order is instead the deterministic
+    log-shuffle key a(e) = (event_id * M1) % P1 (synth's Knuth
+    multiplicative hash — same int64-overflow bound as synth._fracs),
+    which models an out-of-order log while staying bit-reproducible in
+    SQL. Per user, the watermark at an event's arrival is
+    max(event-time of previously-arrived events) - late_us (exclusive
+    prefix); the event is LATE iff its ts is below that.
+
+    Output per (user_id, window): n_kept, n_late, max_kept (-1.0 when the
+    window saw only late events). ONE shuffle into coarse user-hash
+    partitions (a user's whole history lands in one partition, so the
+    aggregation finishes locally — no second shuffle); the per-user
+    exclusive prefix maximum runs vectorized per user run (the run loop is
+    per-user-in-partition, not per row).
+    """
+    from ..functions.synth import M1, P1
+
+    win_us = window_s * 1_000_000
+    cols = ["user_id", "window", "n_kept", "n_late", "max_kept"]
+
+    def local(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        users = np.asarray(part["user_id"], np.int64)
+        ts = np.asarray(part["ts"].cast(pa.int64()))      # us since epoch
+        eids = np.asarray(part["event_id"], np.int64)
+        vals = np.asarray(part["value"], np.float64)
+        akey = (eids * M1) % P1
+        order = np.lexsort((eids, akey, users))           # arrival replay
+        u_s, t_s, v_s = users[order], ts[order], vals[order]
+        new_user = np.empty(n, bool)
+        new_user[0:1] = True
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        starts = np.nonzero(new_user)[0]
+        # exclusive prefix max of event-time per user run; sentinel -1
+        # (ts >= 0) marks "no previous arrival" without int64 underflow
+        prevmax = np.empty(n, np.int64)
+        for s, e in zip(starts, np.append(starts[1:], n)):
+            prevmax[s] = -1
+            if e - s > 1:
+                prevmax[s + 1:e] = np.maximum.accumulate(t_s[s:e - 1])
+        late = t_s < prevmax - late_us
+        win = t_s // win_us
+        order2 = np.lexsort((win, u_s))
+        u2, w2, l2, v2 = u_s[order2], win[order2], late[order2], v_s[order2]
+        new = np.empty(n, bool)
+        new[0:1] = True
+        new[1:] = (u2[1:] != u2[:-1]) | (w2[1:] != w2[:-1])
+        gstart = np.nonzero(new)[0]
+        if n == 0:
+            return pa.table({c: pa.array([], pa.float64() if c == "max_kept"
+                                         else pa.int64()) for c in cols})
+        n_late = np.add.reduceat(l2.astype(np.int64), gstart)
+        gcnt = np.append(gstart[1:], n) - gstart
+        kept_vals = np.where(l2, -np.inf, v2)
+        mx = np.maximum.reduceat(kept_vals, gstart)
+        return pa.table({
+            "user_id": pa.array(u2[gstart], pa.int64()),
+            "window": pa.array(w2[gstart], pa.int64()),
+            "n_kept": pa.array(gcnt - n_late, pa.int64()),
+            "n_late": pa.array(n_late, pa.int64()),
+            "max_kept": pa.array(np.where(np.isfinite(mx), mx, -1.0),
+                                 pa.float64()),
+        })
+
+    return (_partition_by_user(events.select_columns(
+                ["event_id", "ts", "user_id", "value"]), parts)
+            .groupby("__p").map_groups(local, batch_format="pyarrow"))
+
+
 def asof_self_join(events, *, match_type: str = "purchase",
                    parts: int = USER_PARTITIONS):
     """For every event: the most recent event of `match_type` by the same

@@ -221,3 +221,36 @@ def test_joins_handle_empty_sides_and_null_keys(ray_session):
                          ray.data.from_arrow(dim),
                          key="k", right_cols=("v",)).to_pandas())
     assert out2.x.tolist() == [3] and out2.v.tolist() == ["b"]
+
+
+def test_watermark_window_semantics(ray_session):
+    """Handmade log: prefix-exclusive watermark, strict-< lateness
+    boundary, -1.0 max_kept for all-late windows, multi-user isolation."""
+    import ray
+    from shapefile_rs_ray.functions.synth import M1, P1
+    from shapefile_rs_ray.stages.windows import watermark_window_counts
+
+    H = 3600 * 1_000_000
+    LATE = 6 * H
+    # choose event ids whose arrival keys (eid*M1)%P1 replay user 1's
+    # events in the order e_a (ts 10h), e_b (ts 1h): e_b arrives after an
+    # event 9h newer -> 1h < 10h - 6h -> LATE. A third event at exactly
+    # (10h - 6h) tests the strict < boundary (NOT late).
+    cand = sorted(range(40), key=lambda e: (e * M1) % P1)
+    e_first, e_second, e_third = cand[0], cand[1], cand[2]
+    tbl = pa.table({
+        "event_id": pa.array([e_first, e_second, e_third, 38], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(np.array([10 * H, 1 * H, 4 * H, 1 * H],
+                                "datetime64[us]")),
+        "value": pa.array([5.0, 9.0, 7.0, 3.0], pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    got = (watermark_window_counts(ds).to_pandas()
+           .sort_values(["user_id", "window"]).reset_index(drop=True))
+    rows = {(r.user_id, r.window): (r.n_kept, r.n_late, r.max_kept)
+            for r in got.itertuples()}
+    assert rows[(1, 10)] == (1, 0, 5.0)       # first arrival never late
+    assert rows[(1, 1)] == (0, 1, -1.0)       # 1h < 10h-6h: late, all-late window
+    assert rows[(1, 4)] == (1, 0, 7.0)        # ts == watermark: strict <, kept
+    assert rows[(2, 1)] == (1, 0, 3.0)        # other user unaffected
