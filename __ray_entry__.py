@@ -247,6 +247,35 @@ def _cells_multi(sf_dir: str):
         assign, batch_format="pyarrow")
 
 
+def _h3_ring(sf_dir: str):
+    """1-ring H3 neighborhood per sampled page (spatial-smoothing /
+    neighbor-join primitive): point-anchored grid traversal in the
+    landing-face lattice, canonicalized by the exact encoder. Oracled
+    against the scalar ring twin's golden (independent control flow)."""
+    from shapefile_rs_ray.functions import h3 as h3mod
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_webpages
+
+    oracles.ensure_h3_ring_golden(_n_pages(sf_dir))
+    step = oracles.H3_RING_STEP
+    res = oracles.H3_RING_RES
+
+    def ring(batch: pa.Table) -> pa.Table:
+        pid = np.asarray(batch["page_id"], np.int64)
+        keep = pid % step == 0
+        pid = pid[keep]
+        lat = np.asarray(batch["lat"], np.float64)[keep]
+        lon = np.asarray(batch["lon"], np.float64)[keep]
+        rows, cells = h3mod.grid_disk_points(lat, lon, res, 1)
+        return pa.table({
+            "page_id": pa.array(pid[rows], pa.int64()),
+            "ring_cell": pa.array(h3mod.to_hex(cells), pa.string()),
+        })
+
+    return read_webpages(sf_dir, with_html=False).map_batches(
+        ring, batch_format="pyarrow")
+
+
 def _n_pages(sf_dir: str) -> int:
     import os
 
@@ -686,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fidelity": _text_fidelity,
         "langid": _langid,
         "cells_multi": _cells_multi,
+        "h3_ring": _h3_ring,
         "hex_cells": _hex_cells,
         "quality_corpus": _quality_corpus,
         "minhash_pairs": _minhash_pairs,
@@ -779,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT geom_id, shape_type, n_parts, xmin, ymin, xmax, ymax "
             f"FROM read_parquet('{oracles.LAKES_SUMMARY_PQ}')"),
         "cells_multi": oracles.cells_multi_sql(),
+        "h3_ring": oracles.h3_ring_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "pip_join": oracles.pip_join_sql(),

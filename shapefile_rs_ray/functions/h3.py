@@ -248,21 +248,10 @@ def _geo_az_vec(lat1, lng1, lat2, lng2):
         - np.sin(lat1) * np.cos(lat2) * np.cos(lng2 - lng1))
 
 
-def encode_vec(lat_deg: np.ndarray, lng_deg: np.ndarray,
-               res: int) -> np.ndarray:
-    """lat/lng degrees -> H3 cell index (int64), vectorized.
-
-    Raises if any point reaches a table entry the derivation proved
-    unreachable (would indicate a binning bug, never silent corruption).
-    """
-    if not 0 <= res <= MAX_RES:
-        raise ValueError(f"res out of range: {res}")
-    lat = np.deg2rad(np.asarray(lat_deg, np.float64))
-    lng = np.deg2rad(np.asarray(lng_deg, np.float64))
+def _geo_to_face_ijk_vec(lat, lng, res):
+    """radians -> (landing face, res-level ijk) — the binning half of the
+    encode; also the anchor for point-local grid traversal (grid_disk)."""
     n = lat.shape[0]
-    if n == 0:
-        return np.empty(0, np.int64)
-
     coslat = np.cos(lat)
     v = np.stack([coslat * np.cos(lng), coslat * np.sin(lng),
                   np.sin(lat)], axis=1)
@@ -281,8 +270,61 @@ def encode_vec(lat_deg: np.ndarray, lng_deg: np.ndarray,
     small = r < 1e-16
     x = np.where(small, 0.0, gr * np.cos(theta))
     y = np.where(small, 0.0, gr * np.sin(theta))
-
     i, j, k = _hex2d_to_ijk_vec(x, y)
+    return face, i, j, k
+
+
+def _face_ijk_to_geo_vec(face, i, j, k, res):
+    """inverse of _geo_to_face_ijk_vec's projection: (face, res-level ijk)
+    -> radians of the lattice-point center UNDER THAT FACE'S gnomonic
+    frame. Exact for in-face positions; positions extrapolated past a face
+    boundary carry only the local projective-distortion error (a small
+    fraction of a cell for +-1..2 lattice steps), which grid traversal
+    cancels by re-encoding."""
+    i2 = (i - k).astype(np.float64)
+    j2 = (j - k).astype(np.float64)
+    x = i2 - 0.5 * j2
+    y = j2 * M_SIN60
+    gr = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    if np.ndim(res) == 0:
+        if res % 2 == 1:
+            theta = theta + M_AP7_ROT_RADS
+        gr = gr / _SCALE[res]
+    else:               # per-row resolutions (cell_to_latlng on mixed res)
+        theta = np.where(res % 2 == 1, theta + M_AP7_ROT_RADS, theta)
+        gr = gr / np.asarray(_SCALE)[res]
+    r = np.arctan(gr * RES0_U_GNOMONIC)
+    az = (AZ0[face] - theta) % _TWO_PI
+    lat1 = FACE_CENTER_GEO[face, 0]
+    lng1 = FACE_CENTER_GEO[face, 1]
+    lat2 = np.arcsin(np.sin(lat1) * np.cos(r)
+                     + np.cos(lat1) * np.sin(r) * np.cos(az))
+    lng2 = lng1 + np.arctan2(
+        np.sin(az) * np.sin(r) * np.cos(lat1),
+        np.cos(r) - np.sin(lat1) * np.sin(lat2))
+    small = gr < 1e-16
+    lat2 = np.where(small, lat1, lat2)
+    lng2 = np.where(small, lng1, lng2)
+    return lat2, lng2
+
+
+def encode_vec(lat_deg: np.ndarray, lng_deg: np.ndarray,
+               res: int) -> np.ndarray:
+    """lat/lng degrees -> H3 cell index (int64), vectorized.
+
+    Raises if any point reaches a table entry the derivation proved
+    unreachable (would indicate a binning bug, never silent corruption).
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res out of range: {res}")
+    lat = np.deg2rad(np.asarray(lat_deg, np.float64))
+    lng = np.deg2rad(np.asarray(lng_deg, np.float64))
+    n = lat.shape[0]
+    if n == 0:
+        return np.empty(0, np.int64)
+
+    face, i, j, k = _geo_to_face_ijk_vec(lat, lng, res)
 
     digits = np.empty((n, res), np.int64)
     for level in range(res, 0, -1):
@@ -371,12 +413,8 @@ def _finish_pentagon(dig, rot, cw):
 
 
 # --------------------------------------------------------------- scalar
-def encode_scalar(lat_deg: float, lng_deg: float, res: int) -> int:
-    """Independent scalar transliteration of the same algorithm (oracle
-    golden generator). Shares only the constant/lookup tables with
-    encode_vec; all control flow is separate straight-line Python."""
-    lat = float(np.deg2rad(lat_deg))
-    lng = float(np.deg2rad(lng_deg))
+def _geo_to_face_ijk_scalar(lat: float, lng: float, res: int):
+    """scalar twin of _geo_to_face_ijk_vec (radians in)."""
     cl = np.cos(lat)
     vx, vy, vz = cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)
     best, bestd = 0, -2.0
@@ -431,7 +469,16 @@ def encode_scalar(lat_deg: float, lng_deg: float, res: int) -> int:
     if y < 0.0:
         i = i - (2 * j + 1) // 2
         j = -j
-    i, j, k = _norm_ijk_scalar(i, j, k)
+    return face, _norm_ijk_scalar(i, j, k)
+
+
+def encode_scalar(lat_deg: float, lng_deg: float, res: int) -> int:
+    """Independent scalar transliteration of the same algorithm (oracle
+    golden generator). Shares only the constant/lookup tables with
+    encode_vec; all control flow is separate straight-line Python."""
+    lat = float(np.deg2rad(lat_deg))
+    lng = float(np.deg2rad(lng_deg))
+    face, (i, j, k) = _geo_to_face_ijk_scalar(lat, lng, res)
 
     digits = [7] * res
     for level in range(res, 0, -1):
@@ -534,3 +581,266 @@ def is_pentagon(cells: np.ndarray) -> np.ndarray:
         d = (cells >> (3 * (14 - idx))) & 7
         all_zero &= (d == 0) | (idx >= res)
     return pent_bc & all_zero
+
+
+# ------------------------------------------------- grid traversal / inverse
+# home (face, i, j, k) per base cell (derived; scripts/derive_h3_tables.py)
+_HOME = np.array([
+    (1,1,0,0), (1,1,0,1), (1,0,0,0), (2,1,0,0), (0,2,0,0), (0,1,0,1),
+    (1,0,0,1), (2,0,0,0), (0,1,0,0), (2,0,1,0), (1,0,1,0), (1,0,1,1),
+    (3,1,0,0), (2,1,0,1), (11,2,0,0), (4,1,0,0), (0,0,0,0), (6,0,1,0),
+    (0,0,0,1), (2,0,1,1), (7,0,0,1), (2,0,0,1), (0,1,1,0), (6,0,0,1),
+    (10,2,0,0), (6,0,0,0), (3,0,0,0), (11,1,0,0), (3,1,0,1), (3,0,1,0),
+    (0,0,1,1), (4,0,0,0), (5,0,1,0), (0,0,1,0), (7,0,1,0), (6,1,1,0),
+    (7,0,0,0), (10,1,0,0), (12,2,0,0), (6,1,0,1), (7,1,0,1), (4,0,0,1),
+    (3,0,0,1), (3,0,1,1), (4,0,1,0), (6,1,0,0), (11,0,0,0), (8,0,0,1),
+    (5,0,0,1), (14,2,0,0), (5,0,0,0), (12,1,0,0), (5,1,1,0), (4,0,1,1),
+    (7,1,1,0), (7,1,0,0), (11,0,1,0), (10,0,0,0), (13,2,0,0), (10,0,0,1),
+    (11,0,0,1), (9,0,1,0), (8,0,1,0), (6,2,0,0), (8,0,0,0), (9,0,0,1),
+    (14,1,0,0), (5,1,0,1), (11,0,1,1), (8,1,0,1), (5,1,0,0), (12,0,0,0),
+    (7,2,0,0), (12,0,1,0), (10,0,1,0), (9,0,0,0), (13,1,0,0), (16,0,0,1),
+    (10,0,1,1), (15,0,1,0), (16,0,1,0), (9,1,1,0), (8,1,1,0), (5,2,0,0),
+    (8,1,0,0), (14,0,0,0), (9,1,0,1), (14,0,0,1), (17,0,0,1), (12,0,0,1),
+    (16,0,0,0), (12,0,1,1), (15,0,0,1), (15,1,1,0), (9,1,0,0), (15,0,0,0),
+    (13,0,0,0), (8,2,0,0), (13,0,1,0), (16,1,1,0), (19,0,1,0), (14,0,1,0),
+    (14,0,1,1), (17,0,1,0), (13,0,0,1), (17,0,0,0), (16,1,0,0), (9,2,0,0),
+    (15,1,0,1), (15,1,0,0), (13,0,1,1), (18,0,0,1), (19,0,0,1), (17,1,0,0),
+    (19,0,0,0), (18,0,1,0), (17,1,1,0), (15,2,0,0), (19,1,0,0), (18,0,0,0),
+    (18,1,1,0), (18,1,0,0),
+], np.int64)
+
+# digit -> ijk unit vector (inverse of the 4di+2dj+dk packing)
+_UNIT_IJK = np.array([(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+                      (1, 0, 0), (1, 0, 1), (1, 1, 0), (0, 0, 0)], np.int64)
+# center + the 6 hex neighbors, as ijk+ offsets
+_DISK1_OFFSETS = _UNIT_IJK[:7]
+
+
+def grid_disk_points(lat_deg: np.ndarray, lng_deg: np.ndarray, res: int,
+                     k: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """cells within grid distance <= k of the cell containing each point.
+
+    Point-anchored traversal: each point is binned to its landing-face
+    lattice position; ring members are +-1 lattice steps whose centers are
+    unprojected IN THE SAME FACE FRAME (locally exact up to projective
+    distortion, a small fraction of a cell) and canonicalized by
+    re-encoding with the exact encoder; k > 1 expands iteratively from
+    the newly-found cells' representative centers, so every step stays
+    local.  This sidesteps the pentagon 5-fold/6-fold sector mismatch a
+    home-frame extrapolation would hit (cells at the 12 icosa vertices).
+
+    Returns (row_idx, cell) pairs, one per distinct cell per input row,
+    unordered.  Pentagons have 6 ring-1 members instead of 7 (the deleted
+    K neighbor deduplicates away).
+    """
+    lat = np.deg2rad(np.asarray(lat_deg, np.float64))
+    lng = np.deg2rad(np.asarray(lng_deg, np.float64))
+    n = lat.shape[0]
+    if n == 0 or k < 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    seen_rows = np.empty(0, np.int64)
+    seen_cells = np.empty(0, np.int64)
+    cur_rows = np.arange(n, dtype=np.int64)
+    cur_lat, cur_lng = lat, lng
+    for ring in range(k + 1):
+        face, ci, cj, ck = _geo_to_face_ijk_vec(cur_lat, cur_lng, res)
+        if ring == 0:           # seed: just the containing cells
+            offs = _DISK1_OFFSETS[:1]
+        else:
+            offs = _DISK1_OFFSETS
+        m = cur_rows.shape[0]
+        rows_x = np.repeat(cur_rows, len(offs))
+        face_x = np.repeat(face, len(offs))
+        ni = (ci[:, None] + offs[None, :, 0]).ravel()
+        nj = (cj[:, None] + offs[None, :, 1]).ravel()
+        nk = (ck[:, None] + offs[None, :, 2]).ravel()
+        nlat, nlng = _face_ijk_to_geo_vec(face_x, ni, nj, nk, res)
+        cells = encode_vec(np.rad2deg(nlat), np.rad2deg(nlng), res)
+        # dedup against everything seen; newcomers form the next frontier
+        pairs = np.stack([np.concatenate([seen_rows, rows_x]),
+                          np.concatenate([seen_cells, cells])], axis=1)
+        uniq, first = np.unique(pairs, axis=0, return_index=True)
+        new_mask = first >= seen_rows.shape[0]
+        seen_rows, seen_cells = uniq[:, 0], uniq[:, 1]
+        if ring == k or not new_mask.any():
+            if ring == k:
+                break
+            continue
+        new_src = first[new_mask] - (pairs.shape[0] - rows_x.shape[0])
+        cur_rows = uniq[new_mask, 0]
+        cur_lat = nlat[new_src]
+        cur_lng = nlng[new_src]
+    return seen_rows, seen_cells
+
+
+def _descend_unproject(face, i0, j0, k0, digits, res):
+    """lattice descent from res-0 (face, ijk) along per-job digit strings,
+    then gnomonic unprojection in that face's frame; all arrays are
+    per-job."""
+    i, j, k = i0.copy(), j0.copy(), k0.copy()
+    maxres = int(res.max()) if res.size else 0
+    for level in range(1, maxres + 1):
+        active = level <= res
+        if level % 2 == 1:      # Class III
+            di, dj, dk = 3 * i + j, 3 * j + k, i + 3 * k
+        else:                   # Class II
+            di, dj, dk = 3 * i + k, i + 3 * j, j + 3 * k
+        u = _UNIT_IJK[digits[:, level - 1]] if level <= digits.shape[1] \
+            else _UNIT_IJK[np.zeros(len(i), np.int64)]
+        i = np.where(active, di + u[:, 0], i)
+        j = np.where(active, dj + u[:, 1], j)
+        k = np.where(active, dk + u[:, 2], k)
+    return _face_ijk_to_geo_vec(face, i, j, k, res)
+
+
+# reverse index: base cell -> all (face, i, j, k, rot, cw) table entries
+_BC_ENTRIES: dict[int, list[tuple[int, int, int, int, int, int]]] = {}
+for _f in range(20):
+    for _i in range(3):
+        for _j in range(3):
+            for _k in range(3):
+                _b = int(BC_TABLE[_f, _i, _j, _k])
+                if _b >= 0:
+                    _BC_ENTRIES.setdefault(_b, []).append(
+                        (_f, _i, _j, _k, int(ROT_TABLE[_f, _i, _j, _k]),
+                         int(CW_TABLE[_f, _i, _j, _k])))
+del _f, _i, _j, _k, _b
+_MAX_CAND = max(len(v) for v in _BC_ENTRIES.values())
+_PENT_SET = frozenset(PENTAGON_BCS)
+_POW_CW = _POW_CCW[(6 - np.arange(6)) % 6]      # inverse digit rotations
+
+
+def _rotate_pent60cw_digits(dig):
+    """inverse of _rotate_pent60ccw on canonical strings (order 5)."""
+    for _ in range(4):
+        dig = _rotate_pent60ccw(dig)
+    return dig
+
+
+def cell_to_latlng(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Geographic center of each cell (degrees) — verified inverse.
+
+    For each cell, every table entry where its base cell appears is a
+    candidate frame: the canonical digit string is un-rotated into that
+    frame (for pentagons, un-rotating the K-skip rotation and optionally
+    undoing the leading-K adjustment), descended through the lattice,
+    and unprojected in THAT face's gnomonic frame; the first candidate
+    whose center RE-ENCODES to the input cell wins, so the result is
+    correct by construction (a cell always lies in the region of one of
+    its base cell's faces; a naive home-face-only descent measured only
+    ~80% round-trip — gnomonic extrapolation past a face edge is a
+    large error, not a small one).  Raises if no candidate verifies.
+    Centers are geometrically exact for the winning in-face frame but
+    NOT guaranteed bit-identical to libh3's cellToLatLng.
+    """
+    cells = np.asarray(cells, np.int64)
+    n = cells.shape[0]
+    if n == 0:
+        return np.empty(0), np.empty(0)
+    res = get_resolution(cells)
+    bc = get_base_cell(cells)
+    digits = np.empty((n, MAX_RES), np.int64)
+    for idx in range(MAX_RES):
+        digits[:, idx] = (cells >> (3 * (14 - idx))) & 7
+    digits = np.where(digits == 7, 0, digits)     # pad -> center child
+
+    # build per-row candidate digit strings + frames (jobs)
+    job_row: list[int] = []
+    job_face: list[int] = []
+    job_ijk: list[tuple[int, int, int]] = []
+    job_digits: list[list[int]] = []
+    for row in range(n):
+        b = int(bc[row])
+        r = int(res[row])
+        dig = [int(d) for d in digits[row, :r]]
+        for f, i0, j0, k0, rot, cw in _BC_ENTRIES[b]:
+            if b in _PENT_SET:
+                # undo the pentagon finish: pentccw^rot then (maybe) the
+                # leading-K adjustment; both raw variants are candidates
+                mid = list(dig)
+                for _ in range((5 - rot % 5) % 5):
+                    mid = _rotate_pent60ccw(mid)
+                variants = []
+                if _leading_nonzero(mid) != 1:
+                    variants.append(mid)
+                undo = [int((_ROT_CCW if cw else _ROT_CW)[d]) for d in mid]
+                if _leading_nonzero(undo) == 1:
+                    variants.append(undo)
+            else:
+                lut = _POW_CW[rot % 6]
+                variants = [[int(lut[d]) for d in dig]]
+            for v in variants:
+                job_row.append(row)
+                job_face.append(f)
+                job_ijk.append((i0, j0, k0))
+                job_digits.append(v + [0] * (MAX_RES - r))
+    jr = np.array(job_row, np.int64)
+    jf = np.array(job_face, np.int64)
+    jijk = np.array(job_ijk, np.int64)
+    jd = np.array(job_digits, np.int64).reshape(len(job_row), MAX_RES)
+    jres = res[jr]
+    lat, lng = _descend_unproject(jf, jijk[:, 0], jijk[:, 1], jijk[:, 2],
+                                  jd, jres)
+    lat_d = np.rad2deg(lat)
+    lng_d = np.rad2deg(lng)
+    # verify per job at each job's own res (group by res to batch encodes)
+    ok = np.zeros(len(jr), bool)
+    for r in np.unique(jres):
+        m = jres == r
+        ok[m] = encode_vec(lat_d[m], lng_d[m], int(r)) == cells[jr[m]]
+    out_lat = np.full(n, np.nan)
+    out_lng = np.full(n, np.nan)
+    good = np.nonzero(ok)[0]
+    # first verifying job per row wins (jobs are in candidate order)
+    first = np.full(n, -1, np.int64)
+    for gi in good[::-1]:
+        first[jr[gi]] = gi
+    missing = np.nonzero(first < 0)[0]
+    if missing.size:
+        raise AssertionError(
+            f"cell_to_latlng: no verifying frame for cells "
+            f"{[format(int(cells[m]), 'x') for m in missing[:5].tolist()]}")
+    out_lat = lat_d[first]
+    out_lng = lng_d[first]
+    return out_lat, out_lng
+
+
+def _face_ijk_to_geo_scalar(face: int, i: int, j: int, k: int, res: int):
+    """scalar twin of _face_ijk_to_geo_vec (radians out)."""
+    i2 = float(i - k)
+    j2 = float(j - k)
+    x = i2 - 0.5 * j2
+    y = j2 * M_SIN60
+    gr = float(np.hypot(x, y))
+    lat1, lng1 = FACE_CENTER_GEO[face]
+    if gr < 1e-16:
+        return float(lat1), float(lng1)
+    theta = float(np.arctan2(y, x))
+    if res % 2 == 1:
+        theta = theta + M_AP7_ROT_RADS
+    gr = gr / _SCALE[res]
+    r = float(np.arctan(gr * RES0_U_GNOMONIC))
+    az = (AZ0[face] - theta) % _TWO_PI
+    lat2 = float(np.arcsin(np.sin(lat1) * np.cos(r)
+                           + np.cos(lat1) * np.sin(r) * np.cos(az)))
+    lng2 = float(lng1 + np.arctan2(
+        np.sin(az) * np.sin(r) * np.cos(lat1),
+        np.cos(r) - np.sin(lat1) * np.sin(lat2)))
+    return lat2, lng2
+
+
+def grid_disk_scalar(lat_deg: float, lng_deg: float, res: int) -> list[int]:
+    """Independent scalar twin of grid_disk_points for k=1 (oracle golden
+    generator): bin the point, step the 6 lattice neighbors in the landing
+    face's frame, re-encode each, dedup. Returns sorted cell ids."""
+    lat = float(np.deg2rad(lat_deg))
+    lng = float(np.deg2rad(lng_deg))
+    face, (ci, cj, ck) = _geo_to_face_ijk_scalar(lat, lng, res)
+    out = {encode_scalar(lat_deg, lng_deg, res)}
+    for di, dj, dk in _DISK1_OFFSETS[1:]:
+        nlat, nlng = _face_ijk_to_geo_scalar(
+            face, ci + int(di), cj + int(dj), ck + int(dk), res)
+        out.add(encode_scalar(float(np.rad2deg(nlat)),
+                              float(np.rad2deg(nlng)), res))
+    return sorted(out)

@@ -29,7 +29,10 @@ BOXES_PQ = os.path.join(ORACLE_DIR, "lakes_boxes.parquet")
 S2_LOOKUP_PQ = os.path.join(ORACLE_DIR, "s2_lookup.parquet")
 LAKES_SUMMARY_PQ = os.path.join(ORACLE_DIR, "lakes_summary.parquet")
 H3_GOLDEN_PQ = os.path.join(ORACLE_DIR, "h3_golden.parquet")
+H3_RING_GOLDEN_PQ = os.path.join(ORACLE_DIR, "h3_ring_golden.parquet")
 H3_RESOLUTIONS = (4, 5, 6, 7, 8, 9)
+H3_RING_RES = 7
+H3_RING_STEP = 20           # every 20th page gets its ring in the query
 
 
 def ensure_artifacts() -> None:
@@ -105,6 +108,44 @@ def ensure_h3_golden(n_pages: int) -> None:
     tmp = H3_GOLDEN_PQ + ".tmp"
     pq.write_table(pa.concat_tables(parts), tmp)
     os.replace(tmp, H3_GOLDEN_PQ)
+
+
+def ensure_h3_ring_golden(n_pages: int) -> None:
+    """Golden for the h3_ring query: (page_id, ring_cell hex) for every
+    sampled page (page_id % H3_RING_STEP == 0), computed by the SCALAR
+    ring twin (functions/h3.grid_disk_scalar — independent control flow
+    from the vectorized grid traversal). Ray-task fan-out, idempotent."""
+    need = (n_pages + H3_RING_STEP - 1) // H3_RING_STEP
+    if os.path.exists(H3_RING_GOLDEN_PQ):
+        import duckdb
+        have = duckdb.sql(
+            f"SELECT COUNT(DISTINCT page_id) FROM "
+            f"read_parquet('{H3_RING_GOLDEN_PQ}')").fetchone()[0]
+        if have >= need:
+            return
+    import ray
+
+    @ray.remote
+    def _chunk(start: int, stop: int) -> pa.Table:
+        from ..functions import h3 as h3mod
+        ids = np.arange(start, stop, dtype=np.int64) * H3_RING_STEP
+        ids = ids[ids < n_pages]
+        lon, lat = synth.geocode(ids)
+        out_ids, out_cells = [], []
+        for pid, lo, la in zip(ids.tolist(), lon.tolist(), lat.tolist()):
+            for cell in h3mod.grid_disk_scalar(la, lo, H3_RING_RES):
+                out_ids.append(pid)
+                out_cells.append(format(cell, "x"))
+        return pa.table({"page_id": pa.array(out_ids, pa.int64()),
+                         "ring_cell": pa.array(out_cells, pa.string())})
+
+    step = 4000
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    parts = ray.get([_chunk.remote(s, min(s + step, need))
+                     for s in range(0, need, step)])
+    tmp = H3_RING_GOLDEN_PQ + ".tmp"
+    pq.write_table(pa.concat_tables(parts), tmp)
+    os.replace(tmp, H3_RING_GOLDEN_PQ)
 
 
 PAGES_CTE = f"pages AS ({synth.webpages_sql()})"
@@ -233,6 +274,18 @@ SELECT cells.page_id,
        {h3_cols}
 FROM cells
 JOIN read_parquet('{H3_GOLDEN_PQ}') g ON g.page_id = cells.page_id
+"""
+
+
+def h3_ring_sql() -> str:
+    """h3_ring oracle: the scalar-twin golden restricted to this scale's
+    pages (the golden may cover a larger corpus)."""
+    return f"""
+WITH {PAGES_CTE}
+SELECT p.page_id, g.ring_cell
+FROM pages p
+JOIN read_parquet('{H3_RING_GOLDEN_PQ}') g ON g.page_id = p.page_id
+WHERE p.page_id % {H3_RING_STEP} = 0
 """
 
 

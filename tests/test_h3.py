@@ -165,3 +165,76 @@ def test_pentagon_index_shape():
     assert h3.is_pentagon(pent0)[0]
     hexa0 = np.array([(1 << 59) | (20 << 45) | ((1 << 45) - 1)], np.int64)
     assert not h3.is_pentagon(hexa0)[0]
+
+
+def test_grid_disk_sizes_and_sf_kring():
+    """ring-1 disks have exactly 7 cells (hexagons), and the SF res-9 disk
+    equals the documented kRing set exactly."""
+    rows, cells = h3.grid_disk_points(np.array([SF[0]]), np.array([SF[1]]),
+                                      9, 1)
+    assert set(h3.to_hex(cells)) == EXPECTED_KRING
+    rng = np.random.default_rng(13)
+    n = 500
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lng = rng.uniform(-180.0, 180.0, n)
+    rows, cells = h3.grid_disk_points(lat, lng, 7, 1)
+    counts = np.bincount(rows, minlength=n)
+    assert (counts == 7).all()
+    # k=2 disks have 19 cells
+    rows2, _ = h3.grid_disk_points(lat[:100], lng[:100], 7, 2)
+    assert (np.bincount(rows2, minlength=100) == 19).all()
+
+
+def test_grid_disk_symmetry():
+    """x in disk(y,1) iff y in disk(x,1): traversal must be symmetric —
+    checked via centers of all ring members of random disks."""
+    rng = np.random.default_rng(17)
+    n = 120
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lng = rng.uniform(-180.0, 180.0, n)
+    rows, cells = h3.grid_disk_points(lat, lng, 8, 1)
+    own = h3.encode_vec(lat, lng, 8)
+    clat, clng = h3.cell_to_latlng(cells)
+    r2, c2 = h3.grid_disk_points(clat, clng, 8, 1)
+    back = {(int(a), int(b)) for a, b in zip(r2, c2)}
+    for ridx, cell in zip(rows.tolist(), cells.tolist()):
+        # the member's own disk must contain the origin cell
+        member_pos = np.nonzero(cells == cell)[0]
+        assert any((int(m), int(own[ridx])) in back
+                   for m in member_pos if rows[m] == ridx)
+
+
+def test_cell_to_latlng_roundtrip():
+    """verified inverse: the returned center re-encodes to the same cell,
+    including pentagon subtrees, cross-face disk members and mixed res."""
+    rng = np.random.default_rng(23)
+    n = 1500
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lng = rng.uniform(-180.0, 180.0, n)
+    for res in (0, 4, 9):
+        cells = h3.encode_vec(lat, lng, res)
+        clat, clng = h3.cell_to_latlng(cells)
+        assert (h3.encode_vec(clat, clng, res) == cells).all()
+    # pentagon-subtree cells specifically
+    pent_rows = h3._IS_PENT[h3.get_base_cell(h3.encode_vec(lat, lng, 0))]
+    assert pent_rows.sum() > 20
+    cells = h3.encode_vec(lat[pent_rows], lng[pent_rows], 8)
+    clat, clng = h3.cell_to_latlng(cells)
+    assert (h3.encode_vec(clat, clng, 8) == cells).all()
+    # mixed resolutions in one call
+    mix = np.concatenate([h3.encode_vec(lat[:50], lng[:50], 4),
+                          h3.encode_vec(lat[:50], lng[:50], 9)])
+    clat, clng = h3.cell_to_latlng(mix)
+    assert (h3.encode_vec(clat[:50], clng[:50], 4) == mix[:50]).all()
+    assert (h3.encode_vec(clat[50:], clng[50:], 9) == mix[50:]).all()
+
+
+def test_grid_disk_scalar_twin_agrees():
+    rng = np.random.default_rng(29)
+    n = 60
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lng = rng.uniform(-180.0, 180.0, n)
+    rows, cells = h3.grid_disk_points(lat, lng, 7, 1)
+    for q in range(n):
+        assert sorted(cells[rows == q].tolist()) == \
+            h3.grid_disk_scalar(lat[q], lng[q], 7)
