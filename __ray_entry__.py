@@ -101,6 +101,20 @@ def _pip_join_cellpart(sf_dir: str):
                                 hot_threshold=2000)
 
 
+def _pip_join_h3(sf_dir: str):
+    """North-star shape: the PIP join as an H3-keyed groupby-by-cell
+    shuffle (bit-compatible H3 res-4 cells; polygons replicated to their
+    conservative H3 bbox cover; hot cells salted). Output rows must equal
+    the broadcast join's, so the oracle is the same pip_join SQL."""
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.pip_join import (h3_partitioned_pip,
+                                                  load_polygons)
+    ds = read_webpages(sf_dir, with_html=False)
+    return h3_partitioned_pip(ds, load_polygons(LAKES), res=4,
+                              keep_cols=("page_id", "url"),
+                              hot_threshold=2000)
+
+
 def _zonal_stats(sf_dir: str):
     import pyarrow.compute as pc
     from shapefile_rs_ray.sources.webpages import read_webpages
@@ -705,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_cells": _hot_cells,
         "pip_join": _pip_join,
         "pip_join_cellpart": _pip_join_cellpart,
+        "pip_join_h3": _pip_join_h3,
         "zonal_stats": _zonal_stats,
         "zonal_cellpart": _zonal_cellpart,
         "knn_sites": _knn_sites,
@@ -814,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": oracles.fingerprints_sql(),
         "pip_join": oracles.pip_join_sql(),
         "pip_join_cellpart": oracles.pip_join_sql(),
+        "pip_join_h3": oracles.pip_join_sql(),
         "zonal_stats": oracles.zonal_sql(),
         "knn_sites": f"""
 WITH {pages}, s AS ({synth.sites_sql()})

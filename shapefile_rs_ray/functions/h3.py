@@ -844,3 +844,50 @@ def grid_disk_scalar(lat_deg: float, lng_deg: float, res: int) -> list[int]:
         out.add(encode_scalar(float(np.rad2deg(nlat)),
                               float(np.rad2deg(nlng)), res))
     return sorted(out)
+
+
+# H3 cell metric bounds in radians at res 0, conservative across the
+# icosahedral distortion range (hex edge varies ~±40%); scale by
+# 1/sqrt(7) per res.  PAD is an UPPER bound on center->vertex distance
+# (cover padding), SPACING a LOWER bound on the inradius (cover sample
+# step).  Both are validated empirically in tests/test_h3.py.
+_COVER_PAD_RES0 = 0.45
+_COVER_SPACING_RES0 = 0.11
+
+
+def cover_bboxes(bboxes: np.ndarray, res: int,
+                 max_cells: int = 2_000_000) -> tuple[np.ndarray, np.ndarray]:
+    """Conservative H3 cover of (n,4) lon/lat bboxes -> (bbox_idx, cell).
+
+    Superset guarantee: any cell intersecting a bbox has its center
+    within one circumradius of the bbox, and every point of the padded
+    bbox is within half a sample step of a lattice sample, so sampling
+    the padded bbox at sub-inradius spacing and encoding captures every
+    such cell (over-cover is filtered by the exact downstream join; a
+    miss would lose rows, so PAD is an upper and SPACING a lower bound).
+    Driver-side one-off for the broadcast polygon side; assumes bboxes
+    do not cross the antimeridian or poles (the fixture corpus' shape).
+    """
+    bboxes = np.asarray(bboxes, np.float64).reshape(-1, 4)
+    scale = 1.0 / M_SQRT7 ** res
+    pad = np.degrees(_COVER_PAD_RES0 * scale)
+    step = np.degrees(_COVER_SPACING_RES0 * scale)
+    out_idx: list[np.ndarray] = []
+    out_cell: list[np.ndarray] = []
+    total = 0
+    for bi, (x0, y0, x1, y1) in enumerate(bboxes.tolist()):
+        la0, la1 = max(y0 - pad, -89.9), min(y1 + pad, 89.9)
+        lats = np.arange(la0, la1 + step, step)
+        coslat = max(np.cos(np.radians(max(abs(la0), abs(la1)))), 0.02)
+        lstep = step / coslat
+        lons = np.arange(x0 - pad, x1 + pad + lstep, lstep)
+        glon, glat = np.meshgrid(lons, lats)
+        total += glon.size
+        if total > max_cells:
+            raise ValueError(
+                f"cover_bboxes: sample budget exceeded at bbox {bi} "
+                f"(res {res} too fine for these extents)")
+        cells = np.unique(encode_vec(glat.ravel(), glon.ravel(), res))
+        out_idx.append(np.full(len(cells), bi, np.int64))
+        out_cell.append(cells)
+    return np.concatenate(out_idx), np.concatenate(out_cell)

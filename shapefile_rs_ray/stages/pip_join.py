@@ -111,16 +111,19 @@ def broadcast_pip_join(ds, polys: list[SimplePolygon], *,
 
 
 def cell_counts(ds, zoom: int, lon_col="lon", lat_col="lat",
-                parts: int = 251):
+                parts: int = 251, cell_fn=None):
     """Exact per-cell page counts: per-batch partial collapse (one row per
     occupied cell per batch), then ONE shuffle into `parts` coarse
     prime-modulus partitions merged with lexsort+reduceat — occupied-cell
     count grows with the corpus at high zooms, so a per-distinct-cell
-    groupby is the measured-pathological shape. Returns Dataset(cell, n)."""
+    groupby is the measured-pathological shape. Returns Dataset(cell, n).
+    `cell_fn(lon, lat) -> int64` overrides the quadkey tiling (H3 path)."""
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        c = cells_mod.grid_cell(np.asarray(batch[lon_col], np.float64),
-                                np.asarray(batch[lat_col], np.float64), zoom)
+        lon = np.asarray(batch[lon_col], np.float64)
+        lat = np.asarray(batch[lat_col], np.float64)
+        c = (cell_fn(lon, lat) if cell_fn is not None
+             else cells_mod.grid_cell(lon, lat, zoom))
         uniq, counts = np.unique(c, return_counts=True)
         return pa.table({"cell": pa.array(uniq, pa.int64()),
                          "n": pa.array(counts, pa.int64()),
@@ -141,11 +144,13 @@ def cell_counts(ds, zoom: int, lon_col="lon", lat_col="lat",
 
 
 def detect_hot_cells(ds, zoom: int, threshold: int,
-                     lon_col="lon", lat_col="lat") -> dict[int, int]:
+                     lon_col="lon", lat_col="lat",
+                     cell_fn=None) -> dict[int, int]:
     """Cheap pre-pass: exact cell counts -> {hot_cell: n_salts}. n_salts
     scales with the overflow factor, so a cell with 50x the threshold gets
     ~50 sub-keys. Only the (rare) above-threshold rows reach the driver."""
-    agg = cell_counts(ds, zoom, lon_col=lon_col, lat_col=lat_col)
+    agg = cell_counts(ds, zoom, lon_col=lon_col, lat_col=lat_col,
+                      cell_fn=cell_fn)
     hot = {}
     for row in agg.filter(expr=f"n > {threshold}").take_all():
         # the shuffle key packs the salt into 10 bits -> hard cap 1024
@@ -268,3 +273,110 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
     keyed = ds.map_batches(add_cell, batch_format="pyarrow")
     return keyed.groupby("__p").map_groups(
         CellJoin, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def h3_partitioned_pip(ds, polys: list[SimplePolygon], *, res: int = 4,
+                       keep_cols=("page_id", "url"),
+                       hot_threshold: int = 50_000,
+                       pre_ds=None, pre_fraction: float = 1.0,
+                       lon_col="lon", lat_col="lat", id_col="page_id"):
+    """cell_partitioned_pip with the bit-compatible H3 tiling as the
+    shuffle key (the north star's "groupby-by-cell shuffles" with H3):
+    polygon side replicated to its conservative H3 bbox cover
+    (functions/h3.cover_bboxes — superset, exact PIP filters the rest),
+    doc side shuffled once by its point's H3 cell, hot cells salted.
+    Output rows match broadcast_pip_join / cell_partitioned_pip exactly.
+
+    Shuffle-key packing: H3 ids occupy bit 59, so the (cell, salt) key
+    drops the constant mode/res bits (cell & (2^52-1) is unique at fixed
+    res) leaving 10 salt bits inside int64.
+    """
+    import ray
+
+    from ..functions import h3 as h3_mod
+
+    MASK52 = (1 << 52) - 1
+    boxes = np.vstack([p.bbox for p in polys])
+    poly_idx, cover_cells = h3_mod.cover_bboxes(boxes, res)
+    cell_to_polys: dict[int, list[int]] = {}
+    for pi, cc in zip(poly_idx.tolist(), (cover_cells & MASK52).tolist()):
+        cell_to_polys.setdefault(cc, []).append(pi)
+    polys_ref = ray.put(polys)
+    map_ref = ray.put(cell_to_polys)
+
+    def h3_cells(lon, lat):
+        return h3_mod.encode_vec(lat, lon, res) & MASK52
+
+    if pre_ds is None:
+        pre_ds = ds
+        pre_fraction = 1.0
+    pre_threshold = max(1, int(hot_threshold * pre_fraction))
+    hot = detect_hot_cells(pre_ds, 0, pre_threshold, lon_col=lon_col,
+                           lat_col=lat_col, cell_fn=h3_cells)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch[lon_col], np.float64)
+        lat = np.asarray(batch[lat_col], np.float64)
+        cell = h3_cells(lon, lat)
+        salt = np.zeros(len(cell), np.int64)
+        if hot:
+            ids = (np.asarray(batch[id_col], np.int64)
+                   if id_col in batch.column_names
+                   else np.arange(len(cell), dtype=np.int64))
+            for hc, ns in hot.items():
+                m = cell == hc
+                salt[m] = ids[m] % ns
+        key = cell * 1024 + salt
+        batch = batch.append_column("cell_salt", pa.array(key, pa.int64()))
+        return batch.append_column("__p", pa.array(key % 251, pa.int64()))
+
+    class H3CellJoin:
+        """identical shape to CellJoin: one shuffle partition = many whole
+        (cell, salt) groups; per-cell PIPIndex cache per actor."""
+
+        def __init__(self):
+            self.polys = ray.get(polys_ref)
+            self.cmap = ray.get(map_ref)
+            self.sub_indexes: dict[int, PIPIndex] = {}
+
+        def _join_cell(self, cell: int, group: pa.Table):
+            cand = self.cmap.get(cell, [])
+            if not cand:
+                return None
+            idx = self.sub_indexes.get(cell)
+            if idx is None:
+                idx = PIPIndex([self.polys[i] for i in cand])
+                if len(self.sub_indexes) > 4096:
+                    self.sub_indexes.clear()
+                self.sub_indexes[cell] = idx
+            lon = np.asarray(group[lon_col], np.float64)
+            lat = np.asarray(group[lat_col], np.float64)
+            pt, poly = idx.query(lon, lat)
+            out = {c: pc.take(group[c], pa.array(pt)) for c in keep_cols}
+            out["geom_id"] = pa.array(idx.geom_ids[poly], pa.int64())
+            out["poly_idx"] = pa.array(idx.poly_idx[poly], pa.int64())
+            return pa.table(out)
+
+        def __call__(self, part: pa.Table) -> pa.Table:
+            keys = np.asarray(part["cell_salt"], np.int64)
+            order = np.argsort(keys, kind="stable")
+            part = part.take(pa.array(order))
+            keys = keys[order]
+            _, starts = np.unique(keys, return_index=True)
+            bounds = np.append(starts, len(keys))
+            outs = []
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                cell = int(keys[b0]) // 1024
+                got = self._join_cell(cell, part.slice(b0, b1 - b0))
+                if got is not None and got.num_rows:
+                    outs.append(got)
+            if not outs:
+                empty = {c: part[c].slice(0, 0) for c in keep_cols}
+                empty["geom_id"] = pa.array([], pa.int64())
+                empty["poly_idx"] = pa.array([], pa.int64())
+                return pa.table(empty)
+            return pa.concat_tables(outs)
+
+    keyed = ds.map_batches(add_cell, batch_format="pyarrow")
+    return keyed.groupby("__p").map_groups(
+        H3CellJoin, batch_format="pyarrow", concurrency=(1, 4))

@@ -238,3 +238,20 @@ def test_grid_disk_scalar_twin_agrees():
     for q in range(n):
         assert sorted(cells[rows == q].tolist()) == \
             h3.grid_disk_scalar(lat[q], lng[q], 7)
+
+
+def test_cover_bboxes_superset():
+    """conservative cover: every cell seen by dense sampling inside a bbox
+    must be in the cover (misses would silently drop join rows)."""
+    rng = np.random.default_rng(43)
+    for _ in range(8):
+        cx = rng.uniform(-170, 160)
+        cy = rng.uniform(-70, 65)
+        bbox = np.array([[cx, cy, cx + rng.uniform(1, 6),
+                          cy + rng.uniform(1, 4)]])
+        res = int(rng.integers(2, 6))
+        _, cover = h3.cover_bboxes(bbox, res)
+        glon = rng.uniform(bbox[0, 0], bbox[0, 2], 8000)
+        glat = rng.uniform(bbox[0, 1], bbox[0, 3], 8000)
+        seen = np.unique(h3.encode_vec(glat, glon, res))
+        assert set(seen.tolist()) <= set(cover.tolist())

@@ -49,6 +49,21 @@ def test_cellpart_join_equals_broadcast(ray_session):
             .equals(b.sort_values(key).reset_index(drop=True)[key]))
 
 
+def test_h3part_join_equals_broadcast(ray_session):
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.pip_join import (broadcast_pip_join,
+                                                  h3_partitioned_pip,
+                                                  load_polygons)
+    polys = load_polygons(LAKES)
+    a = broadcast_pip_join(read_webpages(SF, with_html=False), polys,
+                           concurrency=2).to_pandas()
+    b = h3_partitioned_pip(read_webpages(SF, with_html=False), polys,
+                           res=4, hot_threshold=300).to_pandas()
+    key = ["page_id", "geom_id", "poly_idx"]
+    assert (a.sort_values(key).reset_index(drop=True)[key]
+            .equals(b.sort_values(key).reset_index(drop=True)[key]))
+
+
 def test_knn_matches_brute_force(ray_session, pages_ds):
     from shapefile_rs_ray.sources.webpages import webpages_table
     from shapefile_rs_ray.stages.knn import knn_join
