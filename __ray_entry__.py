@@ -558,6 +558,85 @@ def _lineitem_q1(sf_dir: str):
     return agg.map_batches(unpack_key, batch_format="pyarrow")
 
 
+Q3_CUTOFF = "1998-06-01"
+
+
+def _tpch_q3(sf_dir: str):
+    """TPC-H-Q3-flavor composite: dimension filter -> broadcast semi-join
+    (customer segment) -> large-large shuffle join (lineitem x orders) ->
+    scale-free per-orderkey integer revenue sum (coarse key-hash
+    partitions) -> map-side global top-10. Revenue is computed in integer
+    hundredths-of-cents (floor(x*100+0.5) on BOTH sides — measured: every
+    price/discount*100 lands ~1e-9 from an integer, never near .5), so
+    the SUM is merge-order-free and bit-exact vs SQL."""
+    import os
+    import ray
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.relational import (broadcast_join,
+                                                    grouped_intsum,
+                                                    shuffle_join)
+    from shapefile_rs_ray.stages.windows import global_topk
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    dim = pa.table({"o_custkey": cust["c_custkey"],
+                    "seg_hit": pa.array(np.ones(cust.num_rows, np.int64))})
+
+    cutoff = np.datetime64(Q3_CUTOFF).astype("datetime64[us]")
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        odate = np.asarray(b["o_orderdate"].cast(pa.int64()))
+        keep = odate < cutoff.astype(np.int64)
+        return pa.table({
+            "l_orderkey": pc.filter(b["o_orderkey"], pa.array(keep)),
+            "o_custkey": pc.filter(b["o_custkey"], pa.array(keep)),
+            "odate_us": pa.array(odate[keep], pa.int64()),
+        })
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(prep_orders, batch_format="pyarrow"))
+    orders = broadcast_join(orders, dim, key="o_custkey",
+                            dim_cols=("seg_hit",))
+
+    def prep_lineitem(b: pa.Table) -> pa.Table:
+        ship = np.asarray(b["l_shipdate"].cast(pa.int64()))
+        keep = ship > cutoff.astype(np.int64)
+        price = np.asarray(b["l_extendedprice"], np.float64)[keep]
+        disc = np.asarray(b["l_discount"], np.float64)[keep]
+        rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+               * (100 - np.floor(disc * 100.0 + 0.5).astype(np.int64)))
+        return pa.table({
+            "l_orderkey": pc.filter(b["l_orderkey"], pa.array(keep)),
+            "rev": pa.array(rev, pa.int64()),
+        })
+
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+        .map_batches(prep_lineitem, batch_format="pyarrow"))
+    joined = shuffle_join(li, orders, key="l_orderkey",
+                          right_cols=("odate_us",))
+    agg = grouped_intsum(joined, group_col="l_orderkey", sum_col="rev",
+                         carry_max_col="odate_us")
+
+    def to_float(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "o_orderdate_us": b["odate_us"],
+            "revenue": pa.array(
+                np.asarray(b["rev"], np.int64).astype(np.float64),
+                pa.float64()),
+        })
+
+    agg = agg.map_batches(to_float, batch_format="pyarrow")
+    return global_topk(agg, k=10, value_col="revenue",
+                       id_col="l_orderkey", keep_cols=("o_orderdate_us",))
+
+
 def _lineitem_orders(sf_dir: str):
     """Large-large shuffle equi-join (both sides hash-partition once on the
     key; per-partition sort + searchsorted local join) -> per-orderstatus
@@ -750,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _orders_by_nation,
         "lineitem_q1": _lineitem_q1,
         "lineitem_orders": _lineitem_orders,
+        "tpch_q3": _tpch_q3,
         "cust_orders_left": _cust_orders_left,
         "orders_lineitem_left": _orders_lineitem_left,
         "asof_join": _asof_join,
@@ -920,6 +1000,22 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MAX(value) AS max_value
 FROM events GROUP BY user_id, 2""",
+        "tpch_q3": f"""
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS odate
+      FROM orders WHERE o_orderdate < TIMESTAMP '{Q3_CUTOFF}'),
+l AS (SELECT l_orderkey,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'),
+j AS (SELECT l.l_orderkey, l.rev, o.odate
+      FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+      JOIN c ON o.o_custkey = c.c_custkey),
+g AS (SELECT l_orderkey, CAST(SUM(rev) AS BIGINT) AS revenue,
+             MAX(odate) AS o_orderdate_us
+      FROM j GROUP BY l_orderkey)
+SELECT l_orderkey, o_orderdate_us, CAST(revenue AS DOUBLE) AS revenue
+FROM g ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         "events_late": """
 WITH e AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
