@@ -580,8 +580,8 @@ def _tpch_q3(sf_dir: str):
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
     cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
-    dim = pa.table({"o_custkey": cust["c_custkey"],
-                    "seg_hit": pa.array(np.ones(cust.num_rows, np.int64))})
+    # key-only dimension: the inner broadcast join IS the semi-join filter
+    dim = pa.table({"o_custkey": cust["c_custkey"]})
 
     cutoff = np.datetime64(Q3_CUTOFF).astype("datetime64[us]")
 
@@ -598,8 +598,7 @@ def _tpch_q3(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
         .map_batches(prep_orders, batch_format="pyarrow"))
-    orders = broadcast_join(orders, dim, key="o_custkey",
-                            dim_cols=("seg_hit",))
+    orders = broadcast_join(orders, dim, key="o_custkey", dim_cols=())
 
     def prep_lineitem(b: pa.Table) -> pa.Table:
         ship = np.asarray(b["l_shipdate"].cast(pa.int64()))

@@ -649,7 +649,6 @@ def grid_disk_points(lat_deg: np.ndarray, lng_deg: np.ndarray, res: int,
             offs = _DISK1_OFFSETS[:1]
         else:
             offs = _DISK1_OFFSETS
-        m = cur_rows.shape[0]
         rows_x = np.repeat(cur_rows, len(offs))
         face_x = np.repeat(face, len(offs))
         ni = (ci[:, None] + offs[None, :, 0]).ravel()
@@ -662,12 +661,11 @@ def grid_disk_points(lat_deg: np.ndarray, lng_deg: np.ndarray, res: int,
                           np.concatenate([seen_cells, cells])], axis=1)
         uniq, first = np.unique(pairs, axis=0, return_index=True)
         new_mask = first >= seen_rows.shape[0]
+        n_prev_seen = pairs.shape[0] - rows_x.shape[0]
         seen_rows, seen_cells = uniq[:, 0], uniq[:, 1]
         if ring == k or not new_mask.any():
-            if ring == k:
-                break
-            continue
-        new_src = first[new_mask] - (pairs.shape[0] - rows_x.shape[0])
+            break               # done, or the frontier went dry early
+        new_src = first[new_mask] - n_prev_seen
         cur_rows = uniq[new_mask, 0]
         cur_lat = nlat[new_src]
         cur_lng = nlng[new_src]
@@ -706,16 +704,8 @@ for _f in range(20):
                         (_f, _i, _j, _k, int(ROT_TABLE[_f, _i, _j, _k]),
                          int(CW_TABLE[_f, _i, _j, _k])))
 del _f, _i, _j, _k, _b
-_MAX_CAND = max(len(v) for v in _BC_ENTRIES.values())
 _PENT_SET = frozenset(PENTAGON_BCS)
 _POW_CW = _POW_CCW[(6 - np.arange(6)) % 6]      # inverse digit rotations
-
-
-def _rotate_pent60cw_digits(dig):
-    """inverse of _rotate_pent60ccw on canonical strings (order 5)."""
-    for _ in range(4):
-        dig = _rotate_pent60ccw(dig)
-    return dig
 
 
 def cell_to_latlng(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -789,8 +779,6 @@ def cell_to_latlng(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     for r in np.unique(jres):
         m = jres == r
         ok[m] = encode_vec(lat_d[m], lng_d[m], int(r)) == cells[jr[m]]
-    out_lat = np.full(n, np.nan)
-    out_lng = np.full(n, np.nan)
     good = np.nonzero(ok)[0]
     # first verifying job per row wins (jobs are in candidate order)
     first = np.full(n, -1, np.int64)
@@ -878,9 +866,18 @@ def cover_bboxes(bboxes: np.ndarray, res: int,
     for bi, (x0, y0, x1, y1) in enumerate(bboxes.tolist()):
         la0, la1 = max(y0 - pad, -89.9), min(y1 + pad, 89.9)
         lats = np.arange(la0, la1 + step, step)
-        coslat = max(np.cos(np.radians(max(abs(la0), abs(la1)))), 0.02)
-        lstep = step / coslat
-        lons = np.arange(x0 - pad, x1 + pad + lstep, lstep)
+        # longitude degrees shrink with cos(lat): the sample STEP must stay
+        # <= the angular spacing at the equator-most latitude (largest cos),
+        # while the lon PAD must still span a circumradius at the pole-most
+        # latitude (smallest cos) — mixing the extremes up was a measured
+        # cell-missing bug on tall / high-latitude bboxes
+        cos_eq = 1.0 if la0 <= 0.0 <= la1 else \
+            float(np.cos(np.radians(min(abs(la0), abs(la1)))))
+        cos_pole = max(float(np.cos(np.radians(max(abs(la0), abs(la1))))),
+                       0.02)
+        lstep = step / max(cos_eq, 0.02)
+        lpad = pad / cos_pole
+        lons = np.arange(x0 - lpad, x1 + lpad + lstep, lstep)
         glon, glat = np.meshgrid(lons, lats)
         total += glon.size
         if total > max_cells:

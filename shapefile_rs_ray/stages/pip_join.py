@@ -159,51 +159,27 @@ def detect_hot_cells(ds, zoom: int, threshold: int,
     return hot
 
 
-def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
-                         keep_cols=("page_id", "url"),
-                         hot_threshold: int = 50_000,
-                         presample: float = 1.0,
-                         pre_ds=None, pre_fraction: float = 1.0,
-                         lon_col="lon", lat_col="lat",
-                         id_col="page_id"):
-    """Shuffle-based PIP join: groupby(cell [+salt]) + per-group local join.
-
-    The polygon side is replicated to every cell its bbox covers (cell cover on
-    the driver, broadcast as {cell: poly_idx list}); the doc side shuffles
-    once by its point cell. Output rows match broadcast_pip_join exactly.
-    """
+def _cell_shuffle_pip(ds, polys, *, cell_fn, cover_pairs, hot,
+                      keep_cols, lon_col, lat_col, id_col):
+    """Shared core of the cell-partitioned PIP joins (quadkey + H3): add
+    (cell, salt) shuffle keys with hot-cell salting, ONE coarse
+    prime-modulus shuffle, per-partition many-cell local joins with a
+    per-actor PIPIndex cache. `cell_fn(lon, lat) -> int64` must leave 10
+    headroom bits for the salt packing (quadkey keys and mode/res-stripped
+    H3 keys both do)."""
     import ray
 
-    boxes = np.vstack([p.bbox for p in polys])
-    poly_idx, cover_cells = cells_mod.cover_bboxes(boxes, zoom)
+    poly_idx, cover_cells = cover_pairs
     cell_to_polys: dict[int, list[int]] = {}
     for pi, cc in zip(poly_idx.tolist(), cover_cells.tolist()):
         cell_to_polys.setdefault(cc, []).append(pi)
     polys_ref = ray.put(polys)
     map_ref = ray.put(cell_to_polys)
 
-    # skew pre-pass; hot-cell detection only tunes the salting —
-    # correctness never depends on it — so a sketch suffices (what a
-    # 100 TB run would do). Two sketch shapes:
-    #  * pre_ds + pre_fraction: a CHEAPER dataset the caller can produce
-    #    for ~pre_fraction of the rows (e.g. a reduced synthesis
-    #    replication) — random_sample(ds) would still execute the full
-    #    upstream and only then drop rows, paying a whole extra pass.
-    #  * presample < 1: a seeded post-hoc sample of ds (fallback).
-    # n_salts = ceil(count/threshold) is scale-free: sketch counts against
-    # the proportionally scaled threshold estimate the same salt counts.
-    if pre_ds is None:
-        pre_ds = ds if presample >= 1.0 else ds.random_sample(presample,
-                                                              seed=7)
-        pre_fraction = presample
-    pre_threshold = max(1, int(hot_threshold * pre_fraction))
-    hot = detect_hot_cells(pre_ds, zoom, pre_threshold,
-                           lon_col=lon_col, lat_col=lat_col)
-
     def add_cell(batch: pa.Table) -> pa.Table:
         lon = np.asarray(batch[lon_col], np.float64)
         lat = np.asarray(batch[lat_col], np.float64)
-        cell = cells_mod.grid_cell(lon, lat, zoom)
+        cell = cell_fn(lon, lat)
         salt = np.zeros(len(cell), np.int64)
         if hot:
             # any stable per-row value works as salt; fall back to row index
@@ -275,6 +251,50 @@ def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
         CellJoin, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def cell_partitioned_pip(ds, polys: list[SimplePolygon], *, zoom: int = 7,
+                         keep_cols=("page_id", "url"),
+                         hot_threshold: int = 50_000,
+                         presample: float = 1.0,
+                         pre_ds=None, pre_fraction: float = 1.0,
+                         lon_col="lon", lat_col="lat",
+                         id_col="page_id"):
+    """Shuffle-based PIP join: groupby(cell [+salt]) + per-group local join.
+
+    The polygon side is replicated to every cell its bbox covers (cell cover on
+    the driver, broadcast as {cell: poly_idx list}); the doc side shuffles
+    once by its point cell. Output rows match broadcast_pip_join exactly.
+    """
+
+    def cell_fn(lon, lat):
+        return cells_mod.grid_cell(lon, lat, zoom)
+
+    boxes = np.vstack([p.bbox for p in polys])
+    cover_pairs = cells_mod.cover_bboxes(boxes, zoom)
+
+    # skew pre-pass; hot-cell detection only tunes the salting —
+    # correctness never depends on it — so a sketch suffices (what a
+    # 100 TB run would do). Two sketch shapes:
+    #  * pre_ds + pre_fraction: a CHEAPER dataset the caller can produce
+    #    for ~pre_fraction of the rows (e.g. a reduced synthesis
+    #    replication) — random_sample(ds) would still execute the full
+    #    upstream and only then drop rows, paying a whole extra pass.
+    #  * presample < 1: a seeded post-hoc sample of ds (fallback).
+    # n_salts = ceil(count/threshold) is scale-free: sketch counts against
+    # the proportionally scaled threshold estimate the same salt counts.
+    if pre_ds is None:
+        pre_ds = ds if presample >= 1.0 else ds.random_sample(presample,
+                                                              seed=7)
+        pre_fraction = presample
+    pre_threshold = max(1, int(hot_threshold * pre_fraction))
+    hot = detect_hot_cells(pre_ds, zoom, pre_threshold,
+                           lon_col=lon_col, lat_col=lat_col)
+
+    return _cell_shuffle_pip(ds, polys, cell_fn=cell_fn,
+                             cover_pairs=cover_pairs, hot=hot,
+                             keep_cols=keep_cols, lon_col=lon_col,
+                             lat_col=lat_col, id_col=id_col)
+
+
 def h3_partitioned_pip(ds, polys: list[SimplePolygon], *, res: int = 4,
                        keep_cols=("page_id", "url"),
                        hot_threshold: int = 50_000,
@@ -287,96 +307,29 @@ def h3_partitioned_pip(ds, polys: list[SimplePolygon], *, res: int = 4,
     doc side shuffled once by its point's H3 cell, hot cells salted.
     Output rows match broadcast_pip_join / cell_partitioned_pip exactly.
 
-    Shuffle-key packing: H3 ids occupy bit 59, so the (cell, salt) key
-    drops the constant mode/res bits (cell & (2^52-1) is unique at fixed
-    res) leaving 10 salt bits inside int64.
+    Shuffle-key packing: H3 ids occupy bit 59, so the cell key drops the
+    constant mode/res bits (cell & (2^52-1) is unique at fixed res),
+    leaving the 10 salt bits inside int64.
     """
-    import ray
-
     from ..functions import h3 as h3_mod
 
     MASK52 = (1 << 52) - 1
+
+    def cell_fn(lon, lat):
+        return h3_mod.encode_vec(lat, lon, res) & MASK52
+
     boxes = np.vstack([p.bbox for p in polys])
     poly_idx, cover_cells = h3_mod.cover_bboxes(boxes, res)
-    cell_to_polys: dict[int, list[int]] = {}
-    for pi, cc in zip(poly_idx.tolist(), (cover_cells & MASK52).tolist()):
-        cell_to_polys.setdefault(cc, []).append(pi)
-    polys_ref = ray.put(polys)
-    map_ref = ray.put(cell_to_polys)
-
-    def h3_cells(lon, lat):
-        return h3_mod.encode_vec(lat, lon, res) & MASK52
+    cover_pairs = (poly_idx, cover_cells & MASK52)
 
     if pre_ds is None:
         pre_ds = ds
         pre_fraction = 1.0
     pre_threshold = max(1, int(hot_threshold * pre_fraction))
     hot = detect_hot_cells(pre_ds, 0, pre_threshold, lon_col=lon_col,
-                           lat_col=lat_col, cell_fn=h3_cells)
+                           lat_col=lat_col, cell_fn=cell_fn)
 
-    def add_cell(batch: pa.Table) -> pa.Table:
-        lon = np.asarray(batch[lon_col], np.float64)
-        lat = np.asarray(batch[lat_col], np.float64)
-        cell = h3_cells(lon, lat)
-        salt = np.zeros(len(cell), np.int64)
-        if hot:
-            ids = (np.asarray(batch[id_col], np.int64)
-                   if id_col in batch.column_names
-                   else np.arange(len(cell), dtype=np.int64))
-            for hc, ns in hot.items():
-                m = cell == hc
-                salt[m] = ids[m] % ns
-        key = cell * 1024 + salt
-        batch = batch.append_column("cell_salt", pa.array(key, pa.int64()))
-        return batch.append_column("__p", pa.array(key % 251, pa.int64()))
-
-    class H3CellJoin:
-        """identical shape to CellJoin: one shuffle partition = many whole
-        (cell, salt) groups; per-cell PIPIndex cache per actor."""
-
-        def __init__(self):
-            self.polys = ray.get(polys_ref)
-            self.cmap = ray.get(map_ref)
-            self.sub_indexes: dict[int, PIPIndex] = {}
-
-        def _join_cell(self, cell: int, group: pa.Table):
-            cand = self.cmap.get(cell, [])
-            if not cand:
-                return None
-            idx = self.sub_indexes.get(cell)
-            if idx is None:
-                idx = PIPIndex([self.polys[i] for i in cand])
-                if len(self.sub_indexes) > 4096:
-                    self.sub_indexes.clear()
-                self.sub_indexes[cell] = idx
-            lon = np.asarray(group[lon_col], np.float64)
-            lat = np.asarray(group[lat_col], np.float64)
-            pt, poly = idx.query(lon, lat)
-            out = {c: pc.take(group[c], pa.array(pt)) for c in keep_cols}
-            out["geom_id"] = pa.array(idx.geom_ids[poly], pa.int64())
-            out["poly_idx"] = pa.array(idx.poly_idx[poly], pa.int64())
-            return pa.table(out)
-
-        def __call__(self, part: pa.Table) -> pa.Table:
-            keys = np.asarray(part["cell_salt"], np.int64)
-            order = np.argsort(keys, kind="stable")
-            part = part.take(pa.array(order))
-            keys = keys[order]
-            _, starts = np.unique(keys, return_index=True)
-            bounds = np.append(starts, len(keys))
-            outs = []
-            for b0, b1 in zip(bounds[:-1], bounds[1:]):
-                cell = int(keys[b0]) // 1024
-                got = self._join_cell(cell, part.slice(b0, b1 - b0))
-                if got is not None and got.num_rows:
-                    outs.append(got)
-            if not outs:
-                empty = {c: part[c].slice(0, 0) for c in keep_cols}
-                empty["geom_id"] = pa.array([], pa.int64())
-                empty["poly_idx"] = pa.array([], pa.int64())
-                return pa.table(empty)
-            return pa.concat_tables(outs)
-
-    keyed = ds.map_batches(add_cell, batch_format="pyarrow")
-    return keyed.groupby("__p").map_groups(
-        H3CellJoin, batch_format="pyarrow", concurrency=(1, 4))
+    return _cell_shuffle_pip(ds, polys, cell_fn=cell_fn,
+                             cover_pairs=cover_pairs, hot=hot,
+                             keep_cols=keep_cols, lon_col=lon_col,
+                             lat_col=lat_col, id_col=id_col)

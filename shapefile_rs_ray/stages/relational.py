@@ -292,9 +292,9 @@ def grouped_intsum(ds, *, group_col: str, sum_col: str,
     result is bit-identical to SQL. `carry_max_col` rides along as MAX
     (for columns functionally dependent on the key)."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        g = np.asarray(batch[group_col], np.int64)
-        s = np.asarray(batch[sum_col], np.int64)
+    def collapse(tbl: pa.Table, emit_partition: bool) -> pa.Table:
+        g = np.asarray(tbl[group_col], np.int64)
+        s = np.asarray(tbl[sum_col], np.int64)
         order = np.argsort(g, kind="stable")
         gs, ss = g[order], s[order]
         uniq, start = np.unique(gs, return_index=True)
@@ -303,29 +303,15 @@ def grouped_intsum(ds, *, group_col: str, sum_col: str,
                                  if len(gs) else np.empty(0, np.int64),
                                  pa.int64())}
         if carry_max_col is not None:
-            c = np.asarray(batch[carry_max_col], np.int64)[order]
+            c = np.asarray(tbl[carry_max_col], np.int64)[order]
             out[carry_max_col] = pa.array(
                 np.maximum.reduceat(c, start)
                 if len(gs) else np.empty(0, np.int64), pa.int64())
-        out["__p"] = pa.array(uniq % parts, pa.int64())
+        if emit_partition:
+            out["__p"] = pa.array(uniq % parts, pa.int64())
         return pa.table(out)
 
-    def merge(part: pa.Table) -> pa.Table:
-        g = np.asarray(part[group_col], np.int64)
-        s = np.asarray(part[sum_col], np.int64)
-        order = np.argsort(g, kind="stable")
-        gs, ss = g[order], s[order]
-        uniq, start = np.unique(gs, return_index=True)
-        out = {group_col: pa.array(uniq, pa.int64()),
-               sum_col: pa.array(np.add.reduceat(ss, start)
-                                 if len(gs) else np.empty(0, np.int64),
-                                 pa.int64())}
-        if carry_max_col is not None:
-            c = np.asarray(part[carry_max_col], np.int64)[order]
-            out[carry_max_col] = pa.array(
-                np.maximum.reduceat(c, start)
-                if len(gs) else np.empty(0, np.int64), pa.int64())
-        return pa.table(out)
-
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("__p").map_groups(merge, batch_format="pyarrow"))
+    return (ds.map_batches(lambda b: collapse(b, True),
+                           batch_format="pyarrow")
+            .groupby("__p").map_groups(lambda p: collapse(p, False),
+                                       batch_format="pyarrow"))

@@ -242,16 +242,24 @@ def test_grid_disk_scalar_twin_agrees():
 
 def test_cover_bboxes_superset():
     """conservative cover: every cell seen by dense sampling inside a bbox
-    must be in the cover (misses would silently drop join rows)."""
+    must be in the cover (misses would silently drop join rows). Includes
+    the review-found failure shapes: tall equator-spanning boxes (the lon
+    sample step must bind at the equator-most latitude) and high-latitude
+    boxes (the lon pad must widen at the pole-most latitude)."""
     rng = np.random.default_rng(43)
+    fixed = [(np.array([[-126.3, 0.0, -122.3, 77.2]]), 5),
+             (np.array([[10.0, 60.0, 18.0, 88.0]]), 4),
+             (np.array([[100.0, 85.0, 110.0, 89.0]]), 3)]
+    cases = list(fixed)
     for _ in range(8):
         cx = rng.uniform(-170, 160)
-        cy = rng.uniform(-70, 65)
-        bbox = np.array([[cx, cy, cx + rng.uniform(1, 6),
-                          cy + rng.uniform(1, 4)]])
-        res = int(rng.integers(2, 6))
+        cy = rng.uniform(-70, 50)
+        cases.append((np.array([[cx, cy, cx + rng.uniform(1, 6),
+                                 min(cy + rng.uniform(1, 30), 89.0)]]),
+                      int(rng.integers(2, 6))))
+    for bbox, res in cases:
         _, cover = h3.cover_bboxes(bbox, res)
-        glon = rng.uniform(bbox[0, 0], bbox[0, 2], 8000)
-        glat = rng.uniform(bbox[0, 1], bbox[0, 3], 8000)
+        glon = rng.uniform(bbox[0, 0], bbox[0, 2], 12000)
+        glat = rng.uniform(bbox[0, 1], bbox[0, 3], 12000)
         seen = np.unique(h3.encode_vec(glat, glon, res))
         assert set(seen.tolist()) <= set(cover.tolist())
