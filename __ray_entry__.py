@@ -290,6 +290,70 @@ def _h3_ring(sf_dir: str):
         ring, batch_format="pyarrow")
 
 
+def _h3_polyfill(sf_dir: str):
+    """H3 polyfill of the lake polygons (polygon -> cells whose CENTER is
+    inside — H3's own polyfill semantics) at res 5: conservative bbox
+    cover -> candidate (cell, polygon) Dataset -> exact even-odd center
+    test against the broadcast polygons. The oracle recomputes the
+    crossing count fully in SQL over the shared edge table, with centers
+    from the verified-inverse golden; input is the fixture corpus, so
+    sf_dir is unused (like decode_lakes)."""
+    import ray
+    from shapefile_rs_ray.functions import h3 as h3mod
+    from shapefile_rs_ray.geometry.pip import PIPIndex
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.stages.pip_join import load_polygons
+
+    oracles.ensure_artifacts()
+    oracles.ensure_h3_polyfill_centers()
+    polys = load_polygons(LAKES)
+    boxes = np.vstack([p.bbox for p in polys])
+    poly_idx, cover = h3mod.cover_bboxes(boxes, oracles.H3_POLYFILL_RES)
+    clat, clng = h3mod.cell_to_latlng(cover)
+    cand = pa.table({
+        "poly_id": pa.array(poly_idx, pa.int64()),
+        "cell": pa.array(h3mod.to_hex(cover), pa.string()),
+        "clat": pa.array(clat, pa.float64()),
+        "clng": pa.array(clng, pa.float64()),
+    })
+    polys_ref = ray.put(polys)
+
+    class CenterTest:
+        """per-candidate exact center-in-polygon: candidates sorted by
+        polygon within the batch, one single-polygon PIPIndex per run."""
+
+        def __init__(self):
+            self.polys = ray.get(polys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pid = np.asarray(batch["poly_id"], np.int64)
+            order = np.argsort(pid, kind="stable")
+            batch = batch.take(pa.array(order))
+            pid = pid[order]
+            lat = np.asarray(batch["clat"], np.float64)
+            lng = np.asarray(batch["clng"], np.float64)
+            starts = np.unique(pid, return_index=True)[1]
+            bounds = np.append(starts, len(pid))
+            cells, geoms, pidxs = [], [], []
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                poly = self.polys[int(pid[b0])]
+                idx = PIPIndex([poly])
+                inside, _ = idx.query(lng[b0:b1], lat[b0:b1])
+                for q in inside.tolist():
+                    cells.append(batch["cell"][b0 + q].as_py())
+                    geoms.append(poly.geom_id)
+                    pidxs.append(poly.poly_idx)
+            return pa.table({
+                "cell": pa.array(cells, pa.string()),
+                "geom_id": pa.array(geoms, pa.int64()),
+                "poly_idx": pa.array(pidxs, pa.int64()),
+            })
+
+    ds = ray.data.from_arrow(cand).repartition(32)
+    return ds.map_batches(CenterTest, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
 def _n_pages(sf_dir: str) -> int:
     import os
 
@@ -809,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _langid,
         "cells_multi": _cells_multi,
         "h3_ring": _h3_ring,
+        "h3_polyfill": _h3_polyfill,
         "hex_cells": _hex_cells,
         "quality_corpus": _quality_corpus,
         "minhash_pairs": _minhash_pairs,
@@ -904,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{oracles.LAKES_SUMMARY_PQ}')"),
         "cells_multi": oracles.cells_multi_sql(),
         "h3_ring": oracles.h3_ring_sql(),
+        "h3_polyfill": oracles.h3_polyfill_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "pip_join": oracles.pip_join_sql(),

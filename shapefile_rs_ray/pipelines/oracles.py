@@ -30,9 +30,11 @@ S2_LOOKUP_PQ = os.path.join(ORACLE_DIR, "s2_lookup.parquet")
 LAKES_SUMMARY_PQ = os.path.join(ORACLE_DIR, "lakes_summary.parquet")
 H3_GOLDEN_PQ = os.path.join(ORACLE_DIR, "h3_golden.parquet")
 H3_RING_GOLDEN_PQ = os.path.join(ORACLE_DIR, "h3_ring_golden.parquet")
+H3_CENTERS_PQ = os.path.join(ORACLE_DIR, "h3_polyfill_centers.parquet")
 H3_RESOLUTIONS = (4, 5, 6, 7, 8, 9)
 H3_RING_RES = 7
 H3_RING_STEP = 20           # every 20th page gets its ring in the query
+H3_POLYFILL_RES = 5
 
 
 def ensure_artifacts() -> None:
@@ -146,6 +148,54 @@ def ensure_h3_ring_golden(n_pages: int) -> None:
     tmp = H3_RING_GOLDEN_PQ + ".tmp"
     pq.write_table(pa.concat_tables(parts), tmp)
     os.replace(tmp, H3_RING_GOLDEN_PQ)
+
+
+def ensure_h3_polyfill_centers() -> None:
+    """Golden for h3_polyfill: one row (cell hex, clat, clng) per distinct
+    H3 cell in the lakes' bbox covers at H3_POLYFILL_RES. Centers come
+    from the verified inverse (functions/h3.cell_to_latlng — re-encode
+    round-trip pytest-asserted); the center-in-polygon DECISION is then
+    recomputed fully in SQL by the same ray-cast expression the engine
+    uses, so the oracle independently checks the PIP decision."""
+    if os.path.exists(H3_CENTERS_PQ):
+        return
+    from ..functions import h3 as h3_mod
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    polys = load_polygons(LAKES)
+    boxes = np.vstack([p.bbox for p in polys])
+    _, cover = h3_mod.cover_bboxes(boxes, H3_POLYFILL_RES)
+    cells = np.unique(cover)
+    clat, clng = h3_mod.cell_to_latlng(cells)
+    tbl = pa.table({"cell": pa.array(h3_mod.to_hex(cells), pa.string()),
+                    "clat": pa.array(clat, pa.float64()),
+                    "clng": pa.array(clng, pa.float64())})
+    tmp = H3_CENTERS_PQ + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, H3_CENTERS_PQ)
+
+
+def h3_polyfill_sql() -> str:
+    """h3_polyfill oracle: golden cell centers x bbox prefilter + the
+    EXACT even-odd crossing expression from pip_join_sql — the polygon
+    membership decision is recomputed in SQL end-to-end."""
+    return f"""
+WITH centers AS (SELECT * FROM read_parquet('{H3_CENTERS_PQ}')),
+cand AS (
+  SELECT c.cell, c.clat, c.clng, b.poly_id, b.geom_id, b.poly_idx
+  FROM centers c
+  JOIN read_parquet('{BOXES_PQ}') b
+    ON c.clng >= b.xmin AND c.clng <= b.xmax
+   AND c.clat >= b.ymin AND c.clat <= b.ymax),
+crossed AS (
+  SELECT c.cell, c.geom_id, c.poly_idx,
+         SUM(CASE WHEN (e.y1 > c.clat) <> (e.y2 > c.clat)
+                   AND c.clng < (e.x2 - e.x1) * (c.clat - e.y1) / (e.y2 - e.y1) + e.x1
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM cand c
+  JOIN read_parquet('{EDGES_PQ}') e ON e.poly_id = c.poly_id
+  GROUP BY c.cell, c.geom_id, c.poly_idx)
+SELECT cell, geom_id, poly_idx FROM crossed WHERE crossings % 2 = 1
+"""
 
 
 PAGES_CTE = f"pages AS ({synth.webpages_sql()})"
