@@ -309,7 +309,11 @@ def _h3_polyfill(sf_dir: str):
     polys = load_polygons(LAKES)
     boxes = np.vstack([p.bbox for p in polys])
     poly_idx, cover = h3mod.cover_bboxes(boxes, oracles.H3_POLYFILL_RES)
-    clat, clng = h3mod.cell_to_latlng(cover)
+    # the verified inverse is the expensive step: run it once per
+    # DISTINCT cell (bboxes of overlapping lakes share cover cells)
+    ucells, uinv = np.unique(cover, return_inverse=True)
+    ulat, ulng = h3mod.cell_to_latlng(ucells)
+    clat, clng = ulat[uinv], ulng[uinv]
     cand = pa.table({
         "poly_id": pa.array(poly_idx, pa.int64()),
         "cell": pa.array(h3mod.to_hex(cover), pa.string()),

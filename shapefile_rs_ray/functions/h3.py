@@ -895,6 +895,8 @@ def uncompact(cells: np.ndarray, res: int) -> np.ndarray:
     hexagons have 7 children (digits 0-6), pentagons 6 (the K digit 1 is
     deleted); pentagon-ness propagates down the center-child chain."""
     cells = np.asarray(cells, np.int64)
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"uncompact res must be in [0, {MAX_RES}]")
     if (get_resolution(cells) > res).any():
         raise ValueError("uncompact target res coarser than an input cell")
     out = []
@@ -921,12 +923,26 @@ def uncompact(cells: np.ndarray, res: int) -> np.ndarray:
 
 def compact(cells: np.ndarray) -> np.ndarray:
     """replace every complete sibling set by its parent, repeatedly
-    (h3 compactCells). Input must be a duplicate-free cell set; mixed
-    resolutions are fine. A set is complete with 7 children (6 for a
-    pentagon parent — the deleted K child doesn't exist)."""
+    (h3 compactCells). Input must be a duplicate-free, overlap-free cell
+    set (no cell may be an ancestor of another — same contract as H3's
+    compactCells, which errors on such input); mixed resolutions are
+    fine. A set is complete with 7 children (6 for a pentagon parent —
+    the deleted K child doesn't exist)."""
     cells = np.asarray(cells, np.int64)
     if len(np.unique(cells)) != len(cells):
         raise ValueError("compact input must be duplicate-free")
+    # overlap check: an ancestor alongside any of its descendants would
+    # double-count toward sibling completeness once the descendants are
+    # promoted, silently corrupting the output — reject it up front.
+    res = get_resolution(cells)
+    for rp in np.unique(res)[:-1]:
+        coarse = cells[res == rp]
+        finer = cells[res > rp]
+        if finer.size and np.isin(cell_to_parent(finer, int(rp)),
+                                  coarse).any():
+            raise ValueError(
+                "compact input contains overlapping cells "
+                "(an ancestor and its descendant)")
     out = []
     cur = cells
     while cur.size:

@@ -271,7 +271,10 @@ def test_compact_uncompact_roundtrip():
     lng = rng.uniform(-180.0, 180.0, 300)
     base = np.unique(h3.encode_vec(lat, lng, 3))
     exp = h3.uncompact(base, 5)
-    assert len(exp) == len(base) * 49 or True  # pentagons shrink the count
+    # 49 descendants per hexagon; a pentagon expands to 41 over two
+    # levels (6 children = 1 pentagon + 5 hexagons -> 6 + 5*7)
+    n_pent = int(h3.is_pentagon(base).sum())
+    assert len(exp) == len(base) * 49 - n_pent * 8
     assert np.array_equal(np.sort(h3.compact(exp)), np.sort(base))
     # pentagon lineage: 6 children at each pentagon level (1+5 at res 1,
     # 6 + 5*7 at res 2), and the round trip returns the pentagon
@@ -293,3 +296,14 @@ def test_compact_uncompact_roundtrip():
         h3.compact(np.concatenate([lone, lone]))
     with pytest.raises(ValueError):
         h3.uncompact(lone, 5)
+    # out-of-range target res must raise, not loop forever (res field
+    # is 4 bits: 16 would wrap to 0 and the frontier would never drain)
+    with pytest.raises(ValueError):
+        h3.uncompact(lone, 16)
+    # ancestor+descendant overlap must be rejected: once the children
+    # promote, the duplicated ancestor would double-count toward its own
+    # sibling set and falsely complete it
+    with pytest.raises(ValueError):
+        h3.compact(np.concatenate([c2, fam[:3]]))
+    with pytest.raises(ValueError):
+        h3.compact(np.concatenate([c2, fam]))  # full family + parent
