@@ -358,6 +358,77 @@ def _h3_polyfill(sf_dir: str):
                           concurrency=(1, 4))
 
 
+def _h3_compact(sf_dir: str):
+    """H3 compaction (h3 compactCells) of res-6 polyfills of the largest
+    lakes: candidate bbox cover -> exact center-in-polygon -> distributed
+    per-polygon compaction (coarse prime-modulus partition + the
+    pentagon-aware h3.compact kernel). The oracle recomputes EVERYTHING
+    in SQL — candidate selection, the even-odd PIP decision, and the full
+    multi-level compaction as unrolled BIGINT bit-op CTEs; only the cell
+    center coordinates come from the verified-inverse golden. Fixture
+    corpus input, so sf_dir is unused (like h3_polyfill)."""
+    import ray
+    from shapefile_rs_ray.functions import h3 as h3mod
+    from shapefile_rs_ray.geometry.pip import PIPIndex
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.stages.h3ops import compact_by_group
+    from shapefile_rs_ray.stages.pip_join import load_polygons
+
+    oracles.ensure_artifacts()
+    oracles.ensure_h3_compact_centers()
+    polys = load_polygons(LAKES)
+    sel = oracles.top_lakes_bboxes().astype(np.int64)
+    boxes = np.vstack([polys[int(i)].bbox for i in sel])
+    cov_idx, cover = h3mod.cover_bboxes(boxes, oracles.H3_COMPACT_RES)
+    ucells, uinv = np.unique(cover, return_inverse=True)
+    ulat, ulng = h3mod.cell_to_latlng(ucells)
+    cand = pa.table({
+        "poly_id": pa.array(sel[cov_idx], pa.int64()),
+        "cell": pa.array(cover, pa.int64()),
+        "clat": pa.array(ulat[uinv], pa.float64()),
+        "clng": pa.array(ulng[uinv], pa.float64()),
+    })
+    polys_ref = ray.put({int(i): polys[int(i)] for i in sel})
+
+    class CenterTest:
+        """per-candidate exact center-in-polygon, one polygon per run
+        (candidates sorted by polygon within the batch)."""
+
+        def __init__(self):
+            self.polys = ray.get(polys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pid = np.asarray(batch["poly_id"], np.int64)
+            order = np.argsort(pid, kind="stable")
+            pid = pid[order]
+            cells = np.asarray(batch["cell"], np.int64)[order]
+            lat = np.asarray(batch["clat"], np.float64)[order]
+            lng = np.asarray(batch["clng"], np.float64)[order]
+            starts = np.unique(pid, return_index=True)[1]
+            bounds = np.append(starts, len(pid))
+            cols = {"poly_id": [], "cell": [], "geom_id": [], "poly_idx": []}
+            for b0, b1 in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+                poly = self.polys[int(pid[b0])]
+                idx = PIPIndex([poly])
+                inside, _ = idx.query(lng[b0:b1], lat[b0:b1])
+                q = np.asarray(inside, np.int64)
+                cols["poly_id"].append(pid[b0 + q])
+                cols["cell"].append(cells[b0 + q])
+                cols["geom_id"].append(np.full(len(q), poly.geom_id, np.int64))
+                cols["poly_idx"].append(np.full(len(q), poly.poly_idx,
+                                                np.int64))
+            return pa.table({k: pa.array(
+                np.concatenate(v) if v else np.empty(0, np.int64), pa.int64())
+                for k, v in cols.items()})
+
+    ds = ray.data.from_arrow(cand).repartition(32)
+    inside = ds.map_batches(CenterTest, batch_format="pyarrow",
+                            concurrency=(1, 4))
+    out = compact_by_group(inside, id_col="poly_id", cell_col="cell",
+                           carry_cols=("geom_id", "poly_idx"))
+    return out.select_columns(["geom_id", "poly_idx", "cell", "res"])
+
+
 def _n_pages(sf_dir: str) -> int:
     import os
 
@@ -878,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cells_multi": _cells_multi,
         "h3_ring": _h3_ring,
         "h3_polyfill": _h3_polyfill,
+        "h3_compact": _h3_compact,
         "hex_cells": _hex_cells,
         "quality_corpus": _quality_corpus,
         "minhash_pairs": _minhash_pairs,
@@ -974,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
         "cells_multi": oracles.cells_multi_sql(),
         "h3_ring": oracles.h3_ring_sql(),
         "h3_polyfill": oracles.h3_polyfill_sql(),
+        "h3_compact": oracles.h3_compact_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "pip_join": oracles.pip_join_sql(),

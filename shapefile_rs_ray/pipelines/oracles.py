@@ -35,6 +35,9 @@ H3_RESOLUTIONS = (4, 5, 6, 7, 8, 9)
 H3_RING_RES = 7
 H3_RING_STEP = 20           # every 20th page gets its ring in the query
 H3_POLYFILL_RES = 5
+H3_COMPACT_CENTERS_PQ = os.path.join(ORACLE_DIR, "h3_compact_centers.parquet")
+H3_COMPACT_RES = 7          # polyfill res the compaction starts from
+H3_COMPACT_TOPK = 10        # largest lakes by bbox area (area DESC, poly_id)
 
 
 def ensure_artifacts() -> None:
@@ -195,6 +198,111 @@ crossed AS (
   JOIN read_parquet('{EDGES_PQ}') e ON e.poly_id = c.poly_id
   GROUP BY c.cell, c.geom_id, c.poly_idx)
 SELECT cell, geom_id, poly_idx FROM crossed WHERE crossings % 2 = 1
+"""
+
+
+def top_lakes_bboxes() -> np.ndarray:
+    """(poly_id, bbox) of the H3_COMPACT_TOPK largest lakes by bbox area,
+    ordered (area DESC, poly_id ASC) — the same f64 product the oracle's
+    ORDER BY computes, so both sides select identical polygons."""
+    polys = load_polygons(LAKES)
+    boxes = np.vstack([p.bbox for p in polys])
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    order = np.lexsort((np.arange(len(polys)), -area))
+    return order[:H3_COMPACT_TOPK]
+
+
+def ensure_h3_compact_centers() -> None:
+    """Golden for h3_compact: (cell BIGINT, clat, clng) per distinct cell
+    in the top-K lakes' bbox covers at H3_COMPACT_RES, centers from the
+    verified inverse. Only the center coordinates are golden — candidate
+    selection, the center-in-polygon decision, and the full multi-level
+    compaction are recomputed in SQL."""
+    if os.path.exists(H3_COMPACT_CENTERS_PQ):
+        return
+    from ..functions import h3 as h3_mod
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    polys = load_polygons(LAKES)
+    sel = top_lakes_bboxes()
+    boxes = np.vstack([polys[i].bbox for i in sel])
+    _, cover = h3_mod.cover_bboxes(boxes, H3_COMPACT_RES)
+    cells = np.unique(cover)
+    clat, clng = h3_mod.cell_to_latlng(cells)
+    tbl = pa.table({"cell": pa.array(cells, pa.int64()),
+                    "clat": pa.array(clat, pa.float64()),
+                    "clng": pa.array(clng, pa.float64())})
+    tmp = H3_COMPACT_CENTERS_PQ + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, H3_COMPACT_CENTERS_PQ)
+
+
+def h3_compact_sql() -> str:
+    """h3_compact oracle: polyfill at H3_COMPACT_RES of the top-K lakes
+    (candidates + PIP decision recomputed in SQL as in h3_polyfill_sql),
+    then the FULL compactCells algorithm restated in SQL — one unrolled
+    level per resolution (complete sibling sets collapse to their parent;
+    pentagon parents need 6 children, hexagons 7), all in BIGINT bit ops
+    on the H3 index layout (res field bits 52-55, digit r at bits
+    3*(15-r), base cell bits 45-51)."""
+    from ..functions import h3 as h3_mod
+    pents = ",".join(str(b) for b in h3_mod.PENTAGON_BCS)
+
+    def parent(col: str, r: int) -> str:
+        # child at res r -> parent at res r-1: rewrite res field, digit r -> 7
+        return (f"(({col} & ~(CAST(15 AS BIGINT) << 52)) | "
+                f"(CAST({r - 1} AS BIGINT) << 52) | "
+                f"(CAST(7 AS BIGINT) << {3 * (15 - r)}))")
+
+    def is_pent(col: str, q: int) -> str:
+        # pentagon at res q: pentagon base cell AND digits 1..q all zero
+        digit_mask = (1 << (3 * q)) - 1
+        return (f"((({col} >> 45) & 127) IN ({pents}) AND "
+                f"(({col} >> {3 * (15 - q)}) & {digit_mask}) = 0)")
+
+    # MATERIALIZED is load-bearing: each s{r-1} references s{r} three
+    # times; inlining would expand the base PIP query 3^7 times.
+    levels = []
+    for r in range(H3_COMPACT_RES, 0, -1):
+        levels.append(f"""
+comp{r} AS MATERIALIZED (
+  SELECT poly_id, geom_id, poly_idx, p AS cell FROM (
+    SELECT t.poly_id, t.geom_id, t.poly_idx, {parent('t.cell', r)} AS p
+    FROM s{r} t WHERE ((t.cell >> 52) & 15) = {r})
+  GROUP BY poly_id, geom_id, poly_idx, p
+  HAVING count(*) = (CASE WHEN {is_pent('p', r - 1)} THEN 6 ELSE 7 END)),
+s{r - 1} AS MATERIALIZED (
+  SELECT t.poly_id, t.geom_id, t.poly_idx, t.cell
+  FROM s{r} t LEFT JOIN comp{r} c
+    ON c.poly_id = t.poly_id
+   AND ((t.cell >> 52) & 15) = {r}
+   AND c.cell = {parent('t.cell', r)}
+  WHERE c.cell IS NULL
+  UNION ALL SELECT poly_id, geom_id, poly_idx, cell FROM comp{r})""")
+    return f"""
+WITH centers AS (SELECT * FROM read_parquet('{H3_COMPACT_CENTERS_PQ}')),
+sel AS (
+  SELECT poly_id, geom_id, poly_idx, xmin, ymin, xmax, ymax
+  FROM read_parquet('{BOXES_PQ}')
+  ORDER BY (xmax - xmin) * (ymax - ymin) DESC, poly_id
+  LIMIT {H3_COMPACT_TOPK}),
+cand AS (
+  SELECT c.cell, c.clat, c.clng, b.poly_id, b.geom_id, b.poly_idx
+  FROM centers c
+  JOIN sel b
+    ON c.clng >= b.xmin AND c.clng <= b.xmax
+   AND c.clat >= b.ymin AND c.clat <= b.ymax),
+crossed AS (
+  SELECT c.cell, c.poly_id, c.geom_id, c.poly_idx,
+         SUM(CASE WHEN (e.y1 > c.clat) <> (e.y2 > c.clat)
+                   AND c.clng < (e.x2 - e.x1) * (c.clat - e.y1) / (e.y2 - e.y1) + e.x1
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM cand c
+  JOIN read_parquet('{EDGES_PQ}') e ON e.poly_id = c.poly_id
+  GROUP BY c.cell, c.poly_id, c.geom_id, c.poly_idx),
+s{H3_COMPACT_RES} AS MATERIALIZED (
+  SELECT poly_id, geom_id, poly_idx, cell FROM crossed
+  WHERE crossings % 2 = 1),{",".join(levels)}
+SELECT geom_id, poly_idx, cell, ((cell >> 52) & 15) AS res FROM s0
 """
 
 

@@ -246,3 +246,32 @@ def test_knn_cellpart_partition_count_independent_of_zoom(ray_session):
     pd.testing.assert_frame_equal(got[["page_id", "rank", "site_id"]],
                                   exp[["page_id", "rank", "site_id"]])
     np.testing.assert_allclose(got["dist2"], exp["dist2"], rtol=0, atol=0)
+
+
+def test_compact_by_group_matches_scalar_kernel(ray_session):
+    """Distributed per-group compaction == per-group h3.compact, carry
+    columns preserved, including a group that collapses to one parent."""
+    import ray
+    from shapefile_rs_ray.functions import h3
+    from shapefile_rs_ray.stages.h3ops import compact_by_group
+
+    parent = h3.encode_vec(np.array([42.0]), np.array([-71.0]), 3)
+    full = h3.uncompact(parent, 6)            # group 0: collapses fully
+    partial = full[:-5]                       # group 1: mixed output
+    gid = np.concatenate([np.zeros(len(full), np.int64),
+                          np.ones(len(partial), np.int64)])
+    cells = np.concatenate([full, partial])
+    tag = gid * 100 + 7                       # carry col, constant per group
+    ds = ray.data.from_arrow(pa.table({
+        "poly_id": pa.array(gid), "cell": pa.array(cells),
+        "tag": pa.array(tag)})).repartition(4)
+    out = compact_by_group(ds, carry_cols=("tag",), parts=5).to_pandas()
+    for g, src in ((0, full), (1, partial)):
+        got = out[out.poly_id == g].sort_values("cell")
+        exp = np.sort(h3.compact(np.unique(src)))
+        np.testing.assert_array_equal(got["cell"].to_numpy(), exp)
+        np.testing.assert_array_equal(
+            got["res"].to_numpy(), h3.get_resolution(exp))
+        assert (got["tag"] == g * 100 + 7).all()
+    assert (out[out.poly_id == 0]["cell"].to_numpy() ==
+            parent[0]).all()                  # full family collapsed to root
