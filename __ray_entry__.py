@@ -300,8 +300,8 @@ def _h3_polyfill(sf_dir: str):
     sf_dir is unused (like decode_lakes)."""
     import ray
     from shapefile_rs_ray.functions import h3 as h3mod
-    from shapefile_rs_ray.geometry.pip import PIPIndex
     from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.stages.h3ops import CenterInPolygon
     from shapefile_rs_ray.stages.pip_join import load_polygons
 
     oracles.ensure_artifacts()
@@ -321,45 +321,14 @@ def _h3_polyfill(sf_dir: str):
         "clng": pa.array(clng, pa.float64()),
     })
     polys_ref = ray.put(polys)
-
-    class CenterTest:
-        """per-candidate exact center-in-polygon: candidates sorted by
-        polygon within the batch, one single-polygon PIPIndex per run."""
-
-        def __init__(self):
-            self.polys = ray.get(polys_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pid = np.asarray(batch["poly_id"], np.int64)
-            order = np.argsort(pid, kind="stable")
-            batch = batch.take(pa.array(order))
-            pid = pid[order]
-            lat = np.asarray(batch["clat"], np.float64)
-            lng = np.asarray(batch["clng"], np.float64)
-            starts = np.unique(pid, return_index=True)[1]
-            bounds = np.append(starts, len(pid))
-            cells, geoms, pidxs = [], [], []
-            for b0, b1 in zip(bounds[:-1], bounds[1:]):
-                poly = self.polys[int(pid[b0])]
-                idx = PIPIndex([poly])
-                inside, _ = idx.query(lng[b0:b1], lat[b0:b1])
-                for q in inside.tolist():
-                    cells.append(batch["cell"][b0 + q].as_py())
-                    geoms.append(poly.geom_id)
-                    pidxs.append(poly.poly_idx)
-            return pa.table({
-                "cell": pa.array(cells, pa.string()),
-                "geom_id": pa.array(geoms, pa.int64()),
-                "poly_idx": pa.array(pidxs, pa.int64()),
-            })
-
     ds = ray.data.from_arrow(cand).repartition(32)
-    return ds.map_batches(CenterTest, batch_format="pyarrow",
+    return ds.map_batches(CenterInPolygon, batch_format="pyarrow",
+                          fn_constructor_kwargs={"polys_ref": polys_ref},
                           concurrency=(1, 4))
 
 
 def _h3_compact(sf_dir: str):
-    """H3 compaction (h3 compactCells) of res-6 polyfills of the largest
+    """H3 compaction (h3 compactCells) of res-7 polyfills of the largest
     lakes: candidate bbox cover -> exact center-in-polygon -> distributed
     per-polygon compaction (coarse prime-modulus partition + the
     pentagon-aware h3.compact kernel). The oracle recomputes EVERYTHING
@@ -369,9 +338,8 @@ def _h3_compact(sf_dir: str):
     corpus input, so sf_dir is unused (like h3_polyfill)."""
     import ray
     from shapefile_rs_ray.functions import h3 as h3mod
-    from shapefile_rs_ray.geometry.pip import PIPIndex
     from shapefile_rs_ray.pipelines import oracles
-    from shapefile_rs_ray.stages.h3ops import compact_by_group
+    from shapefile_rs_ray.stages.h3ops import CenterInPolygon, compact_by_group
     from shapefile_rs_ray.stages.pip_join import load_polygons
 
     oracles.ensure_artifacts()
@@ -389,40 +357,10 @@ def _h3_compact(sf_dir: str):
         "clng": pa.array(ulng[uinv], pa.float64()),
     })
     polys_ref = ray.put({int(i): polys[int(i)] for i in sel})
-
-    class CenterTest:
-        """per-candidate exact center-in-polygon, one polygon per run
-        (candidates sorted by polygon within the batch)."""
-
-        def __init__(self):
-            self.polys = ray.get(polys_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pid = np.asarray(batch["poly_id"], np.int64)
-            order = np.argsort(pid, kind="stable")
-            pid = pid[order]
-            cells = np.asarray(batch["cell"], np.int64)[order]
-            lat = np.asarray(batch["clat"], np.float64)[order]
-            lng = np.asarray(batch["clng"], np.float64)[order]
-            starts = np.unique(pid, return_index=True)[1]
-            bounds = np.append(starts, len(pid))
-            cols = {"poly_id": [], "cell": [], "geom_id": [], "poly_idx": []}
-            for b0, b1 in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
-                poly = self.polys[int(pid[b0])]
-                idx = PIPIndex([poly])
-                inside, _ = idx.query(lng[b0:b1], lat[b0:b1])
-                q = np.asarray(inside, np.int64)
-                cols["poly_id"].append(pid[b0 + q])
-                cols["cell"].append(cells[b0 + q])
-                cols["geom_id"].append(np.full(len(q), poly.geom_id, np.int64))
-                cols["poly_idx"].append(np.full(len(q), poly.poly_idx,
-                                                np.int64))
-            return pa.table({k: pa.array(
-                np.concatenate(v) if v else np.empty(0, np.int64), pa.int64())
-                for k, v in cols.items()})
-
     ds = ray.data.from_arrow(cand).repartition(32)
-    inside = ds.map_batches(CenterTest, batch_format="pyarrow",
+    inside = ds.map_batches(CenterInPolygon, batch_format="pyarrow",
+                            fn_constructor_kwargs={"polys_ref": polys_ref,
+                                                   "keep_poly_id": True},
                             concurrency=(1, 4))
     out = compact_by_group(inside, id_col="poly_id", cell_col="cell",
                            carry_cols=("geom_id", "poly_idx"))

@@ -202,9 +202,10 @@ SELECT cell, geom_id, poly_idx FROM crossed WHERE crossings % 2 = 1
 
 
 def top_lakes_bboxes() -> np.ndarray:
-    """(poly_id, bbox) of the H3_COMPACT_TOPK largest lakes by bbox area,
-    ordered (area DESC, poly_id ASC) — the same f64 product the oracle's
-    ORDER BY computes, so both sides select identical polygons."""
+    """Positional poly indices of the H3_COMPACT_TOPK largest lakes by
+    bbox area, ordered (area DESC, poly_id ASC) — the same f64 product
+    the oracle's ORDER BY computes, so both sides select identical
+    polygons."""
     polys = load_polygons(LAKES)
     boxes = np.vstack([p.bbox for p in polys])
     area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
