@@ -367,6 +367,54 @@ def _h3_compact(sf_dir: str):
     return out.select_columns(["geom_id", "poly_idx", "cell", "res"])
 
 
+def _zone_raster():
+    """Shared front half of the raster queries: burn the top-K lakes
+    onto a RASTER_W x RASTER_H lat/lng pixel grid. Candidates are
+    generated per polygon bbox (the empty raster never exists), the
+    even-odd center test runs in the shared CenterInPolygon actor pool,
+    and min-zone resolution uses the coarse prime-modulus partition."""
+    import ray
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.stages.h3ops import CenterInPolygon
+    from shapefile_rs_ray.stages.pip_join import load_polygons
+    from shapefile_rs_ray.stages.raster import (min_zone_by_pix,
+                                                pixel_candidates)
+
+    oracles.ensure_artifacts()
+    polys = load_polygons(LAKES)
+    sel = oracles.top_lakes_bboxes(oracles.RASTER_TOPK).astype(np.int64)
+    cand = pixel_candidates(polys, sel, oracles.RASTER_W, oracles.RASTER_H)
+    polys_ref = ray.put({int(i): polys[int(i)] for i in sel})
+    ds = ray.data.from_arrow(cand).repartition(32)
+    inside = ds.map_batches(CenterInPolygon, batch_format="pyarrow",
+                            fn_constructor_kwargs={"polys_ref": polys_ref,
+                                                   "keep_poly_id": True},
+                            concurrency=(1, 4))
+    return min_zone_by_pix(inside, w=oracles.RASTER_W)
+
+
+def _rasterize_zones(sf_dir: str):
+    """Vector->raster: sparse zone raster (pix, ix, iy, zone) of the
+    top-25 lakes at 4096x4096. The oracle recomputes the ENTIRE raster
+    in SQL (grid params, per-axis pixel generation, crossing counts,
+    min-zone) — no golden inputs. Fixture corpus, sf_dir unused."""
+    return _zone_raster()
+
+
+def _vectorize_regions(sf_dir: str):
+    """Raster->vector: distributed connected-component labeling of the
+    zone raster into regions (region_id = min pixel, zone, n_pixels,
+    pixel bbox). Tile-local union-find + O(perimeter) driver boundary
+    merge; the oracle joins a single-node-BFS golden for labels over a
+    fully SQL-recomputed raster. Fixture corpus, sf_dir unused."""
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.stages.raster import vectorize_regions
+
+    oracles.ensure_raster_regions()
+    return vectorize_regions(_zone_raster(), w=oracles.RASTER_W,
+                             tile_rows=oracles.RASTER_TILE_ROWS)
+
+
 def _n_pages(sf_dir: str) -> int:
     import os
 
@@ -888,6 +936,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_ring": _h3_ring,
         "h3_polyfill": _h3_polyfill,
         "h3_compact": _h3_compact,
+        "rasterize_zones": _rasterize_zones,
+        "vectorize_regions": _vectorize_regions,
         "hex_cells": _hex_cells,
         "quality_corpus": _quality_corpus,
         "minhash_pairs": _minhash_pairs,
@@ -985,6 +1035,8 @@ def oracle_sql() -> dict[str, str]:
         "h3_ring": oracles.h3_ring_sql(),
         "h3_polyfill": oracles.h3_polyfill_sql(),
         "h3_compact": oracles.h3_compact_sql(),
+        "rasterize_zones": oracles.rasterize_zones_sql(),
+        "vectorize_regions": oracles.vectorize_regions_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "pip_join": oracles.pip_join_sql(),

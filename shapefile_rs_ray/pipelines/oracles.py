@@ -38,6 +38,12 @@ H3_POLYFILL_RES = 5
 H3_COMPACT_CENTERS_PQ = os.path.join(ORACLE_DIR, "h3_compact_centers.parquet")
 H3_COMPACT_RES = 7          # polyfill res the compaction starts from
 H3_COMPACT_TOPK = 10        # largest lakes by bbox area (area DESC, poly_id)
+RASTER_W = 4096             # raster grid width / height (pixels)
+RASTER_H = 4096
+RASTER_TOPK = 25            # lakes burned into the raster (area DESC)
+RASTER_TILE_ROWS = 256      # vectorize row-band tile height
+RASTER_REGIONS_PQ = os.path.join(
+    ORACLE_DIR, f"raster_regions_w{RASTER_W}_k{RASTER_TOPK}.parquet")
 
 
 def ensure_artifacts() -> None:
@@ -201,16 +207,16 @@ SELECT cell, geom_id, poly_idx FROM crossed WHERE crossings % 2 = 1
 """
 
 
-def top_lakes_bboxes() -> np.ndarray:
-    """Positional poly indices of the H3_COMPACT_TOPK largest lakes by
-    bbox area, ordered (area DESC, poly_id ASC) — the same f64 product
-    the oracle's ORDER BY computes, so both sides select identical
-    polygons."""
+def top_lakes_bboxes(k: int | None = None) -> np.ndarray:
+    """Positional poly indices of the k (default H3_COMPACT_TOPK)
+    largest lakes by bbox area, ordered (area DESC, poly_id ASC) — the
+    same f64 product the oracle's ORDER BY computes, so both sides
+    select identical polygons."""
     polys = load_polygons(LAKES)
     boxes = np.vstack([p.bbox for p in polys])
     area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     order = np.lexsort((np.arange(len(polys)), -area))
-    return order[:H3_COMPACT_TOPK]
+    return order[:(H3_COMPACT_TOPK if k is None else k)]
 
 
 def ensure_h3_compact_centers() -> None:
@@ -304,6 +310,138 @@ s{H3_COMPACT_RES} AS MATERIALIZED (
   SELECT poly_id, geom_id, poly_idx, cell FROM crossed
   WHERE crossings % 2 = 1),{",".join(levels)}
 SELECT geom_id, poly_idx, cell, ((cell >> 52) & 15) AS res FROM s0
+"""
+
+
+def _raster_zone_ctes() -> str:
+    """Shared CTE chain computing the zone raster ENTIRELY in SQL:
+    top-K lake selection, grid parameters (min/max + one division —
+    merge-order-free), per-axis pixel-center generation against each
+    polygon's bbox (generate_series; DuckDB has no lateral series, so
+    the x and y axes are filtered independently and equi-joined on
+    poly_id), the engine's exact even-odd crossing expression over the
+    shared edge table, and min-zone resolution per pixel. Ends with
+    zones(pix, ix, iy, zone)."""
+    center = ("g.{o}0 + (CAST(t.i AS DOUBLE) + 0.5) * g.d{a}")
+    return f"""
+sel AS (
+  SELECT poly_id, geom_id, xmin, ymin, xmax, ymax
+  FROM read_parquet('{BOXES_PQ}')
+  ORDER BY (xmax - xmin) * (ymax - ymin) DESC, poly_id
+  LIMIT {RASTER_TOPK}),
+grid AS (
+  SELECT min(xmin) AS x0, min(ymin) AS y0,
+         (max(xmax) - min(xmin)) / {RASTER_W} AS dx,
+         (max(ymax) - min(ymin)) / {RASTER_H} AS dy
+  FROM sel),
+xs AS (
+  SELECT b.poly_id, t.i AS ix, {center.format(o='x', a='x')} AS cx
+  FROM sel b, grid g, generate_series(0, {RASTER_W - 1}) t(i)
+  WHERE {center.format(o='x', a='x')} >= b.xmin
+    AND {center.format(o='x', a='x')} <= b.xmax),
+ys AS (
+  SELECT b.poly_id, t.i AS iy, {center.format(o='y', a='y')} AS cy
+  FROM sel b, grid g, generate_series(0, {RASTER_H - 1}) t(i)
+  WHERE {center.format(o='y', a='y')} >= b.ymin
+    AND {center.format(o='y', a='y')} <= b.ymax),
+rcand AS (
+  SELECT x.poly_id, s.geom_id, x.ix, y.iy, x.cx, y.cy,
+         y.iy * {RASTER_W} + x.ix AS pix
+  FROM xs x
+  JOIN ys y ON y.poly_id = x.poly_id
+  JOIN sel s ON s.poly_id = x.poly_id),
+rcross AS (
+  SELECT c.pix, c.ix, c.iy, c.poly_id, c.geom_id,
+         SUM(CASE WHEN (e.y1 > c.cy) <> (e.y2 > c.cy)
+                   AND c.cx < (e.x2 - e.x1) * (c.cy - e.y1) / (e.y2 - e.y1) + e.x1
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM rcand c JOIN read_parquet('{EDGES_PQ}') e ON e.poly_id = c.poly_id
+  GROUP BY c.pix, c.ix, c.iy, c.poly_id, c.geom_id),
+zones AS (
+  SELECT pix, min(ix) AS ix, min(iy) AS iy, min(geom_id) AS zone
+  FROM rcross WHERE crossings % 2 = 1
+  GROUP BY pix)"""
+
+
+def rasterize_zones_sql() -> str:
+    """rasterize_zones oracle: the full raster recomputed in SQL — no
+    golden inputs at all."""
+    return f"WITH {_raster_zone_ctes()}\nSELECT pix, ix, iy, zone FROM zones"
+
+
+def ensure_raster_regions() -> None:
+    """Golden for vectorize_regions: (pix, region_id) from a
+    single-node ascending-pixel BFS flood fill — algorithmically
+    independent of the distributed tile-merge union-find (the iteration
+    order makes each BFS seed the component's min pixel, matching the
+    engine's label convention). Zone membership is NOT golden: the
+    oracle recomputes the raster fully in SQL (CTEs shared with
+    rasterize_zones) and joins this table only for the region label, so
+    a membership disagreement breaks the join counts loudly."""
+    if os.path.exists(RASTER_REGIONS_PQ):
+        return
+    from collections import deque
+
+    from ..geometry.pip import PIPIndex
+    from ..stages.raster import pixel_candidates
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    polys = load_polygons(LAKES)
+    sel = top_lakes_bboxes(RASTER_TOPK)
+    cand = pixel_candidates(polys, sel, RASTER_W, RASTER_H)
+    pid = np.asarray(cand["poly_id"], np.int64)
+    pix = np.asarray(cand["cell"], np.int64)
+    lat = np.asarray(cand["clat"], np.float64)
+    lng = np.asarray(cand["clng"], np.float64)
+    hits_pix, hits_zone = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+    for i in sel:
+        m = np.nonzero(pid == int(i))[0]
+        inside, _ = PIPIndex([polys[int(i)]]).query(lng[m], lat[m])
+        hits_pix.append(pix[m[inside]])
+        hits_zone.append(np.full(len(inside), polys[int(i)].geom_id,
+                                 np.int64))
+    hp, hz = np.concatenate(hits_pix), np.concatenate(hits_zone)
+    order = np.lexsort((hz, hp))
+    hp, hz = hp[order], hz[order]
+    upix, starts = np.unique(hp, return_index=True)
+    zmap = dict(zip(upix.tolist(), hz[starts].tolist()))
+    region: dict[int, int] = {}
+    w = RASTER_W
+    for p in upix.tolist():                       # ascending pixel ids
+        if p in region:
+            continue
+        region[p] = p
+        dq = deque([p])
+        while dq:
+            q = dq.popleft()
+            z = zmap[q]
+            for nb in ((q - 1) if q % w else None,
+                       (q + 1) if (q + 1) % w else None,
+                       q - w, q + w):
+                if (nb is not None and nb not in region
+                        and zmap.get(nb) == z):
+                    region[nb] = p
+                    dq.append(nb)
+    tbl = pa.table({
+        "pix": pa.array(np.fromiter(region.keys(), np.int64, len(region)),
+                        pa.int64()),
+        "region_id": pa.array(
+            np.fromiter(region.values(), np.int64, len(region)), pa.int64()),
+    })
+    tmp = RASTER_REGIONS_PQ + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, RASTER_REGIONS_PQ)
+
+
+def vectorize_regions_sql() -> str:
+    """vectorize_regions oracle: SQL-recomputed raster joined to the
+    BFS golden only for the region label; all stats aggregate in SQL."""
+    return f"""
+WITH {_raster_zone_ctes()}
+SELECT g.region_id, min(z.zone) AS zone, count(*) AS n_pixels,
+       min(z.ix) AS ix_min, min(z.iy) AS iy_min,
+       max(z.ix) AS ix_max, max(z.iy) AS iy_max
+FROM zones z JOIN read_parquet('{RASTER_REGIONS_PQ}') g ON g.pix = z.pix
+GROUP BY g.region_id
 """
 
 

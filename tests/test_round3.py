@@ -275,3 +275,55 @@ def test_compact_by_group_matches_scalar_kernel(ray_session):
         assert (got["tag"] == g * 100 + 7).all()
     assert (out[out.poly_id == 0]["cell"].to_numpy() ==
             parent[0]).all()                  # full family collapsed to root
+
+
+def test_vectorize_regions_matches_bfs_on_random_raster(ray_session):
+    """Distributed tile-merge CC == independent single-node BFS on a
+    random sparse 2-zone raster, with tiles small enough that most
+    components span several tile boundaries."""
+    import ray
+    from collections import deque
+    from shapefile_rs_ray.stages.raster import vectorize_regions
+
+    w = h = 32
+    rng = np.random.default_rng(11)
+    occ = rng.random((h, w)) < 0.45
+    zone_grid = rng.integers(1, 3, size=(h, w))
+    iy, ix = np.nonzero(occ)
+    pix = iy * w + ix
+    zone = zone_grid[iy, ix]
+    ds = ray.data.from_arrow(pa.table({
+        "pix": pa.array(pix, pa.int64()), "ix": pa.array(ix, pa.int64()),
+        "iy": pa.array(iy, pa.int64()),
+        "zone": pa.array(zone, pa.int64())})).repartition(6)
+    got = (vectorize_regions(ds, w=w, tile_rows=4, parts=7).to_pandas()
+           .sort_values("region_id").reset_index(drop=True))
+
+    zmap = dict(zip(pix.tolist(), zone.tolist()))
+    region: dict[int, int] = {}
+    for p in sorted(zmap):
+        if p in region:
+            continue
+        region[p] = p
+        dq = deque([p])
+        while dq:
+            q = dq.popleft()
+            for nb in ((q - 1) if q % w else None,
+                       (q + 1) if (q + 1) % w else None, q - w, q + w):
+                if nb is not None and nb not in region \
+                        and zmap.get(nb) == zmap[q]:
+                    region[nb] = p
+                    dq.append(nb)
+    rows = {}
+    for p, r in region.items():
+        e = rows.setdefault(r, [zmap[p], 0, w, h, -1, -1])
+        e[1] += 1
+        e[2] = min(e[2], p % w); e[3] = min(e[3], p // w)
+        e[4] = max(e[4], p % w); e[5] = max(e[5], p // w)
+    exp = pd.DataFrame(
+        [{"region_id": r, "zone": v[0], "n_pixels": v[1], "ix_min": v[2],
+          "iy_min": v[3], "ix_max": v[4], "iy_max": v[5]}
+         for r, v in sorted(rows.items())])
+    assert len(got) > 20          # non-trivial component structure
+    pd.testing.assert_frame_equal(
+        got[exp.columns].astype(np.int64), exp.astype(np.int64))
