@@ -457,6 +457,16 @@ def _quality_corpus(sf_dir: str):
     return curate_corpus(read_webpages(sf_dir, with_html=False))
 
 
+def _jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard similarity self-join (no LSH): distinct-text
+    pairs with word-3-shingle J >= 0.8, with the jac value, found via
+    lossless PPJoin-style prefix filtering. Oracle: brute-force all-pairs
+    exact Jaccard over distinct texts in SQL."""
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.dedup import jaccard_similarity_join
+    return jaccard_similarity_join(read_webpages(sf_dir, with_html=False))
+
+
 def _minhash_pairs(sf_dir: str):
     from shapefile_rs_ray.sources.webpages import read_webpages
     from shapefile_rs_ray.stages.dedup import minhash_lsh_pairs
@@ -941,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_cells": _hex_cells,
         "quality_corpus": _quality_corpus,
         "minhash_pairs": _minhash_pairs,
+        "jaccard_pairs": _jaccard_pairs,
         "simhash_pairs": _simhash_pairs,
         "fingerprints": _fingerprints,
         "ann_top1": _ann_top1,
@@ -1095,6 +1106,27 @@ clone_pairs AS (SELECT a.page_id AS id_a, b.page_id AS id_b
                   ON a.text = b.text AND a.page_id < b.page_id)
 SELECT DISTINCT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
 FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM clone_pairs)""",
+        # brute-force all-pairs exact word-3-shingle Jaccard over distinct
+        # texts (the engine's lossless prefix filter must find exactly
+        # these pairs); jac is an int/int DOUBLE division on both sides
+        "jaccard_pairs": f"""
+WITH {pages},
+g AS (SELECT text, MIN(page_id) AS gid FROM pages GROUP BY text),
+w AS (SELECT gid, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM g),
+sh AS (SELECT gid,
+       CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+                 range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+            WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+            ELSE [''] END AS s
+       FROM w)
+SELECT id_a, id_b, jac FROM (
+  SELECT a.gid AS id_a, b.gid AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+  FROM sh a JOIN sh b ON a.gid < b.gid)
+WHERE jac >= CAST('0.8' AS DOUBLE)""",
         "quality_corpus": f"""
 WITH {pages},
 g AS (SELECT page_id, url, text, {tok['n_tokens']} AS n_tokens

@@ -120,6 +120,37 @@ def jaccard_ngrams(a: str, b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wraparound
+    intentional) — the shared 32->64-bit spreader for crc-derived
+    hashes (SimHash word hashes, Jaccard-join shingle hashes)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def shingle_hash64(texts: list[str], k: int = 3
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc SORTED-UNIQUE 64-bit word-k-shingle hashes
+    (crc32 -> splitmix64): flat uint64 array + (n_docs+1,) offsets.
+    Ascending hash order IS the global total order the prefix filter
+    prefixes are taken in."""
+    crcs, off = _shingle_crcs(texts, k)
+    mixed = splitmix64(crcs)
+    n = len(texts)
+    doc = np.repeat(np.arange(n), np.diff(off))
+    order = np.lexsort((mixed, doc))
+    doc, mixed = doc[order], mixed[order]
+    keep = np.empty(len(mixed), bool)
+    keep[0:1] = True
+    keep[1:] = (doc[1:] != doc[:-1]) | (mixed[1:] != mixed[:-1])
+    doc, mixed = doc[keep], mixed[keep]
+    new_off = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(doc, minlength=n), out=new_off[1:])
+    return mixed, new_off
+
+
 def simhash64(texts: list[str], chunk: int = 200_000) -> np.ndarray:
     """64-bit SimHash over word unigram crc32-derived 64-bit hashes
     (crc folded through splitmix-style mixing to fill 64 bits)."""
@@ -132,10 +163,7 @@ def simhash64(texts: list[str], chunk: int = 200_000) -> np.ndarray:
         offsets[i + 1] = len(crcs)
     # splitmix64 mix to spread the 32-bit crcs over 64 bits — vectorized
     # over the whole flat token array (uint64 wraparound intentional)
-    z = np.asarray(crcs, np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    flat = z ^ (z >> np.uint64(31))
+    flat = splitmix64(np.asarray(crcs, np.uint64))
     n = len(texts)
     acc = np.zeros((n, 64), np.int64)
     shifts = np.arange(64, dtype=np.uint64)

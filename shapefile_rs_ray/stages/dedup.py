@@ -570,3 +570,223 @@ def embedding_neardup_pairs(queries_ds, corpus, *,
         fn_constructor_kwargs={"corpus_ref": _corpus_ref(corpus, id_col),
                                "threshold": threshold, "id_col": id_col},
         batch_format="pyarrow", batch_size=1024, concurrency=concurrency)
+
+
+def jaccard_similarity_join(pages, *, id_col: str = "page_id",
+                            text_col: str = "text", threshold: float = 0.8,
+                            max_driver_candidates: int = 2_000_000):
+    """EXACT word-3-shingle n-gram Jaccard similarity self-join: every
+    pair of DISTINCT texts with J >= threshold, as (id_a, id_b, jac)
+    over min-id representatives (id_a < id_b). Unlike `minhash_lsh_pairs`
+    there is NO probabilistic stage — the pruning is PPJoin-style prefix
+    filtering, which is lossless: with each doc's shingle-hash set
+    sorted ascending (a global total order), J(A,B) >= t implies
+    |A n B| >= ceil(t*|A|), and the prefix lemma then guarantees the
+    first |A| - ceil(t*|A|) + 1 hashes of A and the corresponding
+    prefix of B share an element, so only those prefix hashes are
+    indexed.
+
+    Distributed shape (the 100 TB rules): the exchange carries only
+    (prefix_hash, text_hash, id) ints — text never shuffles; candidate
+    pairs generate inside coarse prime-modulus partitions of whole
+    hash buckets (identical texts all emit identical prefixes, so the
+    min id seen in a bucket family IS the global representative);
+    verification recomputes exact STRING-shingle Jaccard on the
+    candidate-rep-filtered corpus (the minhash pass-2 routing pattern)
+    and emits the jac value; the driver-held candidate slice is
+    bounded by the same hash-residue chunking as minhash.
+
+    At-scale caveats (documented, immaterial at gate scale): prefix
+    membership uses random hash order, so one extremely frequent
+    shingle can make a hot bucket (classic fix: global-frequency
+    ordering, one extra count pass); shingle hashes are crc32-derived,
+    so the candidate FILTER is lossless only up to 32-bit collisions
+    (collisions merge set elements; verification stays exact strings).
+    """
+    import ray
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = np.asarray(batch[id_col], np.int64)
+        th = hashing.content_hash64(texts).view(np.int64)
+        flat, off = hashing.shingle_hash64(texts)
+        counts = np.diff(off)
+        req = np.ceil(threshold * counts - 1e-9).astype(np.int64)
+        plen = np.maximum(1, counts - req + 1)
+        rep = np.repeat(np.arange(len(texts)), plen)
+        local = np.arange(int(plen.sum())) - np.repeat(
+            np.cumsum(plen) - plen, plen)
+        gidx = off[:-1][rep] + local
+        return pa.table({
+            "ph": pa.array(flat[gidx].view(np.int64), pa.int64()),
+            "h": pa.array(th[rep], pa.int64()),
+            "id": pa.array(ids[rep], pa.int64()),
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ph = np.asarray(batch["ph"], np.int64)
+        return batch.append_column(
+            "__p", pa.array(ph % PAIR_PARTS, pa.int64()))
+
+    def detect(part: pa.Table) -> pa.Table:
+        """Partition = whole prefix-hash buckets. Families (same bucket,
+        same text hash) collapse to their min id; buckets holding >1
+        family emit candidate pairs (h_a < h_b by the family sort)."""
+        ph = np.asarray(part["ph"], np.int64)
+        hs = np.asarray(part["h"], np.int64)
+        ids = np.asarray(part["id"], np.int64)
+        order = np.lexsort((ids, hs, ph))
+        ph, hs, ids = ph[order], hs[order], ids[order]
+        fam_new = np.empty(len(ph), bool)
+        fam_new[0:1] = True
+        fam_new[1:] = (ph[1:] != ph[:-1]) | (hs[1:] != hs[:-1])
+        fam_start = np.nonzero(fam_new)[0]
+        fam_ph = ph[fam_start]
+        fam_h = hs[fam_start]
+        fam_rep = ids[fam_start]
+        b_new = np.empty(len(fam_ph), bool)
+        b_new[0:1] = True
+        b_new[1:] = fam_ph[1:] != fam_ph[:-1]
+        b_start = np.nonzero(b_new)[0]
+        b_size = np.append(b_start[1:], len(fam_ph)) - b_start
+        out_a, out_b, out_ra, out_rb = [], [], [], []
+        for b in np.nonzero(b_size > 1)[0]:
+            fams = np.arange(b_start[b], b_start[b] + b_size[b])
+            fa, fb = np.triu_indices(len(fams), k=1)
+            out_a.append(fam_h[fams[fa]])
+            out_b.append(fam_h[fams[fb]])
+            out_ra.append(fam_rep[fams[fa]])
+            out_rb.append(fam_rep[fams[fb]])
+        if not out_a:
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z, "rep_a": z, "rep_b": z})
+        ca = np.concatenate(out_a)
+        cb = np.concatenate(out_b)
+        cra = np.concatenate(out_ra)
+        crb = np.concatenate(out_rb)
+        o = np.lexsort((cb, ca))                 # partition-local dedup
+        ca, cb, cra, crb = ca[o], cb[o], cra[o], crb[o]
+        first = np.empty(len(ca), bool)
+        first[0:1] = True
+        first[1:] = (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])
+        return pa.table({
+            "a": pa.array(ca[first], pa.int64()),
+            "b": pa.array(cb[first], pa.int64()),
+            "rep_a": pa.array(cra[first], pa.int64()),
+            "rep_b": pa.array(crb[first], pa.int64()),
+        })
+
+    cand_ds = (pages.map_batches(prefix_rows, batch_format="pyarrow")
+               .map_batches(add_part, batch_format="pyarrow")
+               .groupby("__p").map_groups(detect, batch_format="pyarrow")
+               ).materialize()
+    n_cand_rows = cand_ds.count()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jac": pa.array([], pa.float64())})
+    if n_cand_rows == 0:
+        return ray.data.from_arrow(empty)
+    n_chunks = max(1, -(-n_cand_rows // max_driver_candidates))
+    if n_chunks > 1:
+        def add_chunk(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch["a"], np.int64).view(np.uint64)
+            b = np.asarray(batch["b"], np.int64).view(np.uint64)
+            mix = a ^ (b * np.uint64(0x9E3779B97F4A7C15))
+            return batch.append_column(
+                "__chunk",
+                pa.array((mix % np.uint64(n_chunks)).astype(np.int64)))
+        cand_ds = cand_ds.map_batches(
+            add_chunk, batch_format="pyarrow").materialize()
+
+    outs = []
+    for ci in range(n_chunks):
+        chunk = (cand_ds if n_chunks == 1
+                 else cand_ds.filter(expr=f"__chunk == {ci}")
+                 .select_columns(["a", "b", "rep_a", "rep_b"]))
+        cand_tbl = chunk.to_pandas()
+        if len(cand_tbl) == 0:
+            continue
+        verified = _jaccard_verify_chunk(
+            pages, cand_tbl, id_col=id_col, text_col=text_col,
+            threshold=threshold)
+        outs.append(verified)
+    if not outs:
+        return ray.data.from_arrow(empty)
+    return outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
+
+
+def _jaccard_verify_chunk(pages, cand_tbl, *, id_col: str, text_col: str,
+                          threshold: float):
+    """Exact string-shingle Jaccard over one driver-bounded candidate
+    slice; emits (id_a, id_b, jac) for confirmed pairs. The chunk id is
+    a function of (h_a, h_b), so global (h_a, h_b) dedup within the
+    chunk is global dedup, and chunk outputs union without repeats."""
+    import ray
+
+    ca = cand_tbl["a"].to_numpy(np.int64)
+    cb = cand_tbl["b"].to_numpy(np.int64)
+    cra = cand_tbl["rep_a"].to_numpy(np.int64)
+    crb = cand_tbl["rep_b"].to_numpy(np.int64)
+    o = np.lexsort((cb, ca))
+    ca, cb, cra, crb = ca[o], cb[o], cra[o], crb[o]
+    first = np.empty(len(ca), bool)
+    first[0:1] = True
+    first[1:] = (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])
+    cra, crb = cra[first], crb[first]
+    n_pairs = len(cra)
+
+    rep_map: dict[int, list[tuple[int, int]]] = {}
+    for i in range(n_pairs):
+        rep_map.setdefault(int(cra[i]), []).append((i, 0))
+        rep_map.setdefault(int(crb[i]), []).append((i, 1))
+    rep_map_ref = ray.put(rep_map)
+    pair_ids_ref = ray.put((cra, crb))
+
+    def rep_shingles(batch: pa.Table) -> pa.Table:
+        rmap = ray.get(rep_map_ref)
+        rep_ids = pa.array(sorted(rmap), pa.int64())
+        keep = pc.is_in(batch[id_col], value_set=rep_ids)
+        sub = batch.filter(keep)
+        pis, sides, shs = [], [], []
+        for rid, text in zip(sub[id_col].to_pylist(),
+                             sub[text_col].to_pylist()):
+            sh = sorted(hashing.text_shingles(text))
+            for pi, side in rmap[rid]:
+                pis.append(pi)
+                sides.append(side)
+                shs.append(sh)
+        return pa.table({
+            "pair_idx": pa.array(pis, pa.int64()),
+            "side": pa.array(sides, pa.int64()),
+            "sh": pa.array(shs, pa.list_(pa.string())),
+            "__p": pa.array([p % PAIR_PARTS for p in pis], pa.int64()),
+        })
+
+    def verify(part: pa.Table) -> pa.Table:
+        cra_, crb_ = ray.get(pair_ids_ref)
+        pis = np.asarray(part["pair_idx"], np.int64)
+        sides = np.asarray(part["side"], np.int64)
+        shs = part["sh"].to_pylist()
+        by_pair: dict[int, dict[int, set]] = {}
+        for i in range(len(pis)):
+            by_pair.setdefault(int(pis[i]), {})[int(sides[i])] = set(shs[i])
+        ia, ib, jv = [], [], []
+        for pi in sorted(by_pair):
+            sd = by_pair[pi]
+            sa, sb = sd.get(0, set()), sd.get(1, set())
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j = (inter / union) if union else 1.0
+            if j >= threshold:
+                ra, rb = int(cra_[pi]), int(crb_[pi])
+                ia.append(min(ra, rb))
+                ib.append(max(ra, rb))
+                jv.append(j)
+        return pa.table({
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "jac": pa.array(jv, pa.float64()),
+        })
+
+    return (pages.map_batches(rep_shingles, batch_format="pyarrow")
+            .groupby("__p").map_groups(verify, batch_format="pyarrow"))

@@ -327,3 +327,55 @@ def test_vectorize_regions_matches_bfs_on_random_raster(ray_session):
     assert len(got) > 20          # non-trivial component structure
     pd.testing.assert_frame_equal(
         got[exp.columns].astype(np.int64), exp.astype(np.int64))
+
+
+def test_jaccard_join_lossless_vs_bruteforce(ray_session):
+    """The prefix-filtered exact similarity join must find EXACTLY the
+    brute-force all-pairs J >= t set — including pairs barely at the
+    threshold — and the driver-chunked path must match unchunked."""
+    import itertools
+    import ray
+    from shapefile_rs_ray.functions.hashing import text_shingles
+    from shapefile_rs_ray.stages.dedup import jaccard_similarity_join
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts, ids = [], []
+    base = list(rng.choice(vocab, 40))
+    for i in range(25):                    # heavy overlap -> many pairs
+        t = list(base)
+        for _ in range(rng.integers(0, 6)):
+            t[rng.integers(0, len(t))] = vocab[rng.integers(0, len(vocab))]
+        texts.append(" ".join(t))
+        ids.append(i)
+    texts.append(texts[0])                 # exact clone (same family)
+    ids.append(100)
+    tbl = pa.table({"page_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+
+    def brute():
+        reps = {}
+        for i, t in zip(ids, texts):
+            reps.setdefault(t, i)          # first occurrence = min id here
+        out = []
+        for (ta, ga), (tb, gb) in itertools.combinations(
+                sorted(reps.items(), key=lambda kv: kv[1]), 2):
+            sa, sb = text_shingles(ta), text_shingles(tb)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= 0.8:
+                out.append((min(ga, gb), max(ga, gb), j))
+        return sorted(out)
+
+    exp = brute()
+    assert len(exp) > 10                   # non-trivial, near-threshold mix
+    for cap in (10_000_000, 7):            # unchunked + forced chunking
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        got = (jaccard_similarity_join(ds, max_driver_candidates=cap)
+               .to_pandas().sort_values(["id_a", "id_b"]))
+        got_t = list(map(tuple, got.to_numpy()))
+        assert [(int(a), int(b)) for a, b, _ in got_t] == \
+               [(a, b) for a, b, _ in exp]
+        np.testing.assert_allclose([j for _, _, j in got_t],
+                                   [j for _, _, j in exp], rtol=0, atol=0)
