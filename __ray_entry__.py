@@ -415,6 +415,31 @@ def _vectorize_regions(sf_dir: str):
                              tile_rows=oracles.RASTER_TILE_ROWS)
 
 
+def _nearest_polygon(sf_dir: str):
+    """Nearest-polygon distance join: every page point -> the closest of
+    the top-25 lakes by exact squared point-to-edge distance (planar
+    lon/lat), tie-broken to the smallest poly_id. Small-side broadcast
+    (edges ship once via ray.put); the SQL oracle recomputes the full
+    brute-force distance matrix with the identical float expression
+    tree, so d2 is bit-exact."""
+    import ray
+    from shapefile_rs_ray.geometry.rings import edge_table
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.knn import nearest_polygon_join
+    from shapefile_rs_ray.stages.pip_join import load_polygons
+
+    oracles.ensure_artifacts()
+    polys = load_polygons(LAKES)
+    sel = oracles.top_lakes_bboxes(oracles.RASTER_TOPK).astype(np.int64)
+    et = edge_table(polys)
+    mask = np.isin(et["poly_id"], sel)
+    edges = {k: v[mask] for k, v in et.items()}
+    pages = read_webpages(sf_dir, with_html=False).select_columns(
+        ["page_id", "lon", "lat"])
+    return nearest_polygon_join(pages, edges)
+
+
 def _n_pages(sf_dir: str) -> int:
     import os
 
@@ -603,6 +628,38 @@ def _events_hopping(sf_dir: str):
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "ts", "value"])
     return hopping_window_counts(ev)
+
+
+def _range_join(sf_dir: str):
+    """Equi(user) + range(ts) interval join: intervals derive
+    deterministically from the events log (every event_id % 97 == 0 row
+    anchors an interval of (1 + event_id % 7) * 6 h); every event of
+    the same user inside [start, end] joins. One tagged-union shuffle
+    into coarse user-hash partitions + a merge-path kernel per
+    partition (stages/windows.py:interval_range_join)."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.windows import interval_range_join
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"])
+
+    def to_intervals(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"], np.int64)
+        keep = eid % 97 == 0
+        eid = eid[keep]
+        start = np.asarray(batch["ts"].cast(pa.int64()))[keep]
+        dur = (1 + eid % 7) * 21_600_000_000
+        return pa.table({
+            "interval_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(
+                np.asarray(batch["user_id"], np.int64)[keep], pa.int64()),
+            "start_us": pa.array(start, pa.int64()),
+            "end_us": pa.array(start + dur, pa.int64()),
+        })
+
+    iv = ev.map_batches(to_intervals, batch_format="pyarrow")
+    return interval_range_join(ev, iv)
 
 
 def _top_events_user(sf_dir: str):
@@ -934,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_cellpart": _pip_join_cellpart,
         "pip_join_h3": _pip_join_h3,
         "zonal_stats": _zonal_stats,
+        "nearest_polygon": _nearest_polygon,
         "zonal_cellpart": _zonal_cellpart,
         "knn_sites": _knn_sites,
         "knn_cellpart": _knn_cellpart,
@@ -964,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _events_window,
         "events_late": _events_late,
         "events_hopping": _events_hopping,
+        "range_join": _range_join,
         "top_events_user": _top_events_user,
         "orders_by_nation": _orders_by_nation,
         "lineitem_q1": _lineitem_q1,
@@ -1054,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_cellpart": oracles.pip_join_sql(),
         "pip_join_h3": oracles.pip_join_sql(),
         "zonal_stats": oracles.zonal_sql(),
+        "nearest_polygon": oracles.nearest_polygon_sql(),
         "knn_sites": f"""
 WITH {pages}, s AS ({synth.sites_sql()})
 SELECT page_id, rank, site_id, dist2 FROM (
@@ -1224,6 +1284,17 @@ SELECT user_id,
        MAX(value) AS max_value
 FROM events CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 4))
 GROUP BY user_id, 2""",
+        # equi(user)+range(ts) join; interval bounds are pure int64 us
+        # arithmetic on both sides, so the match set is bit-exact
+        "range_join": """
+WITH iv AS (SELECT event_id AS interval_id, user_id,
+                   epoch_us(ts) AS s,
+                   epoch_us(ts) + (1 + event_id % 7) * 21600000000 AS e
+            FROM events WHERE event_id % 97 = 0)
+SELECT iv.interval_id, ev.event_id, ev.user_id, ev.value
+FROM events ev JOIN iv
+  ON ev.user_id = iv.user_id
+ AND epoch_us(ev.ts) BETWEEN iv.s AND iv.e""",
         "top_events_user": """
 SELECT user_id, rank, event_id, value FROM (
   SELECT user_id, event_id, value,

@@ -472,6 +472,44 @@ FROM crossed WHERE crossings % 2 = 1
 """
 
 
+def nearest_polygon_sql(topk: int = RASTER_TOPK) -> str:
+    """Brute-force nearest polygon by squared point-to-edge distance over
+    the top-k lakes — the SQL restates the engine's NearestPolygon float
+    expression tree operation-for-operation (ex = x2-x1,
+    t = clip(dot/len2, 0, 1), q = x1 + t*ex, d2 = (p-q)^2, degenerate
+    edges pinned to t = 0), so MIN(d2) and the min-poly_id tie-break are
+    bit-exact."""
+    t_expr = ("CASE WHEN ex * ex + ey * ey > CAST('0.0' AS DOUBLE) THEN "
+              "LEAST(GREATEST(((p.lon - x1) * ex + (p.lat - y1) * ey)"
+              " / (ex * ex + ey * ey), CAST('0.0' AS DOUBLE)),"
+              " CAST('1.0' AS DOUBLE)) ELSE CAST('0.0' AS DOUBLE) END")
+    return f"""
+WITH {PAGES_CTE},
+sel AS (
+  SELECT poly_id FROM read_parquet('{BOXES_PQ}')
+  ORDER BY (xmax - xmin) * (ymax - ymin) DESC, poly_id
+  LIMIT {topk}),
+ed AS (
+  SELECT e.poly_id, e.x1, e.y1,
+         e.x2 - e.x1 AS ex, e.y2 - e.y1 AS ey
+  FROM read_parquet('{EDGES_PQ}') e JOIN sel USING (poly_id)),
+tt AS (
+  SELECT p.page_id, ed.poly_id, p.lon, p.lat, x1, y1, ex, ey,
+         {t_expr} AS t
+  FROM pages p CROSS JOIN ed),
+dd AS (
+  SELECT page_id, poly_id,
+         (lon - (x1 + t * ex)) * (lon - (x1 + t * ex))
+         + (lat - (y1 + t * ey)) * (lat - (y1 + t * ey)) AS d2
+  FROM tt),
+pp AS (SELECT page_id, poly_id, MIN(d2) AS d2 FROM dd GROUP BY 1, 2),
+best AS (SELECT page_id, MIN(d2) AS d2 FROM pp GROUP BY 1)
+SELECT pp.page_id, MIN(pp.poly_id) AS nearest_poly, best.d2
+FROM pp JOIN best ON pp.page_id = best.page_id AND pp.d2 = best.d2
+GROUP BY pp.page_id, best.d2
+"""
+
+
 def cells_multi_sql(hex_resolutions=(4, 5, 6, 7, 8, 9),
                     s2_levels=(8, 12)) -> str:
     """Full oracle for the cells_multi tiling query: quadkey grid (shared

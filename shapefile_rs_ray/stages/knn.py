@@ -329,3 +329,78 @@ def knn_join_cellpart(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray],
     keyed = ds.map_batches(add_cell, batch_format="pyarrow")
     return keyed.groupby("__p").map_groups(
         CellKnn, batch_format="pyarrow", concurrency=(1, 4))
+
+
+class NearestPolygon:
+    """map_batches actor: for every point, the nearest polygon of a
+    broadcast polygon set by squared point-to-edge distance (planar
+    lon/lat, consistent with the PIP kernel's geometry), tie-broken to
+    the smallest poly_id.
+
+    Small-side broadcast pattern: the edge table ships ONCE via ray.put;
+    __init__ (once per actor) derives edge vectors / length² and the
+    per-poly reduceat bounds. __call__ chunks the point rows so the
+    (chunk × edges) distance matrix stays ~15 MB. The float expression
+    tree — ex = x2-x1, t = clip(dot/len², 0, 1), q = x1 + t·ex,
+    d² = (p-q)² — is mirrored operation-for-operation by the SQL oracle
+    (pipelines/oracles.py:nearest_polygon_sql), so d2 is bit-exact.
+    At a large polygon corpus the scale path is the engine's cell
+    partitioning (replicate edges to nearby cells); broadcast is the
+    exact, zero-shuffle default for bounded polygon sets.
+    """
+
+    def __init__(self, edges_ref, chunk: int = 512):
+        import ray
+        e = ray.get(edges_ref) if not isinstance(edges_ref, dict) \
+            else edges_ref
+        order = np.argsort(e["poly_id"], kind="stable")
+        self.pid = e["poly_id"][order]
+        self.x1 = e["x1"][order]
+        self.y1 = e["y1"][order]
+        self.ex = (e["x2"] - e["x1"])[order]
+        self.ey = (e["y2"] - e["y1"])[order]
+        self.len2 = self.ex * self.ex + self.ey * self.ey
+        self.safe_len2 = np.where(self.len2 > 0, self.len2, 1.0)
+        self.degen = self.len2 <= 0
+        self.upid, self.starts = np.unique(self.pid, return_index=True)
+        self.chunk = chunk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], np.float64)
+        lat = np.asarray(batch["lat"], np.float64)
+        n = len(lon)
+        best_poly = np.empty(n, np.int64)
+        best_d2 = np.empty(n, np.float64)
+        for s in range(0, n, self.chunk):
+            L = lon[s:s + self.chunk][:, None]
+            A = lat[s:s + self.chunk][:, None]
+            px = L - self.x1[None, :]
+            py = A - self.y1[None, :]
+            dot = px * self.ex + py * self.ey
+            t = np.clip(dot / self.safe_len2, 0.0, 1.0)
+            t[:, self.degen] = 0.0
+            dx = L - (self.x1 + t * self.ex)
+            dy = A - (self.y1 + t * self.ey)
+            d2 = dx * dx + dy * dy
+            md2 = np.minimum.reduceat(d2, self.starts, axis=1)
+            arg = np.argmin(md2, axis=1)        # first min = min poly_id
+            best_poly[s:s + self.chunk] = self.upid[arg]
+            best_d2[s:s + self.chunk] = md2[np.arange(len(arg)), arg]
+        return pa.table({
+            "page_id": batch["page_id"],
+            "nearest_poly": pa.array(best_poly, pa.int64()),
+            "d2": pa.array(best_d2, pa.float64()),
+        })
+
+
+def nearest_polygon_join(pages, edges: dict, *, concurrency=None):
+    """pages (streams) x broadcast polygon edge set -> per page the
+    nearest polygon + squared distance. `edges` is the edge_table dict
+    (poly_id, x1, y1, x2, y2) already restricted to the wanted polygons."""
+    import ray
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    ref = ray.put(edges)
+    return pages.map_batches(
+        NearestPolygon, fn_constructor_kwargs={"edges_ref": ref},
+        batch_format="pyarrow", concurrency=concurrency)

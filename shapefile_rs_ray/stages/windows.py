@@ -340,6 +340,121 @@ def asof_self_join(events, *, match_type: str = "purchase",
             .groupby("__p").map_groups(local, batch_format="pyarrow"))
 
 
+def interval_range_join(events, intervals, *, parts: int = USER_PARTITIONS):
+    """Equi(user_id) + range(ts) join — the classic "range join" Ray Data
+    has no operator for: every (interval, event) pair with the same
+    user_id and interval.start_us <= event.ts <= interval.end_us
+    (both ends inclusive).
+
+    Distributed shape: BOTH sides shuffle ONCE into coarse user-hash
+    partitions (tagged union — an interval and all events it can match
+    share a user, so the join completes locally; a hot user costs one
+    fat partition, never a per-key group). Per partition, one merge-path
+    kernel: events lexsort by (user, ts, event_id); each interval's
+    event range [lo, hi) falls out of a single combined lexsort where
+    the tag ordering encodes boundary inclusivity (interval-start sorts
+    BEFORE events at an equal (user, ts) so ts == start matches;
+    interval-end sorts AFTER, so ts == end matches); matched ranges
+    expand with the run-length gather. No per-interval Python, no
+    composite-key packing (so any int64 timestamp range is safe).
+
+    events:    (event_id, user_id, ts, value);
+    intervals: (interval_id, user_id, start_us, end_us), end >= start.
+    Output: (interval_id, event_id, user_id, value).
+    """
+    from .relational import _match_ranges
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], np.int64)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "t0": pa.array(np.asarray(batch["ts"].cast(pa.int64())),
+                           pa.int64()),
+            "t1": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            "rid": pa.array(np.asarray(batch["event_id"], np.int64),
+                            pa.int64()),
+            "value": pa.array(np.asarray(batch["value"], np.float64),
+                              pa.float64()),
+            "__iv": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            "__p": pa.array(u % parts, pa.int64()),
+        })
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], np.int64)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "t0": pa.array(np.asarray(batch["start_us"], np.int64),
+                           pa.int64()),
+            "t1": pa.array(np.asarray(batch["end_us"], np.int64),
+                           pa.int64()),
+            "rid": pa.array(np.asarray(batch["interval_id"], np.int64),
+                            pa.int64()),
+            "value": pa.array(np.zeros(len(u), np.float64), pa.float64()),
+            "__iv": pa.array(np.ones(len(u), np.int64), pa.int64()),
+            "__p": pa.array(u % parts, pa.int64()),
+        })
+
+    def local(part: pa.Table) -> pa.Table:
+        iv = np.asarray(part["__iv"], np.int64) == 1
+        u = np.asarray(part["user_id"], np.int64)
+        t0 = np.asarray(part["t0"], np.int64)
+        t1 = np.asarray(part["t1"], np.int64)
+        rid = np.asarray(part["rid"], np.int64)
+        val = np.asarray(part["value"], np.float64)
+        e_idx = np.nonzero(~iv)[0]
+        i_idx = np.nonzero(iv)[0]
+        empty = pa.table({
+            "interval_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+        })
+        if len(e_idx) == 0 or len(i_idx) == 0:
+            return empty
+        eo = np.lexsort((rid[e_idx], t0[e_idx], u[e_idx]))
+        eu, et = u[e_idx][eo], t0[e_idx][eo]
+        eid, eval_ = rid[e_idx][eo], val[e_idx][eo]
+        iu = u[i_idx]
+        ne, ni = len(eu), len(iu)
+
+        def bound(it: np.ndarray, iv_first: bool) -> np.ndarray:
+            # rank of each interval boundary among the (user, ts)-sorted
+            # events: cumulative event count at the boundary's sorted
+            # position. iv_first=True puts the boundary BEFORE events at
+            # an equal key (strict count -> inclusive start).
+            cu = np.concatenate([eu, iu])
+            ct = np.concatenate([et, it])
+            tag = np.empty(ne + ni, np.int64)
+            tag[:ne] = 1 if iv_first else 0
+            tag[ne:] = 0 if iv_first else 1
+            order = np.lexsort((tag, ct, cu))
+            is_event = np.concatenate(
+                [np.ones(ne, np.int64), np.zeros(ni, np.int64)])[order]
+            cum = np.cumsum(is_event)
+            ranks = np.empty(ne + ni, np.int64)
+            ranks[order] = np.arange(ne + ni)
+            return cum[ranks[ne:]]
+
+        lo = bound(t0[i_idx], True) - 0
+        hi = bound(t1[i_idx], False)
+        counts = np.maximum(hi - lo, 0)
+        if counts.sum() == 0:
+            return empty
+        sel = _match_ranges(lo, counts)
+        return pa.table({
+            "interval_id": pa.array(np.repeat(rid[i_idx], counts),
+                                    pa.int64()),
+            "event_id": pa.array(eid[sel], pa.int64()),
+            "user_id": pa.array(eu[sel], pa.int64()),
+            "value": pa.array(eval_[sel], pa.float64()),
+        })
+
+    tagged = (events.map_batches(tag_events, batch_format="pyarrow")
+              .union(intervals.map_batches(tag_intervals,
+                                           batch_format="pyarrow")))
+    return tagged.groupby("__p").map_groups(local, batch_format="pyarrow")
+
+
 SESSION_GAP_US = 1800 * 1_000_000
 
 

@@ -379,3 +379,86 @@ def test_jaccard_join_lossless_vs_bruteforce(ray_session):
                [(a, b) for a, b, _ in exp]
         np.testing.assert_allclose([j for _, _, j in got_t],
                                    [j for _, _, j in exp], rtol=0, atol=0)
+
+
+def test_interval_range_join_vs_bruteforce(ray_session):
+    """Merge-path range join == brute-force nested loop, including exact
+    boundary ties (ts == start, ts == end), users with no intervals,
+    intervals with no events, and zero-length intervals."""
+    import ray
+    from shapefile_rs_ray.stages.windows import interval_range_join
+
+    rng = np.random.default_rng(7)
+    n_ev, n_iv = 400, 60
+    eu = rng.integers(0, 12, n_ev)
+    et = rng.integers(0, 500, n_ev) * 1_000_000
+    ev_tbl = pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "user_id": pa.array(eu, pa.int64()),
+        "ts": pa.array(et, pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array(rng.random(n_ev), pa.float64()),
+    })
+    # half the intervals anchor exactly on an event ts (boundary ties);
+    # user 11 gets none (events-only user); user 99 has no events
+    starts = np.where(np.arange(n_iv) % 2 == 0,
+                      et[rng.integers(0, n_ev, n_iv)],
+                      rng.integers(0, 500, n_iv) * 1_000_000)
+    durs = rng.integers(0, 60, n_iv) * 1_000_000      # incl. zero-length
+    iu = rng.integers(0, 11, n_iv)
+    iu[:3] = 99
+    iv_tbl = pa.table({
+        "interval_id": pa.array(np.arange(n_iv) + 1000, pa.int64()),
+        "user_id": pa.array(iu, pa.int64()),
+        "start_us": pa.array(starts, pa.int64()),
+        "end_us": pa.array(starts + durs, pa.int64()),
+    })
+
+    got = interval_range_join(
+        ray.data.from_arrow(ev_tbl).repartition(5),
+        ray.data.from_arrow(iv_tbl).repartition(3),
+    ).to_pandas().sort_values(["interval_id", "event_id"]).reset_index(
+        drop=True)
+
+    exp = []
+    for j in range(n_iv):
+        for i in range(n_ev):
+            if eu[i] == iu[j] and starts[j] <= et[i] <= starts[j] + durs[j]:
+                exp.append((1000 + j, i, int(eu[i])))
+    exp.sort()
+    assert len(exp) > 50
+    assert list(map(tuple, got[["interval_id", "event_id", "user_id"]]
+                    .to_numpy())) == exp
+
+
+def test_nearest_polygon_degenerate_edges_and_ties(ray_session):
+    """NearestPolygon kernel vs a per-pair python brute force, including
+    a degenerate (zero-length) edge and an equidistant tie that must
+    break to the smaller poly_id."""
+    import ray
+    from shapefile_rs_ray.stages.knn import nearest_polygon_join
+
+    edges = {
+        # poly 3: unit square edges (two of them); poly 7: a degenerate
+        # point-edge at (10, 0); both polys at distance 1 from (5, 1)
+        # via crafted geometry below -> tie breaks to poly 3
+        "poly_id": np.array([3, 3, 7, 5], np.int64),
+        "x1": np.array([0.0, 1.0, 10.0, 4.0]),
+        "y1": np.array([0.0, 0.0, 0.0, 2.0]),
+        "x2": np.array([1.0, 1.0, 10.0, 6.0]),
+        "y2": np.array([0.0, 1.0, 0.0, 2.0]),
+    }
+    pts = pa.table({
+        "page_id": pa.array([0, 1, 2], pa.int64()),
+        "lon": pa.array([0.5, 10.0, 5.0], pa.float64()),
+        "lat": pa.array([0.5, 3.0, 1.0], pa.float64()),
+    })
+    got = (nearest_polygon_join(ray.data.from_arrow(pts), edges,
+                                concurrency=2)
+           .to_pandas().sort_values("page_id").reset_index(drop=True))
+    # pt0: inside-ish of poly 3's corner, d2 = 0.25 to edge y=0
+    assert got.loc[0, "nearest_poly"] == 3 and got.loc[0, "d2"] == 0.25
+    # pt1: exactly above the degenerate point edge -> poly 7, d2 = 9
+    assert got.loc[1, "nearest_poly"] == 7 and got.loc[1, "d2"] == 9.0
+    # pt2: distance 1.0 to poly 5's segment y=2 (above) and ~>1 to others;
+    # poly 3 nearest point is (1,1) -> d2 = 16; so poly 5 wins outright
+    assert got.loc[2, "nearest_poly"] == 5 and got.loc[2, "d2"] == 1.0
