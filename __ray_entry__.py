@@ -201,6 +201,35 @@ def _token_stats(sf_dir: str):
                                "is_quality"]))
 
 
+
+
+def _tfidf_terms(sf_dir: str):
+    """TF-IDF top-3 terms per document over the documents table: a df
+    pass (coarse term-hash partitions), broadcast vocabulary, then
+    per-doc tf/df scoring (the ln-free rational IDF — ranks identically
+    to tf*(N/df) for fixed N and is bit-exact in SQL)."""
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.tfidf import tfidf_top_terms
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=3)
+
+
+def _token_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles (p50/p90/p99) with NO
+    data sort: bounded (lang, n_tokens) count partials + a per-group
+    cumulative pick; quantile q=a/b is the smallest v with
+    cum >= ceil(q*n) in exact integer arithmetic — the SQL oracle
+    restates it with a window cumsum verbatim."""
+    from shapefile_rs_ray.functions.text import token_stats
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.relational import grouped_exact_quantiles
+    ds = (read_webpages(sf_dir, with_html=False)
+          .map_batches(token_stats, batch_format="pyarrow")
+          .select_columns(["lang", "n_tokens"]))
+    return grouped_exact_quantiles(ds, group_col="lang",
+                                   value_col="n_tokens")
+
+
 def _text_fidelity(sf_dir: str):
     """Byte-identical text per url THROUGH the pipeline: synthesize, shuffle
     into keyed partitions, checkpoint to parquet, read back — the returned
@@ -577,6 +606,18 @@ def _audio_frames(sf_dir: str):
                           batch_size=1024, concurrency=(1, 4))
 
 
+
+def _video_frames(sf_dir: str):
+    """Video frame sampling (multimodal triple's third stub): one row
+    per sampled frame with exact integer frame/timestamp math; the
+    container parse is the documented deterministic stub."""
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.multimodal import VideoFrameSampleStub
+    ds = read_webpages(sf_dir)
+    return ds.map_batches(VideoFrameSampleStub, batch_format="pyarrow",
+                          batch_size=1024, concurrency=(1, 4))
+
+
 def _events_window(sf_dir: str):
     import os
     import ray
@@ -867,6 +908,59 @@ def _lineitem_orders(sf_dir: str):
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
+
+def _orders_semi(sf_dir: str):
+    """Fact-fact SEMI join (SQL EXISTS): orders having at least one
+    lineitem with l_quantity >= 48. Both sides shuffle once into coarse
+    key-hash partitions; the right side ships ONLY its key column, and
+    each qualifying order emits exactly once."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.relational import shuffle_join
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"])
+
+    def heavy_keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.greater_equal(batch["l_quantity"], pa.scalar(48.0))
+        return pa.table({"o_orderkey":
+                         batch.filter(keep)["l_orderkey"].cast(pa.int64())})
+
+    right = li.map_batches(heavy_keys, batch_format="pyarrow")
+    return shuffle_join(orders, right, key="o_orderkey", right_cols=(),
+                        how="semi")
+
+
+def _cust_no_orders(sf_dir: str):
+    """ANTI join (SQL NOT EXISTS): customers with no order priced
+    above 400k. Same ints-only single-shuffle shape as the semi join;
+    null-key customers would keep (SQL null-never-equals
+    semantics)."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.relational import shuffle_join
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.greater(batch["o_totalprice"], pa.scalar(400000.0))
+        return pa.table({"c_custkey":
+                         batch.filter(keep)["o_custkey"].cast(pa.int64())})
+
+    right = orders.map_batches(keys_only, batch_format="pyarrow")
+    return shuffle_join(cust, right, key="c_custkey", right_cols=(),
+                        how="anti")
+
+
 def _cust_orders_left(sf_dir: str):
     """Left-outer MULTI-MATCH broadcast join: every customer x each of its
     high-value orders (several per customer), customers with none emitting
@@ -998,6 +1092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": _embed_neardup,
         "exact_dedup": _exact_dedup,
         "token_stats": _token_stats,
+        "token_quantiles": _token_quantiles,
+        "tfidf_terms": _tfidf_terms,
         "text_fidelity": _text_fidelity,
         "langid": _langid,
         "cells_multi": _cells_multi,
@@ -1019,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": _html_extract,
         "image_meta": _image_meta,
         "audio_frames": _audio_frames,
+        "video_frames": _video_frames,
         "events_window": _events_window,
         "events_late": _events_late,
         "events_hopping": _events_hopping,
@@ -1029,6 +1126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders": _lineitem_orders,
         "tpch_q3": _tpch_q3,
         "cust_orders_left": _cust_orders_left,
+        "orders_semi": _orders_semi,
+        "cust_no_orders": _cust_no_orders,
         "orders_lineitem_left": _orders_lineitem_left,
         "asof_join": _asof_join,
         "session_windows": _session_windows,
@@ -1085,6 +1184,17 @@ def oracle_sql() -> dict[str, str]:
             f"CAST((octet_length(html) * (r + 1)) // 5 AS BIGINT) "
             f"AS byte_offset FROM pages CROSS JOIN "
             f"(SELECT CAST(range AS BIGINT) AS r FROM range(0, 4))"),
+        "video_frames": (
+            f"WITH {pages}, m AS (SELECT page_id, "
+            f"sha256({html_str}) AS h FROM pages), "
+            f"v AS (SELECT page_id, "
+            f"CAST(16 + {hex2int('substr(h, 1, 2)')} % 240 AS BIGINT) AS nf, "
+            f"CAST(12 + {hex2int('substr(h, 3, 2)')} % 24 AS BIGINT) AS fps "
+            f"FROM m) "
+            f"SELECT page_id, j AS sample, j * (nf // 4) AS frame, "
+            f"j * (nf // 4) * 1000 // fps AS ts_ms, nf AS n_frames "
+            f"FROM v CROSS JOIN "
+            f"(SELECT CAST(range AS BIGINT) AS j FROM range(0, 4))"),
         "tile_cells": (f"WITH {pages} SELECT page_id, {cell12} AS cell "
                        f"FROM pages"),
         "hot_cells": (
@@ -1203,6 +1313,31 @@ WHERE page_id = m""",
             f"WITH {pages} SELECT page_id, "
             + ", ".join(f"{expr} AS {name}" for name, expr in tok.items())
             + " FROM pages"),
+        "tfidf_terms": """
+WITH t AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY 1),
+s AS (SELECT tc.doc_id, tc.term, tc.tf, dft.df,
+             CAST(tc.tf AS DOUBLE) / dft.df AS score
+      FROM tc JOIN dft USING (term)),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank FROM s)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM r WHERE rank <= 3""",
+        "token_quantiles": f"""
+WITH {pages},
+t AS (SELECT lang, {tok['n_tokens']} AS v FROM pages),
+c AS (SELECT lang, v, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+w AS (SELECT lang, v, SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n FROM c)
+SELECT lang,
+  CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT) AS p50,
+  CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS BIGINT) AS p90,
+  CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS BIGINT) AS p99
+FROM w GROUP BY lang""",
         "text_fidelity": f"WITH {pages} SELECT url, text FROM pages",
         "ann_top1": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
@@ -1286,6 +1421,15 @@ FROM events CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 4))
 GROUP BY user_id, 2""",
         # equi(user)+range(ts) join; interval bounds are pure int64 us
         # arithmetic on both sides, so the match set is bit-exact
+        "orders_semi": """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)""",
+        "cust_no_orders": """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)""",
         "range_join": """
 WITH iv AS (SELECT event_id AS interval_id, user_id,
                    epoch_us(ts) AS s,

@@ -113,3 +113,43 @@ class AudioFrameSampleStub:
             "frame": pa.array(frame_idx, pa.int64()),
             "byte_offset": pa.array(offs, pa.int64()),
         })
+
+
+class VideoFrameSampleStub:
+    """Actor-pool stage for a video-bytes column: one output row per
+    SAMPLED frame with its timestamp — the flat-map layout a real frame
+    sampler (ffmpeg) produces. The container parse is the stub: frame
+    count and fps derive deterministically from the content hash
+    (`strict` raises like a missing codec); the sample positions and
+    timestamps are exact integer arithmetic, fully SQL-oracled."""
+
+    def __init__(self, bytes_col: str = "html", key_col: str = "page_id",
+                 samples: int = 4, strict: bool = False):
+        self.bytes_col = bytes_col
+        self.key_col = key_col
+        self.samples = samples
+        self.strict = strict
+        self.codec = None  # real impl: ffmpeg/pyav opened here, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "video demux requires a codec library not present in this "
+                "environment; deterministic fake used by default")
+        keys = np.asarray(batch[self.key_col], np.int64)
+        digests = [hashlib.sha256(p or b"").digest()
+                   for p in batch[self.bytes_col].to_pylist()]
+        n_frames = 16 + np.array([d[0] for d in digests], np.int64) % 240
+        fps = 12 + np.array([d[1] for d in digests], np.int64) % 24
+        s = self.samples
+        n = len(keys)
+        j = np.tile(np.arange(s, dtype=np.int64), n)
+        frame = j * np.repeat(n_frames // s, s)
+        ts_ms = frame * 1000 // np.repeat(fps, s)
+        return pa.table({
+            self.key_col: pa.array(np.repeat(keys, s), pa.int64()),
+            "sample": pa.array(j, pa.int64()),
+            "frame": pa.array(frame, pa.int64()),
+            "ts_ms": pa.array(ts_ms, pa.int64()),
+            "n_frames": pa.array(np.repeat(n_frames, s), pa.int64()),
+        })

@@ -137,12 +137,19 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
     unmatched left rows (including null-key left rows) once with null
     `right_cols`; inner drops them. Right-side null keys always drop.
     Output: all left columns + `right_cols`.
+
+    `how="semi"` / `how="anti"` emit each left row at most ONCE (no
+    right columns — pass right_cols=()): semi keeps rows whose key
+    exists on the right (SQL EXISTS; null keys drop), anti keeps rows
+    with no right match (SQL NOT EXISTS; null keys keep, matching SQL's
+    never-equal null semantics).
     """
-    assert how in ("inner", "left")
+    assert how in ("inner", "left", "semi", "anti")
+    assert how not in ("semi", "anti") or not right_cols
 
     def tag(side: int, keep: tuple[str, ...]):
         def fn(batch: pa.Table) -> pa.Table:
-            if side == 1 or how == "inner":
+            if side == 1 or how in ("inner", "semi"):
                 batch = batch.filter(pc.is_valid(batch[key]))
                 k = np.asarray(batch[key], np.int64)
                 if side == 1 and len(k) and (k == NULL_KEY_SENTINEL).any():
@@ -206,7 +213,7 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
         rk = rk[order]
         r_idx = r_idx[order]
         lk = keys[l_idx]
-        if len(lk) == 0 or (len(rk) == 0 and how == "inner"):
+        if len(lk) == 0 or (len(rk) == 0 and how in ("inner", "semi")):
             # a residue class can hold left rows with no right rows (or
             # vice versa): a valid inner join with zero matches here
             out = {key: pa.array([], pa.int64())}
@@ -216,6 +223,19 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
         lo = np.searchsorted(rk, lk, "left")
         hi = np.searchsorted(rk, lk, "right")
         counts = hi - lo
+        if how in ("semi", "anti"):
+            keep = counts > 0 if how == "semi" else counts == 0
+            lsel = l_idx[keep]
+            ok = keys[lsel]
+            if how == "anti":
+                knull = ok == NULL_KEY_SENTINEL
+                out = {key: pa.array(np.where(knull, 0, ok), pa.int64(),
+                                     mask=knull)}
+            else:
+                out = {key: pa.array(ok, pa.int64())}
+            for c in left_cols:
+                out[c] = pc.take(part[c], pa.array(lsel))
+            return pa.table(out)
         ecounts = np.maximum(counts, 1) if how == "left" else counts
         lsel = l_idx[np.repeat(np.arange(len(lk)), ecounts)]
         rng = _match_ranges(lo, counts)
@@ -315,3 +335,54 @@ def grouped_intsum(ds, *, group_col: str, sum_col: str,
                            batch_format="pyarrow")
             .groupby("__p").map_groups(lambda p: collapse(p, False),
                                        batch_format="pyarrow"))
+
+
+def grouped_exact_quantiles(ds, *, group_col: str, value_col: str,
+                            qs=((1, 2, "p50"), (9, 10, "p90"),
+                                (99, 100, "p99"))):
+    """EXACT per-group quantiles of an integer-valued column with NO
+    sort of the data: per-batch vectorized collapse to
+    (group, value, cnt) partials, one bounded-cardinality groupby merge
+    (distinct (group, value) pairs are bounded — token counts, not raw
+    payloads — so this is not the per-distinct-key anti-pattern), then
+    a per-group cumulative pick. Quantile q = a/b is defined as the
+    smallest v with cum_count >= ceil(q*n), computed in exact integer
+    arithmetic ((a*n + b - 1) // b) — the SQL oracle restates it with a
+    window cumsum verbatim, so results are bit-exact at any scale."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col].cast(pa.string()))
+        v = np.asarray(batch[value_col], np.int64)
+        order = np.lexsort((v, g))
+        gs, vs = g[order], v[order]
+        new = np.empty(len(gs), bool)
+        new[0:1] = True
+        new[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])
+        start = np.nonzero(new)[0]
+        cnt = np.append(start[1:], len(gs)) - start
+        return pa.table({
+            group_col: pa.array(gs[start], pa.string()),
+            "v": pa.array(vs[start], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    def pick(group: pa.Table) -> pa.Table:
+        v = np.asarray(group["v"], np.int64)
+        cnt = np.asarray(group["cnt"], np.int64)
+        order = np.argsort(v, kind="stable")
+        v, cnt = v[order], cnt[order]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        out = {group_col: group[group_col].slice(0, 1)}
+        for a, b, name in qs:
+            k = (a * n + b - 1) // b
+            out[name] = pa.array(
+                [int(v[np.searchsorted(cum, k, "left")])], pa.int64())
+        return pa.table(out)
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, "v"]).aggregate(Sum("cnt",
+                                                       alias_name="cnt")))
+    return merged.groupby(group_col).map_groups(pick,
+                                                batch_format="pyarrow")

@@ -462,3 +462,29 @@ def test_nearest_polygon_degenerate_edges_and_ties(ray_session):
     # pt2: distance 1.0 to poly 5's segment y=2 (above) and ~>1 to others;
     # poly 3 nearest point is (1,1) -> d2 = 16; so poly 5 wins outright
     assert got.loc[2, "nearest_poly"] == 5 and got.loc[2, "d2"] == 1.0
+
+
+def test_semi_anti_join_null_and_dup_semantics(ray_session):
+    """semi keeps each matching left row ONCE (even with duplicate right
+    keys) and drops null keys; anti keeps null-key and unmatched rows."""
+    import ray
+    from shapefile_rs_ray.stages.relational import shuffle_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 2, 3, None], pa.int64()),
+        "tag": pa.array([10, 20, 21, 30, 40], pa.int64()),
+    })
+    right = pa.table({"k": pa.array([2, 2, 2, 9, None], pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(2)
+    rds = ray.data.from_arrow(right).repartition(2)
+
+    semi = shuffle_join(lds, rds, key="k", right_cols=(), how="semi") \
+        .to_pandas().sort_values("tag")
+    assert semi["tag"].tolist() == [20, 21]          # once each, no dup blowup
+
+    anti = shuffle_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(2),
+        key="k", right_cols=(), how="anti").to_pandas().sort_values("tag")
+    assert anti["tag"].tolist() == [10, 30, 40]      # null-key row kept
+    assert anti["k"].isna().tolist() == [False, False, True]
