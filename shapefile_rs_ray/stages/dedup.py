@@ -285,27 +285,12 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
     n_cand_rows = cand_ds.count()
     if n_cand_rows == 0:
         return _dedup_pairs(clones)
-    n_chunks = max(1, -(-n_cand_rows // max_driver_candidates))
-    if n_chunks > 1:
-        def add_chunk(batch: pa.Table) -> pa.Table:
-            a = np.asarray(batch["a"], np.int64).view(np.uint64)
-            b = np.asarray(batch["b"], np.int64).view(np.uint64)
-            mix = a ^ (b * np.uint64(0x9E3779B97F4A7C15))
-            return batch.append_column(
-                "__chunk",
-                pa.array((mix % np.uint64(n_chunks)).astype(np.int64)))
-        cand_ds = cand_ds.map_batches(
-            add_chunk, batch_format="pyarrow").materialize()
 
     members = mixed.filter(expr="kind == 2").select_columns(["a", "b"])
     verified = [clones]
-    for ci in range(n_chunks):
-        chunk = (cand_ds if n_chunks == 1
-                 else cand_ds.filter(expr=f"__chunk == {ci}")
-                 .select_columns(["a", "b", "rep_a", "rep_b"]))
-        cand_tbl = chunk.to_pandas()
-        if len(cand_tbl) == 0:
-            continue
+    for cand_tbl in _iter_candidate_chunks(
+            cand_ds, n_cand_rows, max_driver_candidates,
+            ("a", "b", "rep_a", "rep_b")):
         expanded = _verify_chunk(
             pages, members, cand_tbl, id_col=id_col, text_col=text_col,
             jaccard_threshold=jaccard_threshold)
@@ -317,40 +302,43 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
     return _dedup_pairs(out)
 
 
-def _verify_chunk(pages, members, cand_tbl, *, id_col: str, text_col: str,
-                  jaccard_threshold: float):
-    """One pass-2 chunk: exact-Jaccard verify + member expansion of a
-    driver-held candidate slice. Returns the expanded pair Dataset, or
-    None when nothing confirms."""
-    import ray
-
-    # global dedup of (h_a, h_b) — int columns only, driver-held; the
-    # chunk id is a function of (a, b), so a pair's duplicates are all here
-    ca = cand_tbl["a"].to_numpy(np.int64)
-    cb = cand_tbl["b"].to_numpy(np.int64)
-    cra = cand_tbl["rep_a"].to_numpy(np.int64)
-    crb = cand_tbl["rep_b"].to_numpy(np.int64)
+def _dedup_candidate_chunk(cand_tbl, cols=("a", "b", "rep_a", "rep_b")):
+    """Driver-held global dedup of one candidate chunk on its (a, b)
+    key: lexsort + first-occurrence mask. The chunk id is a function of
+    (a, b), so a pair's duplicates are ALL in this chunk and
+    within-chunk dedup is global dedup. Returns the deduped column
+    arrays in `cols` order (int64)."""
+    arrays = [cand_tbl[c].to_numpy(np.int64) for c in cols]
+    ca, cb = arrays[0], arrays[1]
     o = np.lexsort((cb, ca))
-    ca, cb, cra, crb = ca[o], cb[o], cra[o], crb[o]
+    arrays = [x[o] for x in arrays]
+    ca, cb = arrays[0], arrays[1]
     first = np.empty(len(ca), bool)
     first[0:1] = True
     first[1:] = (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])
-    ca, cb, cra, crb = ca[first], cb[first], cra[first], crb[first]
-    n_pairs = len(ca)
+    return [x[first] for x in arrays]
 
-    # rep -> [(pair_idx, side)] lookup, broadcast once
+
+def _build_rep_map(cra: np.ndarray, crb: np.ndarray
+                   ) -> dict[int, list[tuple[int, int]]]:
+    """rep page id -> [(pair_idx, side)] routing table for the
+    distributed verify (broadcast once via ray.put)."""
     rep_map: dict[int, list[tuple[int, int]]] = {}
-    for i in range(n_pairs):
+    for i in range(len(cra)):
         rep_map.setdefault(int(cra[i]), []).append((i, 0))
         rep_map.setdefault(int(crb[i]), []).append((i, 1))
-    rep_map_ref = ray.put(rep_map)
+    return rep_map
+
+
+def _rep_shingle_router(rep_map_ref, *, id_col: str, text_col: str):
+    """Task fn factory (plain tasks fan out immediately; an autoscaling
+    actor pool would serialize the fused re-read through one actor):
+    emit (pair_idx, side, shingles, __p) for collision representatives
+    only; every other page is dropped before any string work. ray.get
+    on the broadcast map is a zero-copy local-object-store hit."""
+    import ray
 
     def rep_shingles(batch: pa.Table) -> pa.Table:
-        """Task fn (plain tasks fan out immediately; an autoscaling actor
-        pool would serialize this whole fused re-read through one actor):
-        emit (pair_idx, side, shingles) for collision reps only; every
-        other page is dropped before any string work. ray.get on the
-        broadcast map is a zero-copy local-object-store hit per task."""
         rmap = ray.get(rep_map_ref)
         rep_ids = pa.array(sorted(rmap), pa.int64())
         keep = pc.is_in(batch[id_col], value_set=rep_ids)
@@ -369,6 +357,49 @@ def _verify_chunk(pages, members, cand_tbl, *, id_col: str, text_col: str,
             "sh": pa.array(shs, pa.list_(pa.string())),
             "__p": pa.array([p % PAIR_PARTS for p in pis], pa.int64()),
         })
+
+    return rep_shingles
+
+
+def _iter_candidate_chunks(cand_ds, n_cand_rows: int,
+                           max_driver_candidates: int,
+                           cols: tuple[str, ...]):
+    """Yield driver-bounded candidate slices (pandas) of cand_ds.
+    When the candidate set exceeds the cap, rows are chunked by a hash
+    residue of (a, b) so every duplicate of a pair lands in ONE chunk
+    (making within-chunk dedup global) and the driver never holds more
+    than ~max_driver_candidates rows."""
+    n_chunks = max(1, -(-n_cand_rows // max_driver_candidates))
+    if n_chunks > 1:
+        def add_chunk(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch["a"], np.int64).view(np.uint64)
+            b = np.asarray(batch["b"], np.int64).view(np.uint64)
+            mix = a ^ (b * np.uint64(0x9E3779B97F4A7C15))
+            return batch.append_column(
+                "__chunk",
+                pa.array((mix % np.uint64(n_chunks)).astype(np.int64)))
+        cand_ds = cand_ds.map_batches(
+            add_chunk, batch_format="pyarrow").materialize()
+    for ci in range(n_chunks):
+        chunk = (cand_ds if n_chunks == 1
+                 else cand_ds.filter(expr=f"__chunk == {ci}")
+                 .select_columns(list(cols)))
+        tbl = chunk.to_pandas()
+        if len(tbl):
+            yield tbl
+
+
+def _verify_chunk(pages, members, cand_tbl, *, id_col: str, text_col: str,
+                  jaccard_threshold: float):
+    """One pass-2 chunk: exact-Jaccard verify + member expansion of a
+    driver-held candidate slice. Returns the expanded pair Dataset, or
+    None when nothing confirms."""
+    import ray
+
+    ca, cb, cra, crb = _dedup_candidate_chunk(cand_tbl)
+    rep_map_ref = ray.put(_build_rep_map(cra, crb))
+    rep_shingles = _rep_shingle_router(rep_map_ref, id_col=id_col,
+                                       text_col=text_col)
 
     def verify(part: pa.Table) -> pa.Table:
         """Partition = whole pairs (both sides co-located by pair_idx%P);
@@ -686,26 +717,11 @@ def jaccard_similarity_join(pages, *, id_col: str = "page_id",
                       "jac": pa.array([], pa.float64())})
     if n_cand_rows == 0:
         return ray.data.from_arrow(empty)
-    n_chunks = max(1, -(-n_cand_rows // max_driver_candidates))
-    if n_chunks > 1:
-        def add_chunk(batch: pa.Table) -> pa.Table:
-            a = np.asarray(batch["a"], np.int64).view(np.uint64)
-            b = np.asarray(batch["b"], np.int64).view(np.uint64)
-            mix = a ^ (b * np.uint64(0x9E3779B97F4A7C15))
-            return batch.append_column(
-                "__chunk",
-                pa.array((mix % np.uint64(n_chunks)).astype(np.int64)))
-        cand_ds = cand_ds.map_batches(
-            add_chunk, batch_format="pyarrow").materialize()
 
     outs = []
-    for ci in range(n_chunks):
-        chunk = (cand_ds if n_chunks == 1
-                 else cand_ds.filter(expr=f"__chunk == {ci}")
-                 .select_columns(["a", "b", "rep_a", "rep_b"]))
-        cand_tbl = chunk.to_pandas()
-        if len(cand_tbl) == 0:
-            continue
+    for cand_tbl in _iter_candidate_chunks(
+            cand_ds, n_cand_rows, max_driver_candidates,
+            ("a", "b", "rep_a", "rep_b")):
         verified = _jaccard_verify_chunk(
             pages, cand_tbl, id_col=id_col, text_col=text_col,
             threshold=threshold)
@@ -723,44 +739,11 @@ def _jaccard_verify_chunk(pages, cand_tbl, *, id_col: str, text_col: str,
     chunk is global dedup, and chunk outputs union without repeats."""
     import ray
 
-    ca = cand_tbl["a"].to_numpy(np.int64)
-    cb = cand_tbl["b"].to_numpy(np.int64)
-    cra = cand_tbl["rep_a"].to_numpy(np.int64)
-    crb = cand_tbl["rep_b"].to_numpy(np.int64)
-    o = np.lexsort((cb, ca))
-    ca, cb, cra, crb = ca[o], cb[o], cra[o], crb[o]
-    first = np.empty(len(ca), bool)
-    first[0:1] = True
-    first[1:] = (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])
-    cra, crb = cra[first], crb[first]
-    n_pairs = len(cra)
-
-    rep_map: dict[int, list[tuple[int, int]]] = {}
-    for i in range(n_pairs):
-        rep_map.setdefault(int(cra[i]), []).append((i, 0))
-        rep_map.setdefault(int(crb[i]), []).append((i, 1))
-    rep_map_ref = ray.put(rep_map)
+    _, _, cra, crb = _dedup_candidate_chunk(cand_tbl)
+    rep_map_ref = ray.put(_build_rep_map(cra, crb))
     pair_ids_ref = ray.put((cra, crb))
-
-    def rep_shingles(batch: pa.Table) -> pa.Table:
-        rmap = ray.get(rep_map_ref)
-        rep_ids = pa.array(sorted(rmap), pa.int64())
-        keep = pc.is_in(batch[id_col], value_set=rep_ids)
-        sub = batch.filter(keep)
-        pis, sides, shs = [], [], []
-        for rid, text in zip(sub[id_col].to_pylist(),
-                             sub[text_col].to_pylist()):
-            sh = sorted(hashing.text_shingles(text))
-            for pi, side in rmap[rid]:
-                pis.append(pi)
-                sides.append(side)
-                shs.append(sh)
-        return pa.table({
-            "pair_idx": pa.array(pis, pa.int64()),
-            "side": pa.array(sides, pa.int64()),
-            "sh": pa.array(shs, pa.list_(pa.string())),
-            "__p": pa.array([p % PAIR_PARTS for p in pis], pa.int64()),
-        })
+    rep_shingles = _rep_shingle_router(rep_map_ref, id_col=id_col,
+                                       text_col=text_col)
 
     def verify(part: pa.Table) -> pa.Table:
         cra_, crb_ = ray.get(pair_ids_ref)

@@ -78,6 +78,16 @@ def tfidf_top_terms(docs, *, id_col: str = "doc_id",
                 continue
             uniq, tf = np.unique(words, return_counts=True)
             pos = np.searchsorted(vocab_s, uniq)
+            # the df pass saw this same corpus, so every term must be in
+            # the vocabulary — a miss means the upstream pipeline is not
+            # re-execution-deterministic; fail loudly, never read a
+            # neighboring term's df
+            if (pos >= len(vocab_s)).any() or \
+                    (vocab_s[np.minimum(pos, len(vocab_s) - 1)]
+                     != uniq).any():
+                raise ValueError(
+                    "tfidf_top_terms: term absent from the df vocabulary "
+                    "— upstream dataset changed between the two passes")
             df = dfs_s[pos]
             score = tf / df
             sel = np.lexsort((uniq, -score))[:k]

@@ -411,32 +411,28 @@ def interval_range_join(events, intervals, *, parts: int = USER_PARTITIONS):
         })
         if len(e_idx) == 0 or len(i_idx) == 0:
             return empty
-        eo = np.lexsort((rid[e_idx], t0[e_idx], u[e_idx]))
-        eu, et = u[e_idx][eo], t0[e_idx][eo]
-        eid, eval_ = rid[e_idx][eo], val[e_idx][eo]
         iu = u[i_idx]
-        ne, ni = len(eu), len(iu)
-
-        def bound(it: np.ndarray, iv_first: bool) -> np.ndarray:
-            # rank of each interval boundary among the (user, ts)-sorted
-            # events: cumulative event count at the boundary's sorted
-            # position. iv_first=True puts the boundary BEFORE events at
-            # an equal key (strict count -> inclusive start).
-            cu = np.concatenate([eu, iu])
-            ct = np.concatenate([et, it])
-            tag = np.empty(ne + ni, np.int64)
-            tag[:ne] = 1 if iv_first else 0
-            tag[ne:] = 0 if iv_first else 1
-            order = np.lexsort((tag, ct, cu))
-            is_event = np.concatenate(
-                [np.ones(ne, np.int64), np.zeros(ni, np.int64)])[order]
-            cum = np.cumsum(is_event)
-            ranks = np.empty(ne + ni, np.int64)
-            ranks[order] = np.arange(ne + ni)
-            return cum[ranks[ne:]]
-
-        lo = bound(t0[i_idx], True) - 0
-        hi = bound(t1[i_idx], False)
+        ne, ni = len(e_idx), len(iu)
+        # ONE combined lexsort of events + BOTH boundary sets: the tag
+        # ordering start(0) < event(1) < end(2) at an equal (user, ts)
+        # key makes both bounds inclusive, and the events' relative
+        # order within the sort doubles as the sorted event array. The
+        # cumulative event count at a boundary's sorted position is its
+        # rank among the sorted events (lo for starts, hi for ends).
+        cu = np.concatenate([u[e_idx], iu, iu])
+        ct = np.concatenate([t0[e_idx], t0[i_idx], t1[i_idx]])
+        tag = np.concatenate([np.ones(ne, np.int64),
+                              np.zeros(ni, np.int64),
+                              np.full(ni, 2, np.int64)])
+        order = np.lexsort((tag, ct, cu))
+        is_event = tag[order] == 1
+        cum = np.cumsum(is_event)
+        ranks = np.empty(ne + 2 * ni, np.int64)
+        ranks[order] = np.arange(ne + 2 * ni)
+        lo = cum[ranks[ne:ne + ni]]
+        hi = cum[ranks[ne + ni:]]
+        ev_sorted = e_idx[order[is_event]]      # original rows, sorted
+        eu, eid, eval_ = u[ev_sorted], rid[ev_sorted], val[ev_sorted]
         counts = np.maximum(hi - lo, 0)
         if counts.sum() == 0:
             return empty
