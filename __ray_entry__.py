@@ -203,6 +203,22 @@ def _token_stats(sf_dir: str):
 
 
 
+
+def _value_quantiles(sf_dir: str):
+    """Exact global p50/p90/p99 of events.value (DOUBLE, unbounded
+    cardinality) via 3-pass distributed selection — deterministic
+    sample boundaries, bucket histogram, single-bucket exact pick; no
+    global sort ever. The result is an actual element of the column, so
+    the SQL window-cumsum oracle is bit-exact."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.relational import exact_double_quantiles
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"])
+    return exact_double_quantiles(ev, id_col="event_id",
+                                  value_col="value")
+
+
 def _tfidf_terms(sf_dir: str):
     """TF-IDF top-3 terms per document over the documents table: a df
     pass (coarse term-hash partitions), broadcast vocabulary, then
@@ -1094,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _token_stats,
         "token_quantiles": _token_quantiles,
         "tfidf_terms": _tfidf_terms,
+        "value_quantiles": _value_quantiles,
         "text_fidelity": _text_fidelity,
         "langid": _langid,
         "cells_multi": _cells_multi,
@@ -1313,6 +1330,14 @@ WHERE page_id = m""",
             f"WITH {pages} SELECT page_id, "
             + ", ".join(f"{expr} AS {name}" for name, expr in tok.items())
             + " FROM pages"),
+        "value_quantiles": """
+WITH c AS (SELECT value, COUNT(*) AS cnt FROM events GROUP BY 1),
+w AS (SELECT value, SUM(cnt) OVER (ORDER BY value) AS cum,
+             SUM(cnt) OVER () AS n FROM c)
+SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN value END) AS p50,
+       MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN value END) AS p90,
+       MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN value END) AS p99
+FROM w""",
         "tfidf_terms": """
 WITH t AS (SELECT doc_id,
                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

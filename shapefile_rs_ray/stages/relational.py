@@ -386,3 +386,114 @@ def grouped_exact_quantiles(ds, *, group_col: str, value_col: str,
                                                        alias_name="cnt")))
     return merged.groupby(group_col).map_groups(pick,
                                                 batch_format="pyarrow")
+
+
+def exact_double_quantiles(ds, *, id_col: str, value_col: str,
+                           qs=((1, 2, "p50"), (9, 10, "p90"),
+                               (99, 100, "p99")),
+                           target_samples: int = 65536,
+                           bucket_cap: int = 5_000_000):
+    """EXACT global quantiles of a DOUBLE column at UNBOUNDED value
+    cardinality with NO global sort — the classic 3-pass distributed
+    selection:
+
+    Pass A: row count + a deterministic Knuth-hash sample of values
+    (the sample rate scales itself to ~target_samples, so the
+    driver-held boundary set is fixed-size at any corpus scale).
+    Pass B: per-batch vectorized bucket histogram against the sampled
+    boundaries (searchsorted + bincount, emitting only nonzero
+    buckets), reduced through one coarse prime-modulus partition; the
+    driver's cumulative counts locate, per target rank k = ceil(q*n),
+    the ONE bucket holding the k-th smallest value.
+    Pass C: collect exactly the needed buckets' values (expected
+    n/n_buckets rows per bucket; adversarial skew — one value repeated
+    n times — fails LOUDLY at bucket_cap instead of silently OOMing),
+    sort driver-side, pick rank k - cum_before.
+
+    The quantile q = a/b is the k-th smallest element of the multiset
+    (k = ceil(q*n) in exact integer arithmetic) — an actual element of
+    the column — so the SQL window-cumsum oracle reproduces every
+    output bit-exactly. Upstream `ds` is consumed three times and must
+    be re-execution-deterministic (a parquet read is).
+    """
+    import ray
+    from ..functions.synth import M1, P1
+
+    n = ds.count()
+    if n == 0:
+        raise ValueError("exact_double_quantiles: empty input")
+    mod = max(1, n // target_samples)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        keep = (ids * M1) % P1 % mod == 0
+        return pa.table({"v": pa.array(
+            np.asarray(batch[value_col], np.float64)[keep], pa.float64())})
+
+    bounds = np.unique(np.asarray(
+        ds.map_batches(sample, batch_format="pyarrow").to_pandas()["v"],
+        np.float64))
+    bounds_ref = ray.put(bounds)
+    nb = len(bounds) + 1          # bucket i = (bounds[i-1], bounds[i]]
+
+    def hist(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        idx = np.searchsorted(b, np.asarray(batch[value_col], np.float64),
+                              "right")
+        cnt = np.bincount(idx, minlength=nb)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz], pa.int64()),
+                         "__p": pa.array(nz % 251, pa.int64())})
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        bk = np.asarray(part["bucket"], np.int64)
+        ct = np.asarray(part["cnt"], np.int64)
+        order = np.argsort(bk, kind="stable")
+        bk, ct = bk[order], ct[order]
+        ub, starts = np.unique(bk, return_index=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "cnt": pa.array(np.add.reduceat(ct, starts),
+                                         pa.int64())})
+
+    counts = (ds.map_batches(hist, batch_format="pyarrow")
+              .groupby("__p").map_groups(reduce_part,
+                                         batch_format="pyarrow")
+              ).to_pandas().sort_values("bucket")
+    full = np.zeros(nb, np.int64)
+    full[counts["bucket"].to_numpy(np.int64)] = \
+        counts["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(full)
+    assert cum[-1] == n
+
+    ranks = {name: (a * n + b_ - 1) // b_ for a, b_, name in qs}
+    # bucket holding rank k: first bucket with cum >= k
+    need = {name: int(np.searchsorted(cum, k, "left"))
+            for name, k in ranks.items()}
+    need_set = np.unique(np.fromiter(need.values(), np.int64))
+    if int(full[need_set].sum()) > bucket_cap:
+        raise ValueError(
+            f"exact_double_quantiles: needed buckets hold "
+            f"{int(full[need_set].sum())} rows > bucket_cap={bucket_cap}; "
+            f"raise target_samples or the cap")
+    need_ref = ray.put(need_set)
+
+    def collect(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        nd = ray.get(need_ref)
+        v = np.asarray(batch[value_col], np.float64)
+        idx = np.searchsorted(b, v, "right")
+        keep = np.isin(idx, nd)
+        return pa.table({"bucket": pa.array(idx[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.float64())})
+
+    got = (ds.map_batches(collect, batch_format="pyarrow")).to_pandas()
+    gb = got["bucket"].to_numpy(np.int64)
+    gv = got["v"].to_numpy(np.float64)
+    out = {}
+    for name, k in ranks.items():
+        bkt = need[name]
+        inb = np.sort(gv[gb == bkt])
+        before = int(cum[bkt - 1]) if bkt > 0 else 0
+        out[name] = pa.array([inb[k - before - 1]], pa.float64())
+    return ray.data.from_arrow(pa.table(out))

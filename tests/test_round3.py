@@ -488,3 +488,34 @@ def test_semi_anti_join_null_and_dup_semantics(ray_session):
         key="k", right_cols=(), how="anti").to_pandas().sort_values("tag")
     assert anti["tag"].tolist() == [10, 30, 40]      # null-key row kept
     assert anti["k"].isna().tolist() == [False, False, True]
+
+
+def test_exact_double_quantiles_vs_numpy(ray_session):
+    """3-pass distributed selection == sorted-array pick, with heavy
+    duplicates that straddle bucket boundaries and a tiny sample size
+    (many values per bucket); the adversarial single-value bucket
+    trips the loud cap."""
+    import ray
+    import pytest
+    from shapefile_rs_ray.stages.relational import exact_double_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.random(5000) * 30, 1)       # ~300 distinct, heavy dups
+    tbl = pa.table({"event_id": pa.array(np.arange(5000), pa.int64()),
+                    "value": pa.array(vals, pa.float64())})
+    got = exact_double_quantiles(
+        ray.data.from_arrow(tbl).repartition(6), id_col="event_id",
+        value_col="value", target_samples=64).to_pandas()
+    sv = np.sort(vals)
+    n = len(sv)
+    for a, b, name in ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")):
+        k = (a * n + b - 1) // b
+        assert got.loc[0, name] == sv[k - 1], name
+
+    # one value repeated n times -> the needed bucket holds everything
+    const = pa.table({"event_id": pa.array(np.arange(1000), pa.int64()),
+                      "value": pa.array(np.full(1000, 7.5), pa.float64())})
+    with pytest.raises(ValueError, match="bucket_cap"):
+        exact_double_quantiles(ray.data.from_arrow(const).repartition(3),
+                               id_col="event_id", value_col="value",
+                               target_samples=64, bucket_cap=100)
