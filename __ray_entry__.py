@@ -204,6 +204,64 @@ def _token_stats(sf_dir: str):
 
 
 
+
+def _host_join(sf_dir: str):
+    """String-key shuffle join: per-host page counts (coarse
+    crc32(host)-mod-prime partition reduce — never a per-distinct-host
+    groupby) joined back to every page on the host STRING; partition-
+    local dictionary encoding means true string equality, no reliance
+    on hash collision-freedom."""
+    import zlib
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.relational import shuffle_join_str
+    import pyarrow.compute as pc
+
+    def with_host(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(batch["url"], r"https://(?P<h>[^/]+)/"), "h")
+        return pa.table({"host": host, "page_id": batch["page_id"]})
+
+    pages = read_webpages(sf_dir, with_html=False).map_batches(
+        with_host, batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            np.asarray(batch["host"], dtype=object).astype(str),
+            return_counts=True)
+        ph = np.array([zlib.crc32(x.encode("utf-8")) for x in uniq],
+                      np.int64) % 251
+        return pa.table({"host": pa.array(uniq.tolist(), pa.string()),
+                         "host_pages": pa.array(cnt.astype(np.int64),
+                                                pa.int64()),
+                         "__p": pa.array(ph, pa.int64())})
+
+    def count_reduce(part: pa.Table) -> pa.Table:
+        hs = np.asarray(part["host"], dtype=object).astype(str)
+        ct = np.asarray(part["host_pages"], np.int64)
+        uniq, inv = np.unique(hs, return_inverse=True)
+        sums = np.bincount(inv, weights=ct).astype(np.int64)
+        return pa.table({"host": pa.array(uniq.tolist(), pa.string()),
+                         "host_pages": pa.array(sums, pa.int64())})
+
+    counts = (pages.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("__p").map_groups(count_reduce,
+                                         batch_format="pyarrow"))
+    return shuffle_join_str(pages, counts, key="host",
+                            right_cols=("host_pages",))
+
+
+def _running_max(sf_dir: str):
+    """Per-user running maximum of value in (ts, event_id) order — the
+    cumulative windowed aggregate, bit-exact vs SQL's MAX OVER."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.windows import running_user_max
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"])
+    return running_user_max(ev)
+
+
 def _value_quantiles(sf_dir: str):
     """Exact global p50/p90/p99 of events.value (DOUBLE, unbounded
     cardinality) via 3-pass distributed selection — deterministic
@@ -1151,6 +1209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": _top_events,
         "distinct_langs": _distinct_langs,
         "host_filter": _host_filter,
+        "host_join": _host_join,
+        "running_max": _running_max,
         "union_split": _union_split,
     }
 
@@ -1509,6 +1569,21 @@ FROM orders LEFT JOIN
         "union_split": ("SELECT event_id, value FROM events WHERE value > 50.0 "
                         "UNION ALL "
                         "SELECT event_id, value FROM events WHERE value <= 50.0"),
+        "host_join": (
+            "WITH " + pages + ", "
+            "h AS (SELECT page_id, "
+            "regexp_extract(url, 'https://([^/]+)/', 1) AS host "
+            "FROM pages), "
+            "hc AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS host_pages "
+            "FROM h GROUP BY 1) "
+            "SELECT h.host, h.page_id, hc.host_pages "
+            "FROM h JOIN hc USING (host)"),
+        "running_max": """
+SELECT event_id,
+       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS running_max
+FROM events""",
         "host_filter": (
             "WITH " + pages + " SELECT page_id, url FROM pages WHERE "
             "regexp_extract(url, 'https://([^/]+)/', 1) NOT IN ("

@@ -497,3 +497,113 @@ def exact_double_quantiles(ds, *, id_col: str, value_col: str,
         before = int(cum[bkt - 1]) if bkt > 0 else 0
         out[name] = pa.array([inb[k - before - 1]], pa.float64())
     return ray.data.from_arrow(pa.table(out))
+
+
+def shuffle_join_str(left, right, *, key: str, right_cols: tuple[str, ...],
+                     how: str = "inner", parts: int = JOIN_PARTS):
+    """Large-large equi-join on a STRING key: both sides shuffle ONCE
+    into coarse crc32(key)-mod-prime partitions carrying the key
+    string; each partition dictionary-encodes its key strings locally
+    into dense int codes (true string equality — NO reliance on hash
+    collision-freedom) and then runs the same sort + searchsorted
+    range-expansion kernel as shuffle_join. `how`: "inner" or "left"
+    (left emits unmatched and null-key left rows once with null
+    right_cols; inner drops them; right-side null keys always drop).
+    The per-batch crc32 loop runs over DISTINCT keys only."""
+    import zlib
+
+    assert how in ("inner", "left")
+
+    def _crc_parts(strs: np.ndarray) -> np.ndarray:
+        uniq, inv = np.unique(strs, return_inverse=True)
+        ph = np.array([zlib.crc32(s.encode("utf-8")) for s in uniq],
+                      np.int64) % parts
+        return ph[inv]
+
+    def tag(side: int, keep: tuple[str, ...]):
+        def fn(batch: pa.Table) -> pa.Table:
+            valid = pc.is_valid(batch[key])
+            if side == 1 or how == "inner":
+                batch = batch.filter(valid)
+                knull = np.zeros(batch.num_rows, bool)
+            else:
+                knull = ~np.asarray(valid, bool)
+            k = np.asarray(batch[key].fill_null(""), dtype=object)
+            p = np.where(knull, 0, _crc_parts(k.astype(str)))
+            out = {key: pa.array(k, pa.string()),
+                   "__knull": pa.array(knull),
+                   "__side": pa.array(np.full(len(k), side, np.int64)),
+                   "__p": pa.array(p, pa.int64())}
+            for c in keep:
+                out[c] = batch[c]
+            return pa.table(out)
+        return fn
+
+    l_base = left.schema().base_schema
+    r_base = right.schema().base_schema
+    left_cols = [c for c in l_base.names if c != key]
+    tagged_l = left.map_batches(tag(0, tuple(left_cols)),
+                                batch_format="pyarrow")
+    tagged_r = right.map_batches(tag(1, tuple(right_cols)),
+                                 batch_format="pyarrow")
+
+    def pad(cols_missing: tuple[str, ...], types: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in cols_missing:
+                batch = batch.append_column(
+                    c, pa.nulls(batch.num_rows, types[c]))
+            return batch
+        return fn
+
+    l_schema = {c: l_base.field(c).type for c in left_cols}
+    r_schema = {c: r_base.field(c).type for c in right_cols}
+    tagged_l = tagged_l.map_batches(pad(tuple(right_cols), r_schema),
+                                    batch_format="pyarrow")
+    tagged_r = tagged_r.map_batches(pad(tuple(left_cols), l_schema),
+                                    batch_format="pyarrow")
+    ordered = [key, "__knull", "__side", "__p", *left_cols, *right_cols]
+    tagged_l = tagged_l.select_columns(ordered)
+    tagged_r = tagged_r.select_columns(ordered)
+
+    def local_join(part: pa.Table) -> pa.Table:
+        side = np.asarray(part["__side"], np.int64)
+        knull = np.asarray(part["__knull"], bool)
+        strs = np.asarray(part[key], dtype=object).astype(str)
+        codes = np.unique(strs, return_inverse=True)[1]
+        l_idx = np.nonzero((side == 0) & ~knull)[0]
+        ln_idx = np.nonzero((side == 0) & knull)[0]      # left-null rows
+        r_idx = np.nonzero(side == 1)[0]
+        rk = codes[r_idx]
+        order = np.argsort(rk, kind="stable")
+        rk, r_idx = rk[order], r_idx[order]
+        lk = codes[l_idx]
+        lo = np.searchsorted(rk, lk, "left")
+        hi = np.searchsorted(rk, lk, "right")
+        counts = hi - lo
+        ecounts = np.maximum(counts, 1) if how == "left" else counts
+        lsel = l_idx[np.repeat(np.arange(len(lk)), ecounts)]
+        rng = _match_ranges(lo, counts)
+        if how == "left":
+            lsel = np.concatenate([lsel, ln_idx])
+        key_null = knull[lsel]
+        kvals = strs[lsel].astype(object)
+        kvals[key_null] = None
+        out = {key: pa.array(kvals.tolist(), pa.string())}
+        take_l = pa.array(lsel)
+        for c in left_cols:
+            out[c] = pc.take(part[c], take_l)
+        if how == "left":
+            matched = np.concatenate([
+                np.repeat(counts > 0, ecounts),
+                np.zeros(len(ln_idx), bool)])
+            full = np.zeros(len(lsel), np.int64)
+            full[matched] = r_idx[rng] if len(rng) else rng
+            take_r = pa.array(full, mask=~matched)
+        else:
+            take_r = pa.array(r_idx[rng] if len(rng) else rng)
+        for c in right_cols:
+            out[c] = pc.take(part[c], take_r)
+        return pa.table(out)
+
+    return (tagged_l.union(tagged_r)
+            .groupby("__p").map_groups(local_join, batch_format="pyarrow"))

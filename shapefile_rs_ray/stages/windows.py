@@ -484,3 +484,32 @@ def session_windows(events, *, gap_us: int = SESSION_GAP_US,
 
     return (_partition_by_user(events, parts)
             .groupby("__p").map_groups(local, batch_format="pyarrow"))
+
+
+def running_user_max(events, *, parts: int = USER_PARTITIONS):
+    """Per-user RUNNING maximum of value in (ts, event_id) order — the
+    cumulative windowed aggregate (SQL's MAX OVER PARTITION BY user
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING). One shuffle into
+    coarse user-hash partitions (a user's history is contiguous there);
+    per partition a single lexsort, then a cumulative max per user run
+    (the run loop is per-user-in-partition, like the watermark kernel —
+    never per row). MAX picks an element, so the output is bit-exact
+    against SQL. Output: (event_id, running_max)."""
+
+    def local(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        vals = np.asarray(part["value"], np.float64)
+        order, u, t, e, new_user = _user_ts_sorted(part)
+        v = vals[order]
+        out = np.empty(n, np.float64)
+        starts = np.nonzero(new_user)[0]
+        for s, epos in zip(starts, np.append(starts[1:], n)):
+            out[s:epos] = np.maximum.accumulate(v[s:epos])
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "running_max": pa.array(out, pa.float64()),
+        })
+
+    return (_partition_by_user(events.select_columns(
+                ["event_id", "ts", "user_id", "value"]), parts)
+            .groupby("__p").map_groups(local, batch_format="pyarrow"))

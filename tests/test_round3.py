@@ -519,3 +519,35 @@ def test_exact_double_quantiles_vs_numpy(ray_session):
         exact_double_quantiles(ray.data.from_arrow(const).repartition(3),
                                id_col="event_id", value_col="value",
                                target_samples=64, bucket_cap=100)
+
+
+def test_shuffle_join_str_left_nulls_dups(ray_session):
+    """String-key shuffle join: duplicate right keys multi-match, left
+    join emits unmatched + null-key rows once with null right cols, and
+    equality is true string comparison (dictionary codes, not hashes)."""
+    import ray
+    from shapefile_rs_ray.stages.relational import shuffle_join_str
+
+    left = pa.table({
+        "host": pa.array(["a.com", "b.com", None, "c.com"], pa.string()),
+        "pid": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    right = pa.table({
+        "host": pa.array(["a.com", "a.com", "x.com", None], pa.string()),
+        "score": pa.array([10, 11, 99, 7], pa.int64()),
+    })
+    inner = shuffle_join_str(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(2),
+        key="host", right_cols=("score",), how="inner"
+    ).to_pandas().sort_values(["pid", "score"])
+    assert inner[["pid", "score"]].values.tolist() == [[1, 10], [1, 11]]
+
+    lj = shuffle_join_str(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(2),
+        key="host", right_cols=("score",), how="left"
+    ).to_pandas().sort_values(["pid", "score"])
+    assert lj["pid"].tolist() == [1, 1, 2, 3, 4]
+    assert lj["score"].fillna(-1).tolist() == [10, 11, -1, -1, -1]
+    assert lj["host"].isna().tolist() == [False, False, False, True, False]
