@@ -1078,6 +1078,29 @@ def _orders_lineitem_left(sf_dir: str):
                         how="left")
 
 
+def _orders_cust_full(sf_dir: str):
+    """FULL-outer shuffle join: orders x non-negative-balance customers.
+    Orders of negative-balance customers emit left-unmatched (null
+    c_acctbal); orderless customers in the subset emit right-unmatched
+    (null o_orderkey). Same single-exchange coarse-partition plan as the
+    inner/left paths — the unmatched-right scan is a vectorized boolean
+    mask per partition, not a second shuffle."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.relational import shuffle_join
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = (ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"])
+        .filter(expr="c_acctbal >= 0.0")
+        .map_batches(lambda b: b.rename_columns(["o_custkey", "c_acctbal"]),
+                     batch_format="pyarrow"))
+    return shuffle_join(orders, cust, key="o_custkey",
+                        right_cols=("c_acctbal",), how="full")
+
+
 def _top_events(sf_dir: str):
     """Global top-100 by (value desc, event_id asc) — map-side partial
     top-k per batch + one tiny final merge; NO AllToAll Sort of the table
@@ -1204,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi": _orders_semi,
         "cust_no_orders": _cust_no_orders,
         "orders_lineitem_left": _orders_lineitem_left,
+        "orders_cust_full": _orders_cust_full,
         "asof_join": _asof_join,
         "session_windows": _session_windows,
         "top_events": _top_events,
@@ -1562,6 +1586,13 @@ SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
 FROM orders LEFT JOIN
      (SELECT * FROM lineitem WHERE l_quantity >= 40.0) l
      ON o_orderkey = l.l_orderkey""",
+        "orders_cust_full": """
+SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+       o_orderkey, o_totalprice, c_acctbal
+FROM orders o FULL OUTER JOIN
+     (SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal >= 0.0) c
+     ON o.o_custkey = c.c_custkey""",
         "top_events": ("SELECT event_id, user_id, value FROM events "
                        "ORDER BY value DESC, event_id LIMIT 100"),
         "distinct_langs": ("WITH " + pages +

@@ -135,8 +135,13 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
     Duplicate right keys multi-match (one output row per left x right
     match — the run-length np.repeat gather). `how="left"` emits
     unmatched left rows (including null-key left rows) once with null
-    `right_cols`; inner drops them. Right-side null keys always drop.
-    Output: all left columns + `right_cols`.
+    `right_cols`; inner drops them. Right-side null keys drop except
+    under `how="full"`. Output: all left columns + `right_cols`.
+
+    `how="full"` additionally emits each unmatched RIGHT row once with
+    null left columns; the key column carries COALESCE(left, right) key
+    (null only for null-key rows from either side — null keys never
+    match, per SQL).
 
     `how="semi"` / `how="anti"` emit each left row at most ONCE (no
     right columns — pass right_cols=()): semi keeps rows whose key
@@ -144,25 +149,30 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
     with no right match (SQL NOT EXISTS; null keys keep, matching SQL's
     never-equal null semantics).
     """
-    assert how in ("inner", "left", "semi", "anti")
+    assert how in ("inner", "left", "full", "semi", "anti")
     assert how not in ("semi", "anti") or not right_cols
 
     def tag(side: int, keep: tuple[str, ...]):
         def fn(batch: pa.Table) -> pa.Table:
-            if side == 1 or how in ("inner", "semi"):
+            drops_nulls = (how in ("inner", "semi")
+                           or (side == 1 and how != "full"))
+            if drops_nulls:
                 batch = batch.filter(pc.is_valid(batch[key]))
                 k = np.asarray(batch[key], np.int64)
-                if side == 1 and len(k) and (k == NULL_KEY_SENTINEL).any():
-                    raise ValueError(
-                        f"right key {key!r} uses the INT64_MIN null-key "
-                        f"sentinel; remap it before shuffle_join")
+                genuine = k
             else:
-                # left-outer keeps null-key left rows: sentinel key (can
-                # never equal a right key — guarded above) routes them
+                # outer sides keep null-key rows: sentinel key (can
+                # never equal a genuine key — guarded below) routes them
                 # through the shuffle and out unmatched
                 k = np.asarray(pc.fill_null(batch[key],
                                             int(NULL_KEY_SENTINEL)),
                                np.int64)
+                genuine = k[np.asarray(pc.is_valid(batch[key]), bool)]
+            if (side == 1 and len(genuine)
+                    and (genuine == NULL_KEY_SENTINEL).any()):
+                raise ValueError(
+                    f"right key {key!r} uses the INT64_MIN null-key "
+                    f"sentinel; remap it before shuffle_join")
             out = {key: pa.array(k, pa.int64()),
                    "__side": pa.array(np.full(len(k), side, np.int64)),
                    "__p": pa.array(k % parts, pa.int64())}
@@ -213,15 +223,23 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
         rk = rk[order]
         r_idx = r_idx[order]
         lk = keys[l_idx]
-        if len(lk) == 0 or (len(rk) == 0 and how in ("inner", "semi")):
+        if ((len(lk) == 0 and how != "full")
+                or (len(rk) == 0 and how in ("inner", "semi"))):
             # a residue class can hold left rows with no right rows (or
             # vice versa): a valid inner join with zero matches here
             out = {key: pa.array([], pa.int64())}
             for c in left_cols + list(right_cols):
                 out[c] = part[c].slice(0, 0)
             return pa.table(out)
-        lo = np.searchsorted(rk, lk, "left")
-        hi = np.searchsorted(rk, lk, "right")
+        if how == "full":
+            # sentinel (INT64_MIN) right rows sort first; exclude them
+            # from the probe domain so null keys never match
+            nn = int(np.searchsorted(rk, NULL_KEY_SENTINEL, "right"))
+            rk_valid, rv_idx = rk[nn:], r_idx[nn:]
+        else:
+            nn, rk_valid, rv_idx = 0, rk, r_idx
+        lo = np.searchsorted(rk_valid, lk, "left")
+        hi = np.searchsorted(rk_valid, lk, "right")
         counts = hi - lo
         if how in ("semi", "anti"):
             keep = counts > 0 if how == "semi" else counts == 0
@@ -236,28 +254,50 @@ def shuffle_join(left, right, *, key: str, right_cols: tuple[str, ...],
             for c in left_cols:
                 out[c] = pc.take(part[c], pa.array(lsel))
             return pa.table(out)
-        ecounts = np.maximum(counts, 1) if how == "left" else counts
+        outer_left = how in ("left", "full")
+        ecounts = np.maximum(counts, 1) if outer_left else counts
         lsel = l_idx[np.repeat(np.arange(len(lk)), ecounts)]
         rng = _match_ranges(lo, counts)
         out_keys = keys[lsel]
-        if how == "left":
-            out_keys = np.where(out_keys == NULL_KEY_SENTINEL, 0, out_keys)
+        if outer_left:
             key_null = keys[lsel] == NULL_KEY_SENTINEL
+            out_keys = np.where(key_null, 0, out_keys)
             out = {key: pa.array(out_keys, pa.int64(), mask=key_null)}
         else:
             out = {key: pa.array(out_keys, pa.int64())}
         for c in left_cols:
             out[c] = pc.take(part[c], pa.array(lsel))
-        if how == "left":
+        if outer_left:
             matched = np.repeat(counts > 0, ecounts)
             full = np.zeros(len(lsel), np.int64)
-            full[matched] = r_idx[rng] if len(rng) else rng
+            full[matched] = rv_idx[rng] if len(rng) else rng
             take_r = pa.array(full, mask=~matched)
         else:
-            take_r = pa.array(r_idx[rng] if len(rng) else rng)
+            take_r = pa.array(rv_idx[rng] if len(rng) else rng)
         for c in right_cols:
             out[c] = pc.take(part[c], take_r)
-        return pa.table(out)
+        res = pa.table(out)
+        if how != "full":
+            return res
+        # full outer: append unmatched right rows (null-key sentinels
+        # plus valid keys no left row probed) with null left columns
+        hit = np.zeros(len(rk_valid), bool)
+        if len(rng):
+            hit[rng] = True
+        un_idx = np.concatenate([r_idx[:nn], rv_idx[~hit]])
+        if len(un_idx) == 0:
+            return res
+        rkeys = keys[un_idx]
+        rnull = rkeys == NULL_KEY_SENTINEL
+        r_out = {key: pa.array(np.where(rnull, 0, rkeys), pa.int64(),
+                               mask=rnull)}
+        for c in left_cols:
+            r_out[c] = pa.nulls(len(un_idx), part.schema.field(c).type)
+        take_un = pa.array(un_idx)
+        for c in right_cols:
+            r_out[c] = pc.take(part[c], take_un)
+        return pa.concat_tables(
+            [res, pa.table(r_out).cast(res.schema)])
 
     return (tagged_l.union(tagged_r)
             .groupby("__p").map_groups(local_join, batch_format="pyarrow"))

@@ -137,6 +137,52 @@ def test_shuffle_join_multimatch_left_outer(ray_session):
     assert sorted(inner["rv"].tolist()) == [10.0, 11.0, 30.0]
 
 
+def test_shuffle_join_full_outer(ray_session):
+    """FULL outer: left-unmatched (k=2, null-key, k=5) AND right-unmatched
+    (k=9, plus a null-key right row) each emit once; dup right keys still
+    multi-match. Verified against DuckDB FULL OUTER JOIN on a larger
+    randomized fixture too."""
+    import duckdb
+    import ray
+    from shapefile_rs_ray.stages.relational import shuffle_join
+    left, right = _join_fixture()
+    right = pa.table({
+        "k": pa.concat_arrays([right["k"].combine_chunks(),
+                               pa.array([None], pa.int64())]),
+        "rv": pa.concat_arrays([right["rv"].combine_chunks(),
+                                pa.array([99.0], pa.float64())])})
+    got = shuffle_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                       key="k", right_cols=("rv",), how="full",
+                       parts=3).to_pandas()
+    exp = pd.DataFrame({
+        "k": [1.0, 1.0, 2.0, 3.0, np.nan, 5.0, 9.0, np.nan],
+        "lv": ["a", "a", "b", "c", "d", "e", None, None],
+        "rv": [10.0, 11.0, np.nan, 30.0, np.nan, np.nan, 90.0, 99.0]})
+    pd.testing.assert_frame_equal(_canon_join(got), _canon_join(exp))
+
+    rng = np.random.default_rng(3)
+    n, m = 4000, 2500
+    lk = [None if rng.random() < 0.01 else int(x)
+          for x in rng.integers(0, 700, n)]
+    rk = [None if rng.random() < 0.01 else int(x)
+          for x in rng.integers(0, 1000, m)]
+    lt = pa.table({"k": pa.array(lk, pa.int64()),
+                   "lv": pa.array(np.arange(n, dtype=np.int64))})
+    rt = pa.table({"k": pa.array(rk, pa.int64()),
+                   "rv": pa.array(np.arange(m, dtype=np.int64) + 10**6)})
+    got = shuffle_join(ray.data.from_arrow(lt).repartition(5),
+                       ray.data.from_arrow(rt).repartition(4),
+                       key="k", right_cols=("rv",), how="full",
+                       parts=13).to_pandas()
+    exp = duckdb.sql("SELECT COALESCE(l.k, r.k) AS k, l.lv, r.rv FROM lt l "
+                     "FULL OUTER JOIN rt r ON l.k = r.k").df()
+
+    def canon(df):
+        return (df.astype("float64").sort_values(["k", "lv", "rv"])
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(canon(got), canon(exp))
+
+
 def test_shuffle_join_rejects_sentinel_right_key(ray_session):
     import ray
     from shapefile_rs_ray.stages.relational import (NULL_KEY_SENTINEL,
