@@ -262,6 +262,19 @@ def _running_max(sf_dir: str):
     return running_user_max(ev)
 
 
+def _lag_lead(sf_dir: str):
+    """Per-user LAG/LEAD (prev/next event, gap, value delta) — pure
+    shifted-array kernel on coarse user-hash partitions; user boundaries
+    become null masks, no per-user loop."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.windows import lag_lead_delta
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"])
+    return lag_lead_delta(ev)
+
+
 def _value_quantiles(sf_dir: str):
     """Exact global p50/p90/p99 of events.value (DOUBLE, unbounded
     cardinality) via 3-pass distributed selection — deterministic
@@ -943,6 +956,43 @@ def _tpch_q3(sf_dir: str):
                        id_col="l_orderkey", keep_cols=("o_orderdate_us",))
 
 
+def _rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(nation, year): broadcast customer->nation onto the
+    streaming orders fact, then the three-level rollup lattice with
+    per-batch collapse of ALL levels before one bounded groupby merge.
+    Revenue in integer cents (floor(x*100+0.5), exact on both sides)."""
+    import os
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.relational import (broadcast_join,
+                                                    rollup_two_level)
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    dim = pa.table({"o_custkey": cust["c_custkey"],
+                    "c_nationkey": cust["c_nationkey"].cast(pa.int64())})
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    joined = broadcast_join(orders, dim, key="o_custkey",
+                            dim_cols=("c_nationkey",))
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = np.asarray(b["o_orderdate"].cast(pa.int64()))
+        year = (us.astype("datetime64[us]").astype("datetime64[Y]")
+                .astype(np.int64) + 1970)
+        price = np.asarray(b["o_totalprice"], np.float64)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "c_nationkey": b["c_nationkey"],
+            "o_year": pa.array(year, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    keyed = joined.map_batches(prep, batch_format="pyarrow")
+    return rollup_two_level(keyed, col_a="c_nationkey", col_b="o_year",
+                            cents_col="cents")
+
+
 def _lineitem_orders(sf_dir: str):
     """Large-large shuffle equi-join (both sides hash-partition once on the
     key; per-partition sort + searchsorted local join) -> per-orderstatus
@@ -1222,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _orders_by_nation,
         "lineitem_q1": _lineitem_q1,
         "lineitem_orders": _lineitem_orders,
+        "rollup_orders": _rollup_orders,
         "tpch_q3": _tpch_q3,
         "cust_orders_left": _cust_orders_left,
         "orders_semi": _orders_semi,
@@ -1235,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_filter": _host_filter,
         "host_join": _host_join,
         "running_max": _running_max,
+        "lag_lead": _lag_lead,
         "union_split": _union_split,
     }
 
@@ -1576,6 +1628,17 @@ SELECT o_orderstatus,
        MIN(l_extendedprice) AS min_value
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus""",
+        "rollup_orders": """
+WITH t AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(o_totalprice * CAST('100.0' AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT c_nationkey, o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY ROLLUP(c_nationkey, o_year)""",
         "cust_orders_left": """
 SELECT c_custkey, c_nationkey, o_orderkey, o_totalprice
 FROM customer LEFT JOIN
@@ -1615,6 +1678,14 @@ SELECT event_id,
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        AS running_max
 FROM events""",
+        "lag_lead": """
+SELECT event_id,
+       LAG(event_id) OVER w AS prev_event_id,
+       LEAD(event_id) OVER w AS next_event_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       value - LAG(value) OVER w AS delta_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "host_filter": (
             "WITH " + pages + " SELECT page_id, url FROM pages WHERE "
             "regexp_extract(url, 'https://([^/]+)/', 1) NOT IN ("

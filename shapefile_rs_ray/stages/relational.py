@@ -647,3 +647,81 @@ def shuffle_join_str(left, right, *, key: str, right_cols: tuple[str, ...],
 
     return (tagged_l.union(tagged_r)
             .groupby("__p").map_groups(local_join, batch_format="pyarrow"))
+
+
+def rollup_two_level(ds, *, col_a: str, col_b: str, cents_col: str):
+    """GROUP BY ROLLUP(col_a, col_b) with COUNT(*) + exact integer SUM:
+    emits the finest (a, b) level, the (a, NULL) subtotal level, and the
+    (NULL, NULL) grand total — SQL's ROLLUP lattice.
+
+    Shape: each batch collapses ALL THREE levels locally (lexsort +
+    reduceat on the finest level, then np.unique re-collapse for the
+    subtotal and one scalar for the total), so the shuffle carries a few
+    hundred partial rows per batch regardless of input size; one bounded
+    groupby merges them (the lattice cardinality — |a|x|b| + |a| + 1 —
+    is bounded, so this is NOT the per-distinct-key anti-pattern).
+    COUNT and integer SUM are merge-order-free: bit-exact vs SQL.
+
+    col_a / col_b must be small non-negative ints (asserted < 2**20) —
+    they pack into one int64 rollup key for the shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    LVL = np.int64(2 ** 42)
+    A = np.int64(2 ** 21)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch[col_a], np.int64)
+        b = np.asarray(batch[col_b], np.int64)
+        s = np.asarray(batch[cents_col], np.int64)
+        if len(a):
+            assert a.min() >= 0 and a.max() < 2 ** 20, col_a
+            assert b.min() >= 0 and b.max() < 2 ** 20, col_b
+        keys, ns, sums = [], [], []
+        # level 0: (a, b)
+        k0 = a * A + b
+        order = np.argsort(k0, kind="stable")
+        k0s, ss = k0[order], s[order]
+        uniq, start = np.unique(k0s, return_index=True)
+        cnt = np.append(start[1:], len(k0s)) - start if len(k0s) else start
+        sm = (np.add.reduceat(ss, start) if len(k0s)
+              else np.empty(0, np.int64))
+        keys.append(uniq)
+        ns.append(cnt)
+        sums.append(sm)
+        # level 1: (a, *) — re-collapse the (sorted) level-0 partials
+        # with integer reduceat: exact at any magnitude
+        ua = uniq // A
+        ua_uniq, ua_start = np.unique(ua, return_index=True)
+        keys.append(LVL + ua_uniq * A)
+        ns.append(np.add.reduceat(cnt, ua_start) if len(uniq)
+                  else np.empty(0, np.int64))
+        sums.append(np.add.reduceat(sm, ua_start) if len(uniq)
+                    else np.empty(0, np.int64))
+        # level 2: grand total
+        keys.append(np.array([2 * LVL], np.int64))
+        ns.append(np.array([len(a)], np.int64))
+        sums.append(np.array([int(s.sum())], np.int64))
+        return pa.table({
+            "__rk": pa.array(np.concatenate(keys), pa.int64()),
+            "n_rows": pa.array(np.concatenate(ns), pa.int64()),
+            "sum_cents": pa.array(np.concatenate(sums), pa.int64()),
+        })
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        rk = np.asarray(batch["__rk"], np.int64)
+        lvl = rk // LVL
+        a = (rk % LVL) // A
+        b = rk % A
+        return pa.table({
+            col_a: pa.array(a, pa.int64(), mask=lvl == 2),
+            col_b: pa.array(b, pa.int64(), mask=lvl >= 1),
+            "n_rows": batch["n_rows"],
+            "sum_cents": batch["sum_cents"],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__rk")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_cents", alias_name="sum_cents"))
+            .map_batches(unpack, batch_format="pyarrow"))

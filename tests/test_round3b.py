@@ -1,0 +1,79 @@
+"""Round-3 continuation: join-matrix completion (full outer), window
+functions (LAG/LEAD), ROLLUP lattice aggregates."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_lag_lead_delta_vs_pandas(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.windows import lag_lead_delta
+    rng = np.random.default_rng(11)
+    n = 6000
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 200, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 10**9, n).astype(np.int64)).cast(
+            pa.timestamp("us")),
+        "value": pa.array(rng.normal(size=n)),
+    })
+    got = (lag_lead_delta(ray.data.from_arrow(tbl).repartition(5), parts=7)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["ts_us"] = df["ts"].astype("int64")
+    g = df.groupby("user_id", sort=False)
+    exp = pd.DataFrame({
+        "event_id": df["event_id"],
+        "prev_event_id": g["event_id"].shift(1),
+        "next_event_id": g["event_id"].shift(-1),
+        "gap_us": df["ts_us"] - g["ts_us"].shift(1),
+        "delta_value": df["value"] - g["value"].shift(1),
+    }).sort_values("event_id").reset_index(drop=True)
+    for c in ("prev_event_id", "next_event_id", "gap_us"):
+        np.testing.assert_array_equal(
+            got[c].to_numpy(dtype="float64", na_value=np.nan),
+            exp[c].to_numpy(dtype="float64", na_value=np.nan))
+    np.testing.assert_array_equal(
+        got["delta_value"].to_numpy(), exp["delta_value"].to_numpy())
+
+
+def test_rollup_two_level_vs_duckdb(ray_session):
+    import duckdb
+    import ray
+    from shapefile_rs_ray.stages.relational import rollup_two_level
+    rng = np.random.default_rng(5)
+    n = 20000
+    tbl = pa.table({
+        "a": pa.array(rng.integers(0, 12, n).astype(np.int64)),
+        "b": pa.array(rng.integers(1990, 2000, n).astype(np.int64)),
+        "cents": pa.array(rng.integers(-10**7, 10**9, n).astype(np.int64)),
+    })
+    got = (rollup_two_level(ray.data.from_arrow(tbl).repartition(6),
+                            col_a="a", col_b="b", cents_col="cents")
+           .to_pandas())
+    exp = duckdb.sql(
+        "SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+        "FROM tbl GROUP BY ROLLUP(a, b)").df()
+
+    def canon(df):
+        return (df.astype("float64")
+                .sort_values(["a", "b"], na_position="last")
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(canon(got), canon(exp))
+    # lattice shape: finest + |a| subtotals + grand total
+    assert len(got) == 12 * 10 + 12 + 1
+
+
+def test_rollup_rejects_out_of_range_keys(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.relational import rollup_two_level
+    bad = pa.table({"a": pa.array([2**21], pa.int64()),
+                    "b": pa.array([0], pa.int64()),
+                    "cents": pa.array([1], pa.int64())})
+    ds = rollup_two_level(ray.data.from_arrow(bad), col_a="a", col_b="b",
+                          cents_col="cents")
+    with pytest.raises(Exception):
+        ds.materialize()
