@@ -956,6 +956,110 @@ def _tpch_q3(sf_dir: str):
                        id_col="l_orderkey", keep_cols=("o_orderdate_us",))
 
 
+def _tpch_q5(sf_dir: str):
+    """TPC-H-Q5-flavor: 5-table join chain (lineitem x orders x customer x
+    supplier x nation x region) -> per-nation revenue where customer and
+    supplier share an ASIA nation, orders in 1996. Plan: region+nation
+    fold into a tiny broadcast at plan time; customer (in-region only)
+    shuffles against the filtered orders fact (the scale path — customer
+    outgrows broadcast at 100 TB); supplier broadcasts onto the lineitem
+    fact (10x smaller than customer, the honest small side); one more
+    orderkey shuffle joins the two fact streams; the same-nation filter
+    and integer-cents revenue collapse per batch before a bounded
+    25-nation merge. Revenue exact: floor(x*100+0.5) cents both sides."""
+    import os
+    import ray
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.relational import (broadcast_join,
+                                                    grouped_intsum,
+                                                    shuffle_join)
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))
+    rkeys = set(asia["r_regionkey"].to_pylist())
+    nat = nation.filter(pc.is_in(nation["n_regionkey"],
+                                 value_set=pa.array(list(rkeys),
+                                                    nation["n_regionkey"]
+                                                    .type)))
+    nat_keys = np.asarray(nat["n_nationkey"], np.int64)
+    nat_names = nat["n_name"].to_pylist()
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+
+    # customer limited to in-region nations, keyed for the orders shuffle
+    cust = (ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+        .map_batches(lambda b, ks=nat_keys: pa.table({
+            "o_custkey": b["c_custkey"].cast(pa.int64()),
+            "c_nationkey": b["c_nationkey"].cast(pa.int64())}).filter(
+                pa.array(np.isin(np.asarray(b["c_nationkey"], np.int64),
+                                 ks))),
+            batch_format="pyarrow"))
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        us = np.asarray(b["o_orderdate"].cast(pa.int64()))
+        keep = pa.array((us >= lo) & (us < hi))
+        return pa.table({
+            "l_orderkey": pc.filter(b["o_orderkey"], keep),
+            "o_custkey": pc.filter(b["o_custkey"], keep)})
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(prep_orders, batch_format="pyarrow"))
+    orders = shuffle_join(orders, cust, key="o_custkey",
+                          right_cols=("c_nationkey",))
+    orders = orders.select_columns(["l_orderkey", "c_nationkey"])
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = pa.table({"l_suppkey": supp["s_suppkey"].cast(pa.int64()),
+                     "s_nationkey": supp["s_nationkey"].cast(pa.int64())})
+
+    def prep_lineitem(b: pa.Table) -> pa.Table:
+        price = np.asarray(b["l_extendedprice"], np.float64)
+        disc = np.asarray(b["l_discount"], np.float64)
+        rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+               * (100 - np.floor(disc * 100.0 + 0.5).astype(np.int64)))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "rev": pa.array(rev, pa.int64())})
+
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(prep_lineitem, batch_format="pyarrow"))
+    li = broadcast_join(li, supp, key="l_suppkey",
+                        dim_cols=("s_nationkey",))
+
+    joined = shuffle_join(li, orders, key="l_orderkey",
+                          right_cols=("c_nationkey",))
+
+    def same_nation(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["s_nationkey"], b["c_nationkey"])
+        b = b.filter(keep)
+        return pa.table({"nkey": b["s_nationkey"], "rev": b["rev"]})
+
+    agg = grouped_intsum(joined.map_batches(same_nation,
+                                            batch_format="pyarrow"),
+                         group_col="nkey", sum_col="rev", parts=31)
+
+    name_of = dict(zip(nat_keys.tolist(), nat_names))
+
+    def attach_name(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b["nkey"], np.int64)
+        return pa.table({
+            "n_name": pa.array([name_of[int(k)] for k in ks], pa.string()),
+            "sum_rev": b["rev"]})
+
+    return agg.map_batches(attach_name, batch_format="pyarrow")
+
+
 def _rollup_orders(sf_dir: str):
     """GROUP BY ROLLUP(nation, year): broadcast customer->nation onto the
     streaming orders fact, then the three-level rollup lattice with
@@ -1273,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_q1": _lineitem_q1,
         "lineitem_orders": _lineitem_orders,
         "rollup_orders": _rollup_orders,
+        "tpch_q5": _tpch_q5,
         "tpch_q3": _tpch_q3,
         "cust_orders_left": _cust_orders_left,
         "orders_semi": _orders_semi,
@@ -1628,6 +1733,24 @@ SELECT o_orderstatus,
        MIN(l_extendedprice) AS min_value
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus""",
+        "tpch_q5": """
+SELECT n_name,
+       CAST(SUM(CAST(floor(l_extendedprice * CAST('100.0' AS DOUBLE)
+                           + CAST('0.5' AS DOUBLE)) AS BIGINT)
+                * (100 - CAST(floor(l_discount * CAST('100.0' AS DOUBLE)
+                                    + CAST('0.5' AS DOUBLE)) AS BIGINT)))
+            AS BIGINT) AS sum_rev
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE s_nationkey = c_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
         "rollup_orders": """
 WITH t AS (
   SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
