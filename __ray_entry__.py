@@ -531,6 +531,18 @@ def _vectorize_regions(sf_dir: str):
                              tile_rows=oracles.RASTER_TILE_ROWS)
 
 
+def _focal_stats(sf_dir: str):
+    """3x3 focal aggregate over the sparse zone raster (count + zone sum
+    per present pixel) — row-band tiles with halo-row exchange, 9
+    vectorized searchsorted probes per band. Oracle: 9-offset equi self
+    join over the fully SQL-recomputed raster. Fixture corpus, sf_dir
+    unused."""
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.stages.raster import focal_sum
+    return focal_sum(_zone_raster(), w=oracles.RASTER_W,
+                     tile_rows=oracles.RASTER_TILE_ROWS)
+
+
 def _nearest_polygon(sf_dir: str):
     """Nearest-polygon distance join: every page point -> the closest of
     the top-25 lakes by exact squared point-to-edge distance (planar
@@ -1353,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_polyfill": _h3_polyfill,
         "h3_compact": _h3_compact,
         "rasterize_zones": _rasterize_zones,
+        "focal_stats": _focal_stats,
         "vectorize_regions": _vectorize_regions,
         "hex_cells": _hex_cells,
         "quality_corpus": _quality_corpus,
@@ -1474,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         "h3_polyfill": oracles.h3_polyfill_sql(),
         "h3_compact": oracles.h3_compact_sql(),
         "rasterize_zones": oracles.rasterize_zones_sql(),
+        "focal_stats": oracles.focal_stats_sql(),
         "vectorize_regions": oracles.vectorize_regions_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "fingerprints": oracles.fingerprints_sql(),

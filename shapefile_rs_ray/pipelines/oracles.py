@@ -369,6 +369,22 @@ def rasterize_zones_sql() -> str:
     return f"WITH {_raster_zone_ctes()}\nSELECT pix, ix, iy, zone FROM zones"
 
 
+def focal_stats_sql() -> str:
+    """focal_stats oracle: 3x3 neighborhood restated as a 9-offset equi
+    self-join (hash-joinable, unlike a BETWEEN band join) over the same
+    fully-SQL raster CTEs; COUNT + integer SUM are merge-order-free."""
+    return f"""WITH {_raster_zone_ctes()},
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1))
+SELECT a.pix,
+       CAST(COUNT(*) AS BIGINT) AS n_nb,
+       CAST(SUM(b.zone) AS BIGINT) AS sum_nb
+FROM zones a
+CROSS JOIN offs o
+JOIN zones b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+GROUP BY a.pix"""
+
+
 def ensure_raster_regions() -> None:
     """Golden for vectorize_regions: (pix, region_id) from a
     single-node ascending-pixel BFS flood fill — algorithmically

@@ -77,3 +77,36 @@ def test_rollup_rejects_out_of_range_keys(ray_session):
                           cents_col="cents")
     with pytest.raises(Exception):
         ds.materialize()
+
+
+def test_focal_sum_vs_dense_convolution(ray_session):
+    """Random sparse raster with tiny tile_rows so every band boundary and
+    row-edge (ix=0 / ix=w-1 no-wrap) case is exercised; expected values
+    from a dense padded 3x3 accumulation."""
+    import ray
+    from shapefile_rs_ray.stages.raster import focal_sum
+    rng = np.random.default_rng(17)
+    w, h = 37, 41
+    present = rng.random((h, w)) < 0.35
+    zone = rng.integers(1, 10**6, (h, w)).astype(np.int64) * present
+    iy, ix = np.nonzero(present)
+    tbl = pa.table({
+        "pix": pa.array(iy * w + ix, pa.int64()),
+        "ix": pa.array(ix, pa.int64()),
+        "iy": pa.array(iy, pa.int64()),
+        "zone": pa.array(zone[iy, ix], pa.int64()),
+    })
+    got = (focal_sum(ray.data.from_arrow(tbl).repartition(4), w=w,
+                     tile_rows=5)
+           .to_pandas().sort_values("pix").reset_index(drop=True))
+    padp = np.pad(present, 1)
+    padz = np.pad(zone, 1)
+    n_nb = np.zeros((h, w), np.int64)
+    s_nb = np.zeros((h, w), np.int64)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            n_nb += padp[dy:dy + h, dx:dx + w]
+            s_nb += padz[dy:dy + h, dx:dx + w]
+    assert got["pix"].tolist() == (iy * w + ix).tolist()
+    np.testing.assert_array_equal(got["n_nb"].to_numpy(), n_nb[iy, ix])
+    np.testing.assert_array_equal(got["sum_nb"].to_numpy(), s_nb[iy, ix])
