@@ -531,6 +531,48 @@ def _vectorize_regions(sf_dir: str):
                              tile_rows=oracles.RASTER_TILE_ROWS)
 
 
+def _bbox_join(sf_dir: str):
+    """PBSM rectangle-overlap join: per-page query rects (deterministic
+    half-widths from page_id) x the 1162 decoded lake bboxes. Both sides
+    shuffle once into a 64x64 grid packed into coarse prime-modulus
+    partitions; multi-cell pairs dedup via the canonical-reference-point
+    rule (no second exchange). overlap_area is a single
+    min/max-difference product — bit-exact vs SQL LEAST/GREATEST."""
+    import ray
+    from shapefile_rs_ray.stages.bbox_join import bbox_overlap_join
+    from shapefile_rs_ray.stages.pip_join import load_polygons
+    from shapefile_rs_ray.sources.webpages import read_webpages
+
+    polys = load_polygons(LAKES)
+    boxes = pa.table({
+        "poly_id": pa.array(np.arange(len(polys), dtype=np.int64)),
+        "xmin": pa.array([p.bbox[0] for p in polys], pa.float64()),
+        "ymin": pa.array([p.bbox[1] for p in polys], pa.float64()),
+        "xmax": pa.array([p.bbox[2] for p in polys], pa.float64()),
+        "ymax": pa.array([p.bbox[3] for p in polys], pa.float64()),
+    })
+
+    def rects(b: pa.Table) -> pa.Table:
+        pid = np.asarray(b["page_id"], np.int64)
+        lon = np.asarray(b["lon"], np.float64)
+        lat = np.asarray(b["lat"], np.float64)
+        rw = 0.02 + (pid % 7) * 0.01
+        rh = 0.02 + (pid % 5) * 0.01
+        return pa.table({
+            "page_id": pa.array(pid, pa.int64()),
+            "xmin": pa.array(lon - rw, pa.float64()),
+            "ymin": pa.array(lat - rh, pa.float64()),
+            "xmax": pa.array(lon + rw, pa.float64()),
+            "ymax": pa.array(lat + rh, pa.float64()),
+        })
+
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id", "lon", "lat"])
+             .map_batches(rects, batch_format="pyarrow"))
+    return bbox_overlap_join(pages, boxes, id_col="page_id",
+                             box_id_col="poly_id")
+
+
 def _focal_stats(sf_dir: str):
     """3x3 focal aggregate over the sparse zone raster (count + zone sum
     per present pixel) — row-band tiles with halo-row exchange, 9
@@ -1348,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_cellpart": _pip_join_cellpart,
         "pip_join_h3": _pip_join_h3,
         "zonal_stats": _zonal_stats,
+        "bbox_join": _bbox_join,
         "nearest_polygon": _nearest_polygon,
         "zonal_cellpart": _zonal_cellpart,
         "knn_sites": _knn_sites,
@@ -1495,6 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_cellpart": oracles.pip_join_sql(),
         "pip_join_h3": oracles.pip_join_sql(),
         "zonal_stats": oracles.zonal_sql(),
+        "bbox_join": oracles.bbox_join_sql(),
         "nearest_polygon": oracles.nearest_polygon_sql(),
         "knn_sites": f"""
 WITH {pages}, s AS ({synth.sites_sql()})

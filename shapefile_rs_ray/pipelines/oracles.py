@@ -774,6 +774,29 @@ FROM pages p JOIN fp ON p.text = fp.text
 """
 
 
+def bbox_join_sql() -> str:
+    """bbox_join oracle: closed-interval rectangle overlap restated as an
+    inequality join over the decoded-box parquet; the half-width
+    expressions and the LEAST/GREATEST area product mirror the engine's
+    numpy ops one-for-one."""
+    rw = "(CAST('0.02' AS DOUBLE) + (page_id % 7) * CAST('0.01' AS DOUBLE))"
+    rh = "(CAST('0.02' AS DOUBLE) + (page_id % 5) * CAST('0.01' AS DOUBLE))"
+    return f"""
+WITH {PAGES_CTE},
+r AS (
+  SELECT page_id,
+         lon - {rw} AS xmin, lat - {rh} AS ymin,
+         lon + {rw} AS xmax, lat + {rh} AS ymax
+  FROM pages)
+SELECT r.page_id, b.poly_id,
+       (LEAST(r.xmax, b.xmax) - GREATEST(r.xmin, b.xmin))
+     * (LEAST(r.ymax, b.ymax) - GREATEST(r.ymin, b.ymin)) AS overlap_area
+FROM r JOIN read_parquet('{BOXES_PQ}') b
+  ON r.xmin <= b.xmax AND b.xmin <= r.xmax
+ AND r.ymin <= b.ymax AND b.ymin <= r.ymax
+"""
+
+
 def zonal_sql() -> str:
     return f"""
 WITH {PAGES_CTE},

@@ -110,3 +110,42 @@ def test_focal_sum_vs_dense_convolution(ray_session):
     assert got["pix"].tolist() == (iy * w + ix).tolist()
     np.testing.assert_array_equal(got["n_nb"].to_numpy(), n_nb[iy, ix])
     np.testing.assert_array_equal(got["sum_nb"].to_numpy(), s_nb[iy, ix])
+
+
+def test_bbox_overlap_join_vs_bruteforce(ray_session):
+    """Random rect x box overlap join on a tiny 4x4 grid: heavy multi-cell
+    covers, rects wholly outside the box extent (clipped cells), touching
+    edges (closed intervals) — every pair must appear exactly once."""
+    import ray
+    from shapefile_rs_ray.stages.bbox_join import bbox_overlap_join
+    rng = np.random.default_rng(23)
+    nr, nb = 800, 60
+
+    def mk(n, lo, hi, wmax, ids0):
+        x = rng.uniform(lo, hi, n)
+        y = rng.uniform(lo, hi, n)
+        w = rng.uniform(0, wmax, n)
+        h = rng.uniform(0, wmax, n)
+        return (np.arange(n, dtype=np.int64) + ids0,
+                x - w, y - h, x + w, y + h)
+
+    rid, rx0, ry0, rx1, ry1 = mk(nr, -12.0, 12.0, 1.5, 0)
+    bid, bx0, by0, bx1, by1 = mk(nb, -8.0, 8.0, 2.5, 1000)
+    rects = pa.table({"rid": pa.array(rid), "xmin": pa.array(rx0),
+                      "ymin": pa.array(ry0), "xmax": pa.array(rx1),
+                      "ymax": pa.array(ry1)})
+    boxes = pa.table({"bid": pa.array(bid), "xmin": pa.array(bx0),
+                      "ymin": pa.array(by0), "xmax": pa.array(bx1),
+                      "ymax": pa.array(by1)})
+    got = (bbox_overlap_join(ray.data.from_arrow(rects).repartition(5),
+                             boxes, id_col="rid", box_id_col="bid",
+                             grid_n=4, parts=7)
+           .to_pandas().sort_values(["rid", "bid"]).reset_index(drop=True))
+    ov = ((rx0[:, None] <= bx1[None, :]) & (bx0[None, :] <= rx1[:, None])
+          & (ry0[:, None] <= by1[None, :]) & (by0[None, :] <= ry1[:, None]))
+    ri, bi = np.nonzero(ov)
+    area = ((np.minimum(rx1[ri], bx1[bi]) - np.maximum(rx0[ri], bx0[bi]))
+            * (np.minimum(ry1[ri], by1[bi]) - np.maximum(ry0[ri], by0[bi])))
+    assert got["rid"].tolist() == rid[ri].tolist()
+    assert got["bid"].tolist() == bid[bi].tolist()
+    np.testing.assert_array_equal(got["overlap_area"].to_numpy(), area)
