@@ -683,6 +683,19 @@ def _fingerprints(sf_dir: str):
               .select_columns(["page_id", "fingerprint"]))
 
 
+def _hll_users(sf_dir: str):
+    """HyperLogLog register table over events.user_id: per batch one
+    vectorized splitmix64 + scatter-max into 64 registers; MAX-merge is
+    order-free so the register table (and thus the cardinality estimate,
+    a pure function of it) is bit-exact vs the full SQL restatement."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.sketch import hll_registers
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    return hll_registers(ev, col="user_id")
+
+
 def _ann_top1(sf_dir: str):
     """Exact top-1 with a Dataset-side corpus: shard refs in the object
     store, streamed per query block with a vectorized running-top-k merge
@@ -1415,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _minhash_pairs,
         "jaccard_pairs": _jaccard_pairs,
         "simhash_pairs": _simhash_pairs,
+        "hll_users": _hll_users,
         "fingerprints": _fingerprints,
         "ann_top1": _ann_top1,
         "ann_lsh_top1": _ann_lsh_top1,
@@ -1533,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_stats": oracles.focal_stats_sql(),
         "vectorize_regions": oracles.vectorize_regions_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
+        "hll_users": oracles.hll_users_sql(),
         "fingerprints": oracles.fingerprints_sql(),
         "pip_join": oracles.pip_join_sql(),
         "pip_join_cellpart": oracles.pip_join_sql(),

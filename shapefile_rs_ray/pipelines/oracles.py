@@ -650,6 +650,39 @@ def _crc32_table() -> list[int]:
     return tbl
 
 
+def hll_users_sql() -> str:
+    """hll_users oracle: the HyperLogLog register table recomputed
+    entirely in SQL — splitmix64 over user_id in HUGEINT (the same
+    split-multiplication restatement the simhash oracle uses), register
+    = hv % 64, rank = 59 - bit_length(hv // 64) via an exact 58-arm
+    integer CASE chain (no float log2), MAX per register. MAX is
+    merge-order-free, so engine == oracle bit-exactly."""
+    C1, M1, M2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    P32, P64 = 1 << 32, 1 << 64
+    H = "CAST('{}' AS HUGEINT)".format
+
+    def mulmod(z: str, m: int) -> str:
+        return (f"((({z}) % {H(P32)} * {H(m)} "
+                f"+ (({z}) // {H(P32)} * {H(m)}) % {H(P32)} * {H(P32)}) "
+                f"% {H(P64)})")
+
+    z0 = f"((CAST(user_id AS HUGEINT) + {H(C1)}) % {H(P64)})"
+    z1 = mulmod(f"xor({z0}, {z0} // {H(1 << 30)})", M1)
+    z2 = mulmod(f"xor({z1}, {z1} // {H(1 << 27)})", M2)
+    hv = f"xor({z2}, {z2} // {H(1 << 31)})"
+    rank = "CASE " + " ".join(
+        f"WHEN (hv // 64) >= {H(1 << (58 - r))} THEN {r}"
+        for r in range(1, 59)) + " ELSE 59 END"
+    return f"""
+WITH h AS (SELECT {hv} AS hv FROM events),
+r AS (SELECT CAST(hv % 64 AS BIGINT) AS register,
+             ({rank}) AS rank
+      FROM h)
+SELECT register, CAST(MAX(rank) AS BIGINT) AS max_rank
+FROM r GROUP BY register
+"""
+
+
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
     """Full oracle for simhash_pairs: recompute the 64-bit SimHash of every
     distinct text IN SQL — crc32 per word occurrence via a lambda fold over

@@ -1,0 +1,81 @@
+"""Cardinality sketches (HyperLogLog) — the mergeable-summary pattern:
+each batch collapses to a fixed m-register table, registers merge with
+MAX (commutative/associative/idempotent — merge-order-free, so the
+distributed result is bit-identical to any execution order, including
+the SQL oracle's), and the final estimate is a pure function of the 64
+registers. The shuffle carries at most m rows per batch regardless of
+input size; at 100 TB the exchange stays a few KB per block.
+
+The hash is the engine's shared splitmix64 finalizer
+(functions/hashing.py), already restated in HUGEINT SQL for the
+simhash oracle, so the register table itself is hash-checkable at the
+driver gate — the sketch is approximate w.r.t. the true cardinality
+but EXACT w.r.t. its own definition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import splitmix64
+
+HLL_M = 64           # registers (2^6); standard error 1.04/sqrt(m) ~ 13%
+_W_BITS = 58         # hash bits left after the 6-bit register index
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length of uint64 (no float log2 — f64 cannot
+    represent 58-bit ints exactly near power-of-two boundaries)."""
+    bl = np.zeros(len(w), np.int64)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl[w > 0] += 1
+    return bl
+
+
+def hll_registers(ds, *, col: str, m: int = HLL_M):
+    """(register, max_rank) HyperLogLog register table of an int64
+    column: register = hash % m (low 6 bits), rank = leading-zero count
+    of the remaining 58 bits + 1. Only observed registers emit (matches
+    the SQL GROUP BY). Per batch: one vectorized splitmix64 + a scatter
+    max into m slots; the groupby merges <= m rows per batch."""
+    from ray.data.aggregate import Max
+    assert m == 64, "register arithmetic is specialized to m=64"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[col], np.int64)
+        if len(x) and x.min() < 0:
+            raise ValueError(f"{col} must be non-negative for the "
+                             "SQL-parity splitmix input")
+        h = splitmix64(x.astype(np.uint64))
+        reg = (h % np.uint64(m)).astype(np.int64)
+        w = h >> np.uint64(6)
+        rank = (_W_BITS + 1) - _bit_length_u64(w)
+        mx = np.zeros(m, np.int64)
+        np.maximum.at(mx, reg, rank)
+        nz = np.nonzero(mx)[0]
+        return pa.table({
+            "register": pa.array(nz.astype(np.int64), pa.int64()),
+            "max_rank": pa.array(mx[nz], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("register").aggregate(Max("max_rank",
+                                               alias_name="max_rank")))
+
+
+def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
+    """Standard HLL estimate (with the small-range linear-counting
+    correction) from a {register: max_rank} dict — a pure driver-side
+    function of the tiny merged table."""
+    alpha = 0.709          # alpha_64
+    z = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    est = alpha * m * m / z
+    zeros = m - len(registers)
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

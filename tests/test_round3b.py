@@ -149,3 +149,38 @@ def test_bbox_overlap_join_vs_bruteforce(ray_session):
     assert got["rid"].tolist() == rid[ri].tolist()
     assert got["bid"].tolist() == bid[bi].tolist()
     np.testing.assert_array_equal(got["overlap_area"].to_numpy(), area)
+
+
+def test_hll_registers_and_estimate(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.sketch import (_bit_length_u64,
+                                                hll_estimate, hll_registers)
+    # exact bit_length incl. power-of-two boundaries the float-log2
+    # shortcut gets wrong
+    probes = np.array([0, 1, 2, 3, 4, (1 << 53) - 1, 1 << 53,
+                       (1 << 57) + 1, (1 << 58) - 1], np.uint64)
+    assert _bit_length_u64(probes).tolist() == [0, 1, 2, 2, 3, 53, 54,
+                                                58, 58]
+    rng = np.random.default_rng(29)
+    true_n = 5000
+    ids = rng.choice(np.arange(10**7, dtype=np.int64), true_n,
+                     replace=False)
+    col = np.repeat(ids, 3)     # duplicates must not move the registers
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(col)})).repartition(6)
+    regs = hll_registers(ds, col="u").to_pandas()
+    est = hll_estimate(dict(zip(regs["register"], regs["max_rank"])))
+    assert abs(est - true_n) / true_n < 0.30    # 2.3 sigma at m=64
+    # idempotence: the unique set yields the identical register table
+    regs_u = (hll_registers(ray.data.from_arrow(
+        pa.table({"u": pa.array(ids)})), col="u")
+        .to_pandas().sort_values("register").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        regs.sort_values("register").reset_index(drop=True), regs_u)
+
+
+def test_hll_rejects_negative_ids(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.sketch import hll_registers
+    ds = ray.data.from_arrow(pa.table({"u": pa.array([-1], pa.int64())}))
+    with pytest.raises(Exception, match="non-negative"):
+        hll_registers(ds, col="u").materialize()
