@@ -683,6 +683,30 @@ def _fingerprints(sf_dir: str):
               .select_columns(["page_id", "fingerprint"]))
 
 
+SAMPLE_PPM = 50_000       # 5% Bernoulli sample
+
+
+def _sample_pages(sf_dir: str):
+    """Reproducible hash-Bernoulli 5% sample of pages: map-side splitmix
+    predicate, no shuffle, identical rows at any parallelism."""
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.sketch import deterministic_sample
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id", "lang"]))
+    return deterministic_sample(pages, col="page_id", keep_ppm=SAMPLE_PPM)
+
+
+def _value_histogram(sf_dir: str):
+    """Fixed-width histogram of events.value (width 10): per-batch bin
+    collapse, bounded groupby merge."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.sketch import fixed_width_histogram
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    return fixed_width_histogram(ev, col="value", width=10.0)
+
+
 def _hll_users(sf_dir: str):
     """HyperLogLog register table over events.user_id: per batch one
     vectorized splitmix64 + scatter-max into 64 registers; MAX-merge is
@@ -1429,6 +1453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _jaccard_pairs,
         "simhash_pairs": _simhash_pairs,
         "hll_users": _hll_users,
+        "sample_pages": _sample_pages,
+        "value_histogram": _value_histogram,
         "fingerprints": _fingerprints,
         "ann_top1": _ann_top1,
         "ann_lsh_top1": _ann_lsh_top1,
@@ -1548,6 +1574,11 @@ def oracle_sql() -> dict[str, str]:
         "vectorize_regions": oracles.vectorize_regions_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "hll_users": oracles.hll_users_sql(),
+        "sample_pages": oracles.sample_pages_sql(SAMPLE_PPM),
+        "value_histogram": """
+SELECT CAST(floor(value / CAST('10.0' AS DOUBLE)) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events GROUP BY bin""",
         "fingerprints": oracles.fingerprints_sql(),
         "pip_join": oracles.pip_join_sql(),
         "pip_join_cellpart": oracles.pip_join_sql(),

@@ -650,13 +650,11 @@ def _crc32_table() -> list[int]:
     return tbl
 
 
-def hll_users_sql() -> str:
-    """hll_users oracle: the HyperLogLog register table recomputed
-    entirely in SQL — splitmix64 over user_id in HUGEINT (the same
-    split-multiplication restatement the simhash oracle uses), register
-    = hv % 64, rank = 59 - bit_length(hv // 64) via an exact 58-arm
-    integer CASE chain (no float log2), MAX per register. MAX is
-    merge-order-free, so engine == oracle bit-exactly."""
+def _splitmix_sql(var: str) -> str:
+    """HUGEINT restatement of functions/hashing.splitmix64 over a
+    non-negative BIGINT column — split multiplication so no 64x64
+    product overflows signed int128 (the simhash oracle's verified
+    technique). Returns an expression in [0, 2^64)."""
     C1, M1, M2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
     P32, P64 = 1 << 32, 1 << 64
     H = "CAST('{}' AS HUGEINT)".format
@@ -666,10 +664,21 @@ def hll_users_sql() -> str:
                 f"+ (({z}) // {H(P32)} * {H(m)}) % {H(P32)} * {H(P32)}) "
                 f"% {H(P64)})")
 
-    z0 = f"((CAST(user_id AS HUGEINT) + {H(C1)}) % {H(P64)})"
+    z0 = f"((CAST({var} AS HUGEINT) + {H(C1)}) % {H(P64)})"
     z1 = mulmod(f"xor({z0}, {z0} // {H(1 << 30)})", M1)
     z2 = mulmod(f"xor({z1}, {z1} // {H(1 << 27)})", M2)
-    hv = f"xor({z2}, {z2} // {H(1 << 31)})"
+    return f"xor({z2}, {z2} // {H(1 << 31)})"
+
+
+def hll_users_sql() -> str:
+    """hll_users oracle: the HyperLogLog register table recomputed
+    entirely in SQL — splitmix64 over user_id in HUGEINT (the same
+    split-multiplication restatement the simhash oracle uses), register
+    = hv % 64, rank = 59 - bit_length(hv // 64) via an exact 58-arm
+    integer CASE chain (no float log2), MAX per register. MAX is
+    merge-order-free, so engine == oracle bit-exactly."""
+    H = "CAST('{}' AS HUGEINT)".format
+    hv = _splitmix_sql("user_id")
     rank = "CASE " + " ".join(
         f"WHEN (hv // 64) >= {H(1 << (58 - r))} THEN {r}"
         for r in range(1, 59)) + " ELSE 59 END"
@@ -680,6 +689,16 @@ r AS (SELECT CAST(hv % 64 AS BIGINT) AS register,
       FROM h)
 SELECT register, CAST(MAX(rank) AS BIGINT) AS max_rank
 FROM r GROUP BY register
+"""
+
+
+def sample_pages_sql(keep_ppm: int) -> str:
+    """sample_pages oracle: the identical splitmix64 Bernoulli predicate
+    over page_id."""
+    return f"""
+WITH {PAGES_CTE}
+SELECT page_id, lang FROM pages
+WHERE {_splitmix_sql("page_id")} % 1000000 < {keep_ppm}
 """
 
 

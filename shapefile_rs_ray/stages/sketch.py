@@ -79,3 +79,43 @@ def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def deterministic_sample(ds, *, col: str, keep_ppm: int):
+    """Reproducible Bernoulli sample: keep rows where
+    splitmix64(col) % 1_000_000 < keep_ppm. Pure map-side filter — no
+    shuffle, no RNG state, identical result at any parallelism/cluster
+    size (the property driver-seeded random_sample lacks), and exactly
+    restatable in SQL. col must be a non-negative int64 id."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[col], np.int64)
+        if len(x) and x.min() < 0:
+            raise ValueError(f"{col} must be non-negative for the "
+                             "SQL-parity splitmix input")
+        h = splitmix64(x.astype(np.uint64))
+        return batch.filter(pa.array(h % np.uint64(1_000_000)
+                                     < np.uint64(keep_ppm)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def fixed_width_histogram(ds, *, col: str, width: float):
+    """COUNT per floor(col / width) bin — the one-pass distributed
+    histogram: every batch collapses to its occupied bins (np.unique),
+    then one bounded groupby merges (bin cardinality = value range /
+    width, independent of row count). The bin index is a single f64
+    divide + floor, bit-exact vs SQL."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[col], np.float64)
+        b = np.floor(v / width).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({
+            "bin": pa.array(uniq, pa.int64()),
+            "n_rows": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n_rows", alias_name="n_rows")))

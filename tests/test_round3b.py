@@ -184,3 +184,30 @@ def test_hll_rejects_negative_ids(ray_session):
     ds = ray.data.from_arrow(pa.table({"u": pa.array([-1], pa.int64())}))
     with pytest.raises(Exception, match="non-negative"):
         hll_registers(ds, col="u").materialize()
+
+
+def test_deterministic_sample_parallelism_invariant(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.sketch import deterministic_sample
+    ids = pa.table({"i": pa.array(np.arange(20000, dtype=np.int64))})
+    a = (deterministic_sample(ray.data.from_arrow(ids), col="i",
+                              keep_ppm=100_000).to_pandas()["i"].tolist())
+    b = (deterministic_sample(ray.data.from_arrow(ids).repartition(13),
+                              col="i", keep_ppm=100_000)
+         .to_pandas()["i"].tolist())
+    assert sorted(a) == sorted(b)
+    assert abs(len(a) / 20000 - 0.10) < 0.01
+
+
+def test_fixed_width_histogram_vs_numpy(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.sketch import fixed_width_histogram
+    rng = np.random.default_rng(31)
+    v = rng.normal(50, 40, 30000)
+    got = (fixed_width_histogram(
+        ray.data.from_arrow(pa.table({"v": pa.array(v)})).repartition(7),
+        col="v", width=10.0).to_pandas().sort_values("bin"))
+    bins, counts = np.unique(np.floor(v / 10.0).astype(np.int64),
+                             return_counts=True)
+    assert got["bin"].tolist() == bins.tolist()
+    assert got["n_rows"].tolist() == counts.tolist()
