@@ -162,6 +162,17 @@ def _knn_sites(sf_dir: str):
     return knn_join(ds, sites(), k=3, keep_cols=("page_id",))
 
 
+def _radius_join(sf_dir: str):
+    """Within-100km great-circle join pages x sites: broadcast small side,
+    one vectorized haversine-term block per batch, map-side emit (no
+    shuffle at any corpus size)."""
+    from shapefile_rs_ray.functions.synth import sites
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.radius import radius_join
+    ds = read_webpages(sf_dir, with_html=False)
+    return radius_join(ds, sites())
+
+
 def _knn_cellpart(sf_dir: str):
     """kNN as a groupby-by-cell shuffle (J3 scale path); output identical
     to the broadcast knn_sites."""
@@ -1432,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_cellpart": _zonal_cellpart,
         "knn_sites": _knn_sites,
         "knn_cellpart": _knn_cellpart,
+        "radius_join": _radius_join,
         "embed_neardup": _embed_neardup,
         "exact_dedup": _exact_dedup,
         "token_stats": _token_stats,
@@ -1600,6 +1612,7 @@ SELECT page_id, rank, site_id, dist2 FROM (
   FROM pages p CROSS JOIN s)
 WHERE rank <= 3""",
         "knn_cellpart": None,  # filled below (same SQL as knn_sites)
+        "radius_join": None,   # filled below (needs the radius module)
         "embed_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1918,6 +1931,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
             "regexp_extract(url, 'https://([^/]+)/', 1) NOT IN ("
             + ", ".join(f"'h{i}.example'" for i in range(10)) + ")"),
     }
+    from shapefile_rs_ray.stages.radius import radius_join_sql
+    out["radius_join"] = radius_join_sql(pages, synth.sites_sql())
     out["knn_cellpart"] = out["knn_sites"]
     out["zonal_cellpart"] = out["zonal_stats"]
     out = {k: v for k, v in out.items() if v is not None}

@@ -1,0 +1,64 @@
+"""Round-3 continuation operators: radius join, polygon measures,
+bigram counts, dedup clusters, stratified sample."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_radius_join_vs_bruteforce(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.radius import DEG2RAD, radius_join
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    pid = np.arange(n, dtype=np.int64)
+    plon = rng.uniform(-120, -60, n)
+    plat = rng.uniform(20, 60, n)
+    sid = np.arange(9, dtype=np.int64)
+    slon = rng.uniform(-120, -60, 9)
+    slat = rng.uniform(20, 60, 9)
+    thr = 2.5e-4
+
+    pages = ray.data.from_arrow(pa.table(
+        {"page_id": pid, "lon": plon, "lat": plat})).repartition(5)
+    got = (radius_join(pages, (sid, slon, slat), hav_max=thr)
+           .to_pandas().sort_values(["page_id", "site_id"])
+           .reset_index(drop=True))
+
+    sa = np.sin((slat[None, :] * DEG2RAD - plat[:, None] * DEG2RAD) * 0.5)
+    sb = np.sin((slon[None, :] * DEG2RAD - plon[:, None] * DEG2RAD) * 0.5)
+    hav = sa * sa + (np.cos(plat * DEG2RAD)[:, None]
+                     * np.cos(slat * DEG2RAD)[None, :]) * (sb * sb)
+    r, c = np.nonzero(hav <= thr)
+    assert got["page_id"].tolist() == pid[r].tolist()
+    assert got["site_id"].tolist() == sid[c].tolist()
+    np.testing.assert_array_equal(got["hav"].to_numpy(), hav[r, c])
+    assert len(got) > 100  # the threshold actually selects something
+
+
+def test_radius_join_monotone_threshold(ray_session):
+    """hav thresholding == distance thresholding: every kept pair's true
+    arc distance is below the radius, every dropped pair's above."""
+    import ray
+    from shapefile_rs_ray.stages.radius import DEG2RAD, HAV_100KM, radius_join
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    pid = np.arange(n, dtype=np.int64)
+    plon = rng.uniform(-91, -89, n)
+    plat = rng.uniform(44, 46, n)
+    pages = ray.data.from_arrow(pa.table(
+        {"page_id": pid, "lon": plon, "lat": plat}))
+    got = radius_join(pages, (np.array([0]), np.array([-90.0]),
+                              np.array([45.0])), hav_max=HAV_100KM).to_pandas()
+    kept = set(got["page_id"].tolist())
+    sa = np.sin((45.0 - plat) * DEG2RAD * 0.5)
+    sb = np.sin((-90.0 - plon) * DEG2RAD * 0.5)
+    hav = sa * sa + np.cos(plat * DEG2RAD) * np.cos(45.0 * DEG2RAD) * sb * sb
+    dist_km = 2 * 6371.0 * np.arcsin(np.sqrt(hav))
+    for i in range(n):
+        if i in kept:
+            assert dist_km[i] <= 100.0 + 1e-6
+        else:
+            assert dist_km[i] >= 100.0 - 1e-6
