@@ -1429,6 +1429,18 @@ def _decode_lakes(sf_dir: str):
     return ds.map_batches(geometry_summary, batch_format="pyarrow")
 
 
+def _lake_measures(sf_dir: str):
+    """Per-record geometry measures (fixed-point shoelace area, perimeter,
+    centroid numerators) over the DISTRIBUTED shapefile decode; the oracle
+    recomputes all of it in SQL from the single-node vertex golden."""
+    from shapefile_rs_ray.pipelines.oracles import ensure_lakes_vertices
+    from shapefile_rs_ray.sources.shapefile import read_shapefile_dataset
+    from shapefile_rs_ray.stages.measures import polygon_measures
+    ensure_lakes_vertices()
+    ds = read_shapefile_dataset(LAKES, records_per_task=300)
+    return ds.map_batches(polygon_measures, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "webpages": _webpages,
@@ -1472,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
         "decode_lakes": _decode_lakes,
+        "lake_measures": _lake_measures,
         "html_extract": _html_extract,
         "image_meta": _image_meta,
         "audio_frames": _audio_frames,
@@ -1933,6 +1946,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     }
     from shapefile_rs_ray.stages.radius import radius_join_sql
     out["radius_join"] = radius_join_sql(pages, synth.sites_sql())
+    from shapefile_rs_ray.stages.measures import polygon_measures_sql
+    out["lake_measures"] = polygon_measures_sql(oracles.LAKES_VERTICES_PQ)
     out["knn_cellpart"] = out["knn_sites"]
     out["zonal_cellpart"] = out["zonal_stats"]
     out = {k: v for k, v in out.items() if v is not None}

@@ -86,6 +86,52 @@ def ensure_artifacts() -> None:
         os.replace(tmp, path)
 
 
+LAKES_VERTICES_PQ = os.path.join(ORACLE_DIR, "lakes_vertices.parquet")
+
+
+def ensure_lakes_vertices() -> None:
+    """Idempotently write the lake_measures oracle golden: every vertex of
+    the SINGLE-NODE whole-file decode as (geom_id, part_idx, vtx_idx, x, y)
+    — the decoder is byte-golden-tested in pytest, so the driver's hash
+    compare of the quantized measures covers the distributed decode +
+    measure path against an independent single-node expansion."""
+    if os.path.exists(LAKES_VERTICES_PQ):
+        return
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    import pyarrow.compute as pc
+
+    from ..sources.shapefile import read_shapefile_table
+    t = read_shapefile_table(LAKES, with_attrs=False)
+    xy = t["xy"].combine_chunks()
+    n_parts = np.asarray(pc.fill_null(pc.list_value_length(xy), 0), np.int64)
+    parts = pc.list_flatten(xy)
+    lens_pts = np.asarray(pc.list_value_length(parts), np.int64)
+    flat = np.asarray(pc.list_flatten(pc.list_flatten(parts)), np.float64)
+    geom_ids = np.asarray(t["geom_id"], np.int64)
+    part_geom = np.repeat(geom_ids, n_parts)
+    part_off = np.zeros(len(n_parts) + 1, np.int64)
+    np.cumsum(n_parts, out=part_off[1:])
+    # part_idx within geometry, vtx_idx within part (both dense from 0)
+    part_idx_flat = (np.arange(len(lens_pts), dtype=np.int64)
+                     - np.repeat(part_off[:-1], n_parts))
+    pt_geom = np.repeat(part_geom, lens_pts)
+    pt_part = np.repeat(part_idx_flat, lens_pts)
+    pt_cum = np.zeros(len(lens_pts) + 1, np.int64)
+    np.cumsum(lens_pts, out=pt_cum[1:])
+    vtx_idx = (np.arange(len(pt_geom), dtype=np.int64)
+               - np.repeat(pt_cum[:-1], lens_pts))
+    tbl = pa.table({
+        "geom_id": pa.array(pt_geom, pa.int64()),
+        "part_idx": pa.array(pt_part, pa.int64()),
+        "vtx_idx": pa.array(vtx_idx, pa.int64()),
+        "x": pa.array(flat[0::2], pa.float64()),
+        "y": pa.array(flat[1::2], pa.float64()),
+    })
+    tmp = LAKES_VERTICES_PQ + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, LAKES_VERTICES_PQ)
+
+
 def ensure_h3_golden(n_pages: int) -> None:
     """Idempotently write the H3 oracle golden: (page_id, h3_r4..h3_r9 hex)
     for every page id < n_pages, computed by the SCALAR encoder

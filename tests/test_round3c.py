@@ -62,3 +62,63 @@ def test_radius_join_monotone_threshold(ray_session):
             assert dist_km[i] <= 100.0 + 1e-6
         else:
             assert dist_km[i] >= 100.0 - 1e-6
+
+
+def _xy_table(geoms):
+    """geoms: list of list-of-rings; ring = list of (x, y)."""
+    import pyarrow as pa
+    xy_type = pa.list_(pa.list_(pa.list_(pa.float64(), 2)))
+    return pa.table({
+        "geom_id": pa.array(range(len(geoms)), pa.int64()),
+        "xy": pa.array([[list(map(list, ring)) for ring in g]
+                        for g in geoms], xy_type),
+    })
+
+
+def test_polygon_measures_vs_scalar():
+    from shapefile_rs_ray.stages.measures import polygon_measures
+
+    rng = np.random.default_rng(3)
+    geoms = []
+    for _ in range(40):
+        rings = []
+        for _ in range(int(rng.integers(1, 4))):
+            k = int(rng.integers(3, 9))
+            pts = rng.uniform(-100, 100, (k, 2))
+            pts = np.vstack([pts, pts[0]])          # close the ring
+            rings.append([tuple(p) for p in pts])
+        geoms.append(rings)
+    geoms.append([])                                # empty shape
+    got = polygon_measures(_xy_table(geoms)).to_pandas()
+
+    for i, rings in enumerate(geoms):
+        a2 = p = sx = sy = npts = 0
+        for ring in rings:
+            pts = np.array(ring)
+            xs, ys = pts[:, 0], pts[:, 1]
+            for j in range(len(pts) - 1):
+                a2 += int(np.floor((xs[j] * ys[j + 1]
+                                    - xs[j + 1] * ys[j]) * 1048576.0))
+                seg = np.sqrt((xs[j + 1] - xs[j]) * (xs[j + 1] - xs[j])
+                              + (ys[j + 1] - ys[j]) * (ys[j + 1] - ys[j]))
+                p += int(np.floor(seg * 1048576.0))
+            sx += int(np.floor(xs * 1048576.0).astype(np.int64).sum())
+            sy += int(np.floor(ys * 1048576.0).astype(np.int64).sum())
+            npts += len(pts)
+        row = got.iloc[i]
+        assert row["n_parts"] == len(rings)
+        assert row["n_points"] == npts
+        assert row["area2_q"] == a2, i
+        assert row["perim_q"] == p, i
+        assert row["sum_xq"] == sx and row["sum_yq"] == sy
+
+
+def test_polygon_measures_signed_area_semantics():
+    """A closed CW unit square (shapefile outer-ring winding) has
+    area2_q ~ -2 * 2^20; its CCW reverse flips the sign (holes subtract)."""
+    from shapefile_rs_ray.stages.measures import polygon_measures
+    sq = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)]
+    got = polygon_measures(
+        _xy_table([[sq], [sq[::-1]], [sq, sq[::-1]]])).to_pandas()
+    assert got["area2_q"].tolist() == [-2097152, 2097152, 0]
+    assert got["perim_q"].tolist() == [4194304, 4194304, 8388608]
