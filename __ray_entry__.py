@@ -286,6 +286,22 @@ def _lag_lead(sf_dir: str):
     return lag_lead_delta(ev)
 
 
+def _bigram_counts(sf_dir: str):
+    """Global top-100 word bigrams: per-batch vocabulary-sized partials,
+    ONE coarse crc32-mod-251 shuffle, per-partition exact reduce + local
+    top-k, bounded final merge (never a per-distinct-gram groupby)."""
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.ngrams import ngram_topk
+    return ngram_topk(read_documents(sf_dir, columns=["text"]), n=2, k=100)
+
+
+def _trigram_counts(sf_dir: str):
+    """Same plan at n=3 (the kernel is n-generic shifted takes)."""
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.ngrams import ngram_topk
+    return ngram_topk(read_documents(sf_dir, columns=["text"]), n=3, k=100)
+
+
 def _value_quantiles(sf_dir: str):
     """Exact global p50/p90/p99 of events.value (DOUBLE, unbounded
     cardinality) via 3-pass distributed selection — deterministic
@@ -1461,6 +1477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _token_stats,
         "token_quantiles": _token_quantiles,
         "tfidf_terms": _tfidf_terms,
+        "bigram_counts": _bigram_counts,
+        "trigram_counts": _trigram_counts,
         "value_quantiles": _value_quantiles,
         "text_fidelity": _text_fidelity,
         "langid": _langid,
@@ -1948,6 +1966,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     out["radius_join"] = radius_join_sql(pages, synth.sites_sql())
     from shapefile_rs_ray.stages.measures import polygon_measures_sql
     out["lake_measures"] = polygon_measures_sql(oracles.LAKES_VERTICES_PQ)
+    from shapefile_rs_ray.stages.ngrams import ngram_topk_sql
+    out["bigram_counts"] = ngram_topk_sql("documents", n=2, k=100)
+    out["trigram_counts"] = ngram_topk_sql("documents", n=3, k=100)
     out["knn_cellpart"] = out["knn_sites"]
     out["zonal_cellpart"] = out["zonal_stats"]
     out = {k: v for k, v in out.items() if v is not None}

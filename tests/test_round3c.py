@@ -122,3 +122,44 @@ def test_polygon_measures_signed_area_semantics():
         _xy_table([[sq], [sq[::-1]], [sq, sq[::-1]]])).to_pandas()
     assert got["area2_q"].tolist() == [-2097152, 2097152, 0]
     assert got["perim_q"].tolist() == [4194304, 4194304, 8388608]
+
+
+def test_ngram_topk_vs_python(ray_session):
+    import collections
+    import re
+
+    import ray
+    from shapefile_rs_ray.stages.ngrams import ngram_topk
+
+    rng = np.random.default_rng(5)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = []
+    for _ in range(300):
+        k = int(rng.integers(0, 12))
+        words = rng.choice(vocab, k).tolist()
+        # punctuation, case, leading/trailing junk
+        texts.append("  " + " , ".join(w.upper() if rng.random() < 0.3
+                                       else w for w in words) + "!! ")
+    texts += ["", "!!!", "solo"]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})).repartition(7)
+
+    for n in (2, 3):
+        got = ngram_topk(ds, n=n, k=10).to_pandas()
+        ref = collections.Counter()
+        for t in texts:
+            toks = re.findall(r"[a-z0-9]+", t.lower())
+            for i in range(len(toks) - n + 1):
+                ref[" ".join(toks[i:i + n])] += 1
+        exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(zip(got["gram"], got["cnt"])) == exp, n
+
+
+def test_ngram_topk_partition_invariant(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.ngrams import ngram_topk
+    texts = [f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7}" for i in range(500)]
+    t = pa.table({"text": pa.array(texts)})
+    a = ngram_topk(ray.data.from_arrow(t), n=2, k=5).to_pandas()
+    b = ngram_topk(ray.data.from_arrow(t).repartition(11),
+                   n=2, k=5).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
