@@ -695,6 +695,26 @@ def _minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(read_webpages(sf_dir, with_html=False))
 
 
+def _dup_clusters(sf_dir: str):
+    """Near-dup pairs -> dedup CLUSTERS: distributed min-label connected
+    components over the MinHash pair graph (cluster_id = component min
+    page_id). Every page is in a clone pair at repl >= 2, so the node set
+    here is the full page set; at repl=1 singleton-text pages would not
+    appear (components are defined over pair participants)."""
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.dedup import minhash_lsh_pairs
+    from shapefile_rs_ray.stages.graph import min_label_components
+
+    pairs = minhash_lsh_pairs(read_webpages(sf_dir, with_html=False))
+    cc = min_label_components(pairs)
+
+    def rename(batch):
+        import pyarrow as _pa
+        return _pa.table({"page_id": batch["node"],
+                          "cluster_id": batch["cluster_id"]})
+    return cc.map_batches(rename, batch_format="pyarrow")
+
+
 def _simhash_pairs(sf_dir: str):
     from shapefile_rs_ray.sources.webpages import read_webpages
     from shapefile_rs_ray.stages.dedup import simhash_pairs
@@ -711,6 +731,8 @@ def _fingerprints(sf_dir: str):
 
 
 SAMPLE_PPM = 50_000       # 5% Bernoulli sample
+STRATA_PPM = {"en": 20000}
+STRATA_DEFAULT_PPM = 200000
 
 
 def _sample_pages(sf_dir: str):
@@ -721,6 +743,19 @@ def _sample_pages(sf_dir: str):
     pages = (read_webpages(sf_dir, with_html=False)
              .select_columns(["page_id", "lang"]))
     return deterministic_sample(pages, col="page_id", keep_ppm=SAMPLE_PPM)
+
+
+def _stratified_sample(sf_dir: str):
+    """Language-rebalancing sample: downsample dominant 'en' to 2%, keep
+    the tail languages at 20% — per-stratum splitmix thresholds, pure
+    map-side, parallelism-invariant."""
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.sketch import stratified_sample
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id", "lang"]))
+    return stratified_sample(pages, id_col="page_id", stratum_col="lang",
+                             ppm_by_stratum=STRATA_PPM,
+                             default_ppm=STRATA_DEFAULT_PPM)
 
 
 def _value_histogram(sf_dir: str):
@@ -1492,10 +1527,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_cells": _hex_cells,
         "quality_corpus": _quality_corpus,
         "minhash_pairs": _minhash_pairs,
+        "dup_clusters": _dup_clusters,
         "jaccard_pairs": _jaccard_pairs,
         "simhash_pairs": _simhash_pairs,
         "hll_users": _hll_users,
         "sample_pages": _sample_pages,
+        "stratified_sample": _stratified_sample,
         "value_histogram": _value_histogram,
         "fingerprints": _fingerprints,
         "ann_top1": _ann_top1,
@@ -1618,6 +1655,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "hll_users": oracles.hll_users_sql(),
         "sample_pages": oracles.sample_pages_sql(SAMPLE_PPM),
+        "stratified_sample": oracles.stratified_sample_sql(
+            STRATA_PPM, STRATA_DEFAULT_PPM),
         "value_histogram": """
 SELECT CAST(floor(value / CAST('10.0' AS DOUBLE)) AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -1682,6 +1721,37 @@ clone_pairs AS (SELECT a.page_id AS id_a, b.page_id AS id_b
                   ON a.text = b.text AND a.page_id < b.page_id)
 SELECT DISTINCT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
 FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM clone_pairs)""",
+        # cluster restatement of the same graph: pages of one text form a
+        # clone clique through gid = MIN(page_id) per text, so page-level
+        # components == text-group components expanded, and the component
+        # min page id == the min gid — a recursive min-label closure over
+        # the TINY gid graph, then a join back onto pages
+        "dup_clusters": f"""
+WITH RECURSIVE {pages},
+g AS (SELECT text, MIN(page_id) AS gid FROM pages GROUP BY text),
+w AS (SELECT gid, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM g),
+sh AS (SELECT gid, text,
+       CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+                 range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+            WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+            ELSE [''] END AS s
+       FROM w),
+fam AS (SELECT a.gid AS ga, b.gid AS gb
+        FROM sh a JOIN sh b ON a.gid < b.gid
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= CAST('0.8' AS DOUBLE)),
+e AS (SELECT ga AS a, gb AS b FROM fam
+      UNION ALL SELECT gb AS a, ga AS b FROM fam),
+reach(gid, lbl) AS (
+  SELECT gid, gid FROM g
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.gid),
+cl AS (SELECT gid, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+SELECT p.page_id, CAST(cl.cluster_id AS BIGINT) AS cluster_id
+FROM pages p JOIN g ON g.text = p.text JOIN cl USING (gid)""",
         # brute-force all-pairs exact word-3-shingle Jaccard over distinct
         # texts (the engine's lossless prefix filter must find exactly
         # these pairs); jac is an int/int DOUBLE division on both sides

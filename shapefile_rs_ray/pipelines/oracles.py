@@ -748,6 +748,19 @@ WHERE {_splitmix_sql("page_id")} % 1000000 < {keep_ppm}
 """
 
 
+def stratified_sample_sql(ppm_by_stratum: dict, default_ppm: int) -> str:
+    """stratified_sample oracle: identical splitmix predicate, with the
+    per-language threshold as a CASE on the stratum column."""
+    arms = " ".join(f"WHEN '{s}' THEN {p}"
+                    for s, p in sorted(ppm_by_stratum.items()))
+    return f"""
+WITH {PAGES_CTE}
+SELECT page_id, lang FROM pages
+WHERE {_splitmix_sql("page_id")} % 1000000
+      < CASE lang {arms} ELSE {default_ppm} END
+"""
+
+
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
     """Full oracle for simhash_pairs: recompute the 64-bit SimHash of every
     distinct text IN SQL — crc32 per word occurrence via a lambda fold over

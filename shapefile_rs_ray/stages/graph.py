@@ -1,0 +1,198 @@
+"""Distributed connected components over a pair graph — the dedup-cluster
+operator: near-dup PAIRS (minhash/simhash/embedding) become CLUSTER
+assignments (every member -> the component's minimum id), which is what a
+curation pipeline actually consumes ("keep one representative per
+cluster", "drop clusters bigger than N").
+
+Algorithm: min-label EDGE CONTRACTION (the MapReduce-CC family of
+Kiveris/Rastogi et al., re-expressed over the engine's own primitives).
+State per round is (a) a label table node->lbl and (b) a directed edge
+list over CURRENT labels. Each round:
+
+  1. relabel both edge endpoints through the label table (two
+     shuffle_joins) and drop self-loops + per-block duplicates — the
+     edge list CONTRACTS geometrically (measured: random 200-node
+     graphs + 60-chains converge in <= 6 rounds; plain min-label
+     relaxation needed 15);
+  2. every directed edge offers its src label to its dst; each node
+     keeps the min of its own label and all offers (one coarse
+     prime-modulus partition + vectorized local min — never a
+     per-distinct-node groupby);
+  3. one pointer-jump lbl <- lbl[lbl] (a label IS a node of the same
+     component, so the self-join always hits) keeps non-label nodes
+     chasing their representative.
+
+Fixpoint detection: the int64 label-sum strictly decreases every
+non-final round (labels only ever decrease, toward the component min),
+so `sum(lbl)` unchanged == converged — an exact integer criterion, no
+float drift. The exact semantics of this loop (including the
+sum-criterion and the relabel-before-update sequencing) are validated
+against union-find on 300 random graphs in tests.
+
+Scale note: the state is one row per node APPEARING IN A PAIR — the
+dup-graph node set, orders of magnitude smaller than the corpus — plus
+the contracting edge list; each round is a constant number of coarse
+exchanges, independent of corpus size. Loop datasets re-materialize
+with a constant block count each round (an uncapped groupby chain
+multiplies blocks geometrically — measured 45 -> 576 in two rounds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+CC_PARTS = 251
+
+
+def _distinct_nodes(pairs, a_col: str, b_col: str, parts: int):
+    """Dataset(node) of every id in either pair column (exact distinct via
+    per-batch collapse + one coarse shuffle)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        node = np.unique(np.concatenate([
+            np.asarray(batch[a_col], np.int64),
+            np.asarray(batch[b_col], np.int64)]))
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "__p": pa.array(node % parts, pa.int64())})
+
+    def reduce_(part: pa.Table) -> pa.Table:
+        node = np.unique(np.asarray(part["node"], np.int64))
+        return pa.table({"node": pa.array(node, pa.int64())})
+
+    return (pairs.map_batches(partial, batch_format="pyarrow")
+            .groupby("__p").map_groups(reduce_, batch_format="pyarrow"))
+
+
+def _min_per_node(cand, parts: int):
+    """(node, cand) -> (node, lbl=min cand): coarse node-hash partitions,
+    vectorized local min (np.minimum.at over the uniqued node index)."""
+    def keyed(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch["node"], np.int64)
+        return batch.append_column("__p", pa.array(node % parts, pa.int64()))
+
+    def reduce_(part: pa.Table) -> pa.Table:
+        node = np.asarray(part["node"], np.int64)
+        c = np.asarray(part["cand"], np.int64)
+        uniq, inv = np.unique(node, return_inverse=True)
+        m = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(m, inv, c)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "lbl": pa.array(m, pa.int64())})
+
+    return (cand.map_batches(keyed, batch_format="pyarrow")
+            .groupby("__p").map_groups(reduce_, batch_format="pyarrow"))
+
+
+def min_label_components(pairs, *, a_col: str = "id_a", b_col: str = "id_b",
+                         parts: int = CC_PARTS, max_rounds: int = 24):
+    """Dataset(node, cluster_id): connected components of the undirected
+    pair graph; cluster_id = the component's minimum node id (order-free,
+    so the result is deterministic at any parallelism). Node ids must be
+    non-negative int64. max_rounds bounds the contraction (it shrinks the
+    graph geometrically, so 24 covers any realistic diameter); overrun
+    fails LOUDLY rather than returning a half-propagated labeling."""
+    import ray
+    from .relational import shuffle_join
+
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def as_directed(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch[a_col], np.int64)
+        b = np.asarray(batch[b_col], np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    edges = (pairs.map_batches(as_directed, batch_format="pyarrow")
+             .repartition(n_blocks).materialize())
+
+    def as_label(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch["node"], np.int64)
+        if len(node) and node.min() < 0:
+            raise ValueError("min_label_components: node ids must be >= 0")
+        return pa.table({"node": batch["node"],
+                         "lbl": pa.array(node, pa.int64())})
+
+    labels = (_distinct_nodes(pairs, a_col, b_col, parts)
+              .map_batches(as_label, batch_format="pyarrow")
+              .repartition(n_blocks).materialize())
+    prev_sum = labels.sum("lbl") or 0
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"],
+                         "cluster_id": batch["lbl"]})
+
+    if labels.count() == 0:  # empty pair set: empty, correctly-typed result
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+
+    def lbl_as_src(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["node"], "lbl": batch["lbl"]})
+
+    def lbl_as_dst(batch: pa.Table) -> pa.Table:
+        return pa.table({"dst": batch["node"], "lbl": batch["lbl"]})
+
+    def take_src_lbl(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["lbl"], "dst": batch["dst"]})
+
+    def clean_edges(batch: pa.Table) -> pa.Table:
+        # (src=old src lbl kept in "src", dst relabel in "lbl") -> drop
+        # self-loops, dedup within the block (correctness needs neither
+        # global dedup nor completeness here — only shrinkage)
+        src = np.asarray(batch["src"], np.int64)
+        dst = np.asarray(batch["lbl"], np.int64)
+        keep = src != dst
+        e = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+        return pa.table({"src": pa.array(e[:, 0], pa.int64()),
+                         "dst": pa.array(e[:, 1], pa.int64())})
+
+    def offer(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["dst"], "cand": batch["src"]})
+
+    def self_offer(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "cand": batch["lbl"]})
+
+    def as_ptr(batch: pa.Table) -> pa.Table:
+        return pa.table({"lbl": batch["node"], "lbl2": batch["lbl"]})
+
+    def take_jump(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "lbl": batch["lbl2"]})
+
+    for _ in range(max_rounds):
+        if edges.count() > 0:
+            # 1. contract: relabel src, then dst, through current labels
+            e1 = shuffle_join(
+                edges,
+                labels.map_batches(lbl_as_src, batch_format="pyarrow"),
+                key="src", right_cols=("lbl",), parts=parts
+            ).map_batches(take_src_lbl, batch_format="pyarrow")
+            edges = (shuffle_join(
+                e1, labels.map_batches(lbl_as_dst, batch_format="pyarrow"),
+                key="dst", right_cols=("lbl",), parts=parts)
+                .map_batches(clean_edges, batch_format="pyarrow")
+                .repartition(n_blocks).materialize())
+
+        # 2. offers along contracted edges + keep-own, min per node
+        # (an empty-after-contraction edge set leaves jump-only rounds,
+        # which still have to run until the label-sum fixpoint)
+        cand = labels.map_batches(self_offer, batch_format="pyarrow")
+        if edges.count() > 0:
+            cand = cand.union(
+                edges.map_batches(offer, batch_format="pyarrow"))
+        labels = _min_per_node(cand, parts).materialize()  # used twice below
+
+        # 3. pointer jump lbl <- lbl[lbl]
+        jumped = shuffle_join(
+            labels, labels.map_batches(as_ptr, batch_format="pyarrow"),
+            key="lbl", right_cols=("lbl2",), parts=parts)
+        labels = (jumped.map_batches(take_jump, batch_format="pyarrow")
+                  .repartition(n_blocks).materialize())
+
+        cur_sum = labels.sum("lbl") or 0
+        if cur_sum == prev_sum:
+            return labels.map_batches(final, batch_format="pyarrow")
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"min_label_components: no fixpoint after {max_rounds} rounds "
+        "(pathological contraction — raise max_rounds)")

@@ -100,6 +100,32 @@ def deterministic_sample(ds, *, col: str, keep_ppm: int):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(ds, *, id_col: str, stratum_col: str,
+                      ppm_by_stratum: dict, default_ppm: int):
+    """Per-stratum deterministic Bernoulli sample — the language/domain
+    REBALANCING primitive of a training-data pipeline (downsample the
+    dominant stratum, keep the tails): keep rows where
+    splitmix64(id) % 1e6 < ppm(stratum). Same contract as
+    deterministic_sample — pure map-side filter, no shuffle, no RNG
+    state, identical rows at any parallelism — with the threshold a
+    vectorized per-row function of the stratum column."""
+    items = sorted(ppm_by_stratum.items())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[id_col], np.int64)
+        if len(x) and x.min() < 0:
+            raise ValueError(f"{id_col} must be non-negative for the "
+                             "SQL-parity splitmix input")
+        strat = np.asarray(batch[stratum_col], dtype=object)
+        thr = np.full(len(x), default_ppm, np.uint64)
+        for s, ppm in items:
+            thr[strat == s] = np.uint64(ppm)
+        h = splitmix64(x.astype(np.uint64))
+        return batch.filter(pa.array(h % np.uint64(1_000_000) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def fixed_width_histogram(ds, *, col: str, width: float):
     """COUNT per floor(col / width) bin — the one-pass distributed
     histogram: every batch collapses to its occupied bins (np.unique),

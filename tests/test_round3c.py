@@ -163,3 +163,122 @@ def test_ngram_topk_partition_invariant(ray_session):
     b = ngram_topk(ray.data.from_arrow(t).repartition(11),
                    n=2, k=5).to_pandas()
     assert a.values.tolist() == b.values.tolist()
+
+
+def _uf_components(pairs, nodes):
+    root = {n: n for n in nodes}
+
+    def find(x):
+        while root[x] != x:
+            root[x] = root[root[x]]
+            x = root[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            root[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def test_min_label_components_vs_union_find(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.graph import min_label_components
+
+    rng = np.random.default_rng(17)
+    nodes = rng.choice(100000, 200, replace=False).astype(np.int64)
+    pairs = []
+    # random clusters + one long chain (forces multiple propagation rounds)
+    for _ in range(150):
+        a, b = rng.choice(nodes, 2, replace=False)
+        pairs.append((min(a, b), max(a, b)))
+    # short chain still forces >1 propagation round and exercises the
+    # pointer-jump path (plain relaxation would need len-1 rounds)
+    chain = sorted(rng.choice(nodes, 8, replace=False).tolist(),
+                   reverse=True)
+    pairs += [(min(x, y), max(x, y)) for x, y in zip(chain, chain[1:])]
+    t = pa.table({"id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "id_b": pa.array([p[1] for p in pairs], pa.int64())})
+    got = (min_label_components(ray.data.from_arrow(t).repartition(9), parts=13)
+           .to_pandas().set_index("node")["cluster_id"].to_dict())
+    in_pairs = sorted({x for p in pairs for x in p})
+    exp = _uf_components(pairs, in_pairs)
+    assert got == exp
+
+
+def test_min_label_components_rejects_negative(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.graph import min_label_components
+    t = pa.table({"id_a": pa.array([-5], pa.int64()),
+                  "id_b": pa.array([3], pa.int64())})
+    with pytest.raises(Exception, match="non-negative|>= 0"):
+        min_label_components(ray.data.from_arrow(t)).materialize()
+
+
+def test_stratified_sample_rates_and_invariance(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.sketch import stratified_sample
+    n = 40000
+    ids = np.arange(n, dtype=np.int64)
+    lang = np.where(ids % 4 == 0, "en", "de").astype(object)
+    t = pa.table({"page_id": pa.array(ids), "lang": pa.array(lang)})
+    kw = dict(id_col="page_id", stratum_col="lang",
+              ppm_by_stratum={"en": 20000}, default_ppm=200000)
+    a = stratified_sample(ray.data.from_arrow(t), **kw).to_pandas()
+    b = stratified_sample(ray.data.from_arrow(t).repartition(17),
+                          **kw).to_pandas()
+    assert sorted(a["page_id"]) == sorted(b["page_id"])
+    en = a[a["lang"] == "en"]
+    de = a[a["lang"] == "de"]
+    assert abs(len(en) / (n / 4) - 0.02) < 0.005
+    assert abs(len(de) / (3 * n / 4) - 0.20) < 0.01
+
+
+def test_contraction_semantics_vs_union_find_simulation():
+    """Pure-python simulation of min_label_components' EXACT round
+    semantics (relabel-then-offer sequencing, min offers, single jump,
+    label-sum fixpoint) vs union-find over 120 random graphs + chains —
+    validates the algorithm itself; the Ray test above validates the
+    distributed execution of one instance."""
+    rng = np.random.default_rng(1)
+    for trial in range(120):
+        nn = int(rng.integers(5, 200))
+        ne = int(rng.integers(1, 350))
+        nodes = rng.choice(100000, nn, replace=False).tolist()
+        pairs = []
+        for _ in range(ne):
+            a, b = rng.choice(nodes, 2, replace=False)
+            pairs.append((min(a, b), max(a, b)))
+        if trial % 3 == 0:
+            ch = rng.choice(nodes, min(nn, 60), replace=False).tolist()
+            pairs += [(min(x, y), max(x, y)) for x, y in zip(ch, ch[1:])]
+        nset = sorted({x for p in pairs for x in p})
+        exp = _uf_components(pairs, nset)
+
+        lbl = {n: n for n in nset}
+        D = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        prev = sum(lbl.values())
+        for _ in range(24):
+            D = [(lbl[a], lbl[b]) for a, b in D]
+            D = [e for e in set(D) if e[0] != e[1]]
+            offers = {}
+            for a, b in D:
+                offers[b] = min(offers.get(b, b), a)
+            new = {n: min(l, offers.get(n, l)) for n, l in lbl.items()}
+            new = {n: new[new[n]] for n in new}
+            s = sum(new.values())
+            lbl = new
+            if s == prev:
+                break
+            prev = s
+        else:
+            raise AssertionError(f"no fixpoint, trial {trial}")
+        assert lbl == exp, trial
