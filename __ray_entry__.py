@@ -735,6 +735,40 @@ STRATA_PPM = {"en": 20000}
 STRATA_DEFAULT_PPM = 200000
 
 
+def _window_distinct(sf_dir: str):
+    """Exact distinct users per tumbling hour: two-phase distinct (batch
+    np.unique partial -> one coarse pair shuffle -> bounded window
+    groupby); integer counts so bit-exact vs SQL COUNT(DISTINCT)."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.windows import window_distinct_users
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return window_distinct_users(ev)
+
+
+def _hll_window_users(sf_dir: str):
+    """GROUPED HyperLogLog: one 64-register sketch per tumbling hour —
+    the mergeable-sketch-per-key shape; register table bit-exact vs the
+    grouped SQL restatement."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.sketch import hll_registers_by
+
+    def add_window(batch):
+        import numpy as _np
+        import pyarrow as _pa
+        ts = _np.asarray(batch["ts"].cast(_pa.int64()))
+        return _pa.table({"window": _pa.array(ts // 3_600_000_000,
+                                              _pa.int64()),
+                          "user_id": batch["user_id"]})
+
+    ev = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                columns=["user_id", "ts"])
+          .map_batches(add_window, batch_format="pyarrow"))
+    return hll_registers_by(ev, key_col="window", col="user_id")
+
+
 def _sample_pages(sf_dir: str):
     """Reproducible hash-Bernoulli 5% sample of pages: map-side splitmix
     predicate, no shuffle, identical rows at any parallelism."""
@@ -1531,6 +1565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _jaccard_pairs,
         "simhash_pairs": _simhash_pairs,
         "hll_users": _hll_users,
+        "hll_window_users": _hll_window_users,
+        "window_distinct": _window_distinct,
         "sample_pages": _sample_pages,
         "stratified_sample": _stratified_sample,
         "value_histogram": _value_histogram,
@@ -1654,6 +1690,8 @@ def oracle_sql() -> dict[str, str]:
         "vectorize_regions": oracles.vectorize_regions_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "hll_users": oracles.hll_users_sql(),
+        "hll_window_users": oracles.hll_window_users_sql(),
+        "window_distinct": oracles.window_distinct_sql(),
         "sample_pages": oracles.sample_pages_sql(SAMPLE_PPM),
         "stratified_sample": oracles.stratified_sample_sql(
             STRATA_PPM, STRATA_DEFAULT_PPM),

@@ -738,6 +738,36 @@ FROM r GROUP BY register
 """
 
 
+def hll_window_users_sql() -> str:
+    """hll_window_users oracle: the grouped register table — identical
+    splitmix/rank arithmetic, grouped by the tumbling window index."""
+    H = "CAST('{}' AS HUGEINT)".format
+    hv = _splitmix_sql("user_id")
+    rank = "CASE " + " ".join(
+        f"WHEN (hv // 64) >= {H(1 << (58 - r))} THEN {r}"
+        for r in range(1, 59)) + " ELSE 59 END"
+    return f"""
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS win, {hv} AS hv
+           FROM events),
+r AS (SELECT win, CAST(hv % 64 AS BIGINT) AS register,
+             ({rank}) AS rank
+      FROM h)
+SELECT CAST(win AS BIGINT) AS "window", register,
+       CAST(MAX(rank) AS BIGINT) AS max_rank
+FROM r GROUP BY win, register
+"""
+
+
+def window_distinct_sql() -> str:
+    """window_distinct oracle: exact COUNT(DISTINCT) per tumbling window
+    (integer-us floor-division window index, same as the engine's)."""
+    return """
+SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def sample_pages_sql(keep_ppm: int) -> str:
     """sample_pages oracle: the identical splitmix64 Bernoulli predicate
     over page_id."""

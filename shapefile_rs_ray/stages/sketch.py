@@ -68,6 +68,48 @@ def hll_registers(ds, *, col: str, m: int = HLL_M):
                                                alias_name="max_rank")))
 
 
+def hll_registers_by(ds, *, key_col: str, col: str, m: int = HLL_M):
+    """GROUPED HyperLogLog: one register table per key — the mergeable
+    sketch-per-group shape (distinct users per window/host/cell) that
+    replaces a per-group exact distinct when groups are hot. Per batch:
+    one splitmix64 + a scatter-max per (key, register) pair; the merge
+    groupby is BOUNDED at #keys x m rows (key must be a bounded-domain
+    int64 like a window index — per-distinct-entity keys would re-create
+    the pathological groupby), packed into one int key for the exchange.
+    Output: (key_col, register, max_rank)."""
+    from ray.data.aggregate import Max
+    assert m == 64, "register arithmetic is specialized to m=64"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col], np.int64)
+        x = np.asarray(batch[col], np.int64)
+        if len(x) and (x.min() < 0 or k.min() < 0):
+            raise ValueError(f"{col}/{key_col} must be non-negative "
+                             "(SQL-parity splitmix input / key packing)")
+        h = splitmix64(x.astype(np.uint64))
+        reg = (h % np.uint64(m)).astype(np.int64)
+        w = h >> np.uint64(6)
+        rank = (_W_BITS + 1) - _bit_length_u64(w)
+        kr = k * m + reg
+        uniq, inv = np.unique(kr, return_inverse=True)
+        mx = np.zeros(len(uniq), np.int64)
+        np.maximum.at(mx, inv, rank)
+        return pa.table({"kr": pa.array(uniq, pa.int64()),
+                         "max_rank": pa.array(mx, pa.int64())})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        kr = np.asarray(batch["kr"], np.int64)
+        return pa.table({
+            key_col: pa.array(kr // m, pa.int64()),
+            "register": pa.array(kr % m, pa.int64()),
+            "max_rank": batch["max_rank"],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("kr").aggregate(Max("max_rank", alias_name="max_rank"))
+            .map_batches(unpack, batch_format="pyarrow"))
+
+
 def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
     """Standard HLL estimate (with the small-range linear-counting
     correction) from a {register: max_rank} dict — a pure driver-side

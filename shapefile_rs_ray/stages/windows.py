@@ -556,3 +556,46 @@ def running_user_max(events, *, parts: int = USER_PARTITIONS):
     return (_partition_by_user(events.select_columns(
                 ["event_id", "ts", "user_id", "value"]), parts)
             .groupby("__p").map_groups(local, batch_format="pyarrow"))
+
+
+def window_distinct_users(events, *, window_s: int = WINDOW_SECONDS,
+                          parts: int = 251):
+    """(window, n_users): EXACT distinct users per tumbling window.
+
+    Two-phase distinct: every batch collapses to its distinct
+    (window, user) pairs first (np.unique — the partial), pairs shuffle
+    ONCE into coarse hash partitions where a second np.unique removes
+    cross-batch duplicates and collapses to per-window partial counts;
+    the final merge groupby is BOUNDED by #windows (time-range / window,
+    independent of row count). Never a per-distinct-(window,user)
+    groupby. Integer counts, so merge-order-free and bit-exact vs SQL
+    COUNT(DISTINCT)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].cast(pa.int64()))      # us since epoch
+        win = ts // (window_s * 1_000_000)
+        users = np.asarray(batch["user_id"], np.int64)
+        pairs = np.unique(np.stack([win, users], 1), axis=0)
+        key = (pairs[:, 0] * np.int64(1_000_003)
+               + pairs[:, 1]) % parts                      # partition only —
+        # collisions just co-locate more pairs, never change the result
+        return pa.table({
+            "window": pa.array(pairs[:, 0], pa.int64()),
+            "user_id": pa.array(pairs[:, 1], pa.int64()),
+            "__p": pa.array(key, pa.int64()),
+        })
+
+    def reduce_(part: pa.Table) -> pa.Table:
+        arr = np.stack([np.asarray(part["window"], np.int64),
+                        np.asarray(part["user_id"], np.int64)], 1)
+        uniq = np.unique(arr, axis=0)
+        win, cnt = np.unique(uniq[:, 0], return_counts=True)
+        return pa.table({"window": pa.array(win, pa.int64()),
+                         "n_partial": pa.array(cnt.astype(np.int64),
+                                               pa.int64())})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("__p").map_groups(reduce_, batch_format="pyarrow")
+            .groupby("window").aggregate(Sum("n_partial",
+                                             alias_name="n_users")))

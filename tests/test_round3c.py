@@ -282,3 +282,46 @@ def test_contraction_semantics_vs_union_find_simulation():
         else:
             raise AssertionError(f"no fixpoint, trial {trial}")
         assert lbl == exp, trial
+
+
+def test_window_distinct_vs_pandas(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.windows import window_distinct_users
+    rng = np.random.default_rng(23)
+    n = 30000
+    ts = rng.integers(0, 50 * 3600_000_000, n)
+    users = rng.integers(0, 300, n)
+    t = pa.table({"ts": pa.array(ts.astype("datetime64[us]")),
+                  "user_id": pa.array(users, pa.int64())})
+    got = (window_distinct_users(ray.data.from_arrow(t).repartition(11))
+           .to_pandas().sort_values("window").reset_index(drop=True))
+    import pandas as pd
+    df = pd.DataFrame({"window": ts // 3600_000_000, "user_id": users})
+    exp = (df.groupby("window")["user_id"].nunique()
+           .rename("n_users").reset_index())
+    assert got["window"].tolist() == exp["window"].tolist()
+    assert got["n_users"].tolist() == exp["n_users"].tolist()
+
+
+def test_hll_grouped_matches_per_group_global(ray_session):
+    """The grouped register table of key k == the GLOBAL hll_registers of
+    the subset with key k (merge semantics are per-group independent)."""
+    import ray
+    from shapefile_rs_ray.stages.sketch import hll_registers, hll_registers_by
+    rng = np.random.default_rng(29)
+    n = 20000
+    key = rng.integers(0, 5, n)
+    val = rng.integers(0, 10**9, n)
+    t = pa.table({"window": pa.array(key, pa.int64()),
+                  "user_id": pa.array(val, pa.int64())})
+    got = (hll_registers_by(ray.data.from_arrow(t).repartition(7),
+                            key_col="window", col="user_id")
+           .to_pandas().sort_values(["window", "register"])
+           .reset_index(drop=True))
+    for k in range(5):
+        sub = pa.table({"user_id": pa.array(val[key == k], pa.int64())})
+        exp = (hll_registers(ray.data.from_arrow(sub), col="user_id")
+               .to_pandas().sort_values("register").reset_index(drop=True))
+        g = got[got["window"] == k].reset_index(drop=True)
+        assert g["register"].tolist() == exp["register"].tolist()
+        assert g["max_rank"].tolist() == exp["max_rank"].tolist()
