@@ -1350,6 +1350,32 @@ def _orders_semi(sf_dir: str):
                         how="semi")
 
 
+def _bloom_semi(sf_dir: str):
+    """Bloom-prefiltered fact semi-join: lineitem rows whose order has
+    o_totalprice > 300000 — fixed 128 KiB bitmap broadcast, map-side
+    prefilter (no false negatives), exact shuffle semi on the survivors;
+    output identical to the plain EXISTS plan."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.bloom import bloom_semi_join
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber"])
+
+    def rich_keys(batch):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        keep = _pc.greater(batch["o_totalprice"], _pa.scalar(300000.0))
+        return _pa.table({"l_orderkey":
+                          batch.filter(keep)["o_orderkey"].cast(_pa.int64())})
+
+    keys = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"])
+        .map_batches(rich_keys, batch_format="pyarrow"))
+    return bloom_semi_join(li, keys, key="l_orderkey")
+
+
 def _cust_no_orders(sf_dir: str):
     """ANTI join (SQL NOT EXISTS): customers with no order priced
     above 400k. Same ints-only single-shuffle shape as the semi join;
@@ -1593,6 +1619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": _tpch_q3,
         "cust_orders_left": _cust_orders_left,
         "orders_semi": _orders_semi,
+        "bloom_semi": _bloom_semi,
         "cust_no_orders": _cust_no_orders,
         "orders_lineitem_left": _orders_lineitem_left,
         "orders_cust_full": _orders_cust_full,
@@ -1947,6 +1974,11 @@ GROUP BY user_id, 2""",
 SELECT o_orderkey, o_custkey FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)""",
+        "bloom_semi": """
+SELECT l_orderkey, l_linenumber FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_totalprice > 300000)""",
         "cust_no_orders": """
 SELECT c_custkey, c_nationkey FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o

@@ -325,3 +325,38 @@ def test_hll_grouped_matches_per_group_global(ray_session):
         g = got[got["window"] == k].reset_index(drop=True)
         assert g["register"].tolist() == exp["register"].tolist()
         assert g["max_rank"].tolist() == exp["max_rank"].tolist()
+
+
+def test_bloom_semi_equals_plain_semi(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.bloom import (BLOOM_BITS, bloom_semi_join,
+                                               build_bloom, _probes)
+    from shapefile_rs_ray.stages.relational import shuffle_join
+    rng = np.random.default_rng(41)
+    left_keys = rng.integers(0, 50000, 40000)
+    right_keys = np.unique(rng.integers(0, 50000, 800))
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(left_keys, pa.int64()),
+        "v": pa.array(np.arange(40000, dtype=np.int64))})).repartition(9)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(right_keys, pa.int64())}))
+    got = (bloom_semi_join(left, right, key="k", parts=13)
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    exp = (shuffle_join(left, right, key="k", right_cols=(), how="semi",
+                        parts=13)
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    assert got.values.tolist() == exp.values.tolist()
+    assert len(got) > 0
+
+    # the bitmap has NO false negatives, and FPR stays small at the
+    # default sizing (~10+ bits/key here)
+    bm = build_bloom(right, key="k")
+    b1, b2 = _probes(np.arange(50000, dtype=np.int64), BLOOM_BITS)
+    m1 = ((bm[b1 >> 6] >> (b1 & 63).astype(np.uint64)) & np.uint64(1)) > 0
+    m2 = ((bm[b2 >> 6] >> (b2 & 63).astype(np.uint64)) & np.uint64(1)) > 0
+    member = m1 & m2
+    truth = np.zeros(50000, bool)
+    truth[right_keys] = True
+    assert member[truth].all()                       # no false negatives
+    fpr = member[~truth].mean()
+    assert fpr < 0.05, fpr
