@@ -1552,6 +1552,21 @@ def _lake_measures(sf_dir: str):
     return ds.map_batches(polygon_measures, batch_format="pyarrow")
 
 
+def _simplify_lakes(sf_dir: str):
+    """Douglas-Peucker simplification (eps=0.01 deg) of every lake ring
+    through the DISTRIBUTED decode; oracle = the recursive scalar twin's
+    kept-vertex golden (independent control flow, same comparison
+    contract)."""
+    import functools
+    from shapefile_rs_ray.pipelines.oracles import DP_EPS, ensure_dp_golden
+    from shapefile_rs_ray.sources.shapefile import read_shapefile_dataset
+    from shapefile_rs_ray.stages.simplify import simplify_vertices
+    ensure_dp_golden()
+    ds = read_shapefile_dataset(LAKES, records_per_task=300)
+    return ds.map_batches(functools.partial(simplify_vertices, eps=DP_EPS),
+                          batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "webpages": _webpages,
@@ -1602,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top1": _ann_ivf_top1,
         "decode_lakes": _decode_lakes,
         "lake_measures": _lake_measures,
+        "simplify_lakes": _simplify_lakes,
         "html_extract": _html_extract,
         "image_meta": _image_meta,
         "audio_frames": _audio_frames,
@@ -2106,6 +2122,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     out["radius_join"] = radius_join_sql(pages, synth.sites_sql())
     from shapefile_rs_ray.stages.measures import polygon_measures_sql
     out["lake_measures"] = polygon_measures_sql(oracles.LAKES_VERTICES_PQ)
+    out["simplify_lakes"] = ("SELECT geom_id, part_idx, vtx_idx, x, y "
+                             f"FROM read_parquet('{oracles.DP_GOLDEN_PQ}')")
     from shapefile_rs_ray.stages.ngrams import ngram_topk_sql
     out["bigram_counts"] = ngram_topk_sql("documents", n=2, k=100)
     out["trigram_counts"] = ngram_topk_sql("documents", n=3, k=100)

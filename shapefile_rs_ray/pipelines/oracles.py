@@ -132,6 +132,57 @@ def ensure_lakes_vertices() -> None:
     os.replace(tmp, LAKES_VERTICES_PQ)
 
 
+DP_EPS = 0.01
+DP_GOLDEN_PQ = os.path.join(ORACLE_DIR, "lakes_dp_golden.parquet")
+
+
+def ensure_dp_golden(eps: float = DP_EPS) -> None:
+    """Idempotently write the simplify_lakes golden: kept vertices of the
+    RECURSIVE SCALAR Douglas-Peucker twin (stages/simplify.dp_keep_scalar)
+    over the single-node decode — independent control flow from the
+    distributed iterative kernel, same comparison contract."""
+    if os.path.exists(DP_GOLDEN_PQ):
+        return
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    import pyarrow.compute as pc
+
+    from ..sources.shapefile import read_shapefile_table
+    from ..stages.simplify import dp_keep_scalar
+    t = read_shapefile_table(LAKES, with_attrs=False)
+    geom_ids = np.asarray(t["geom_id"], np.int64)
+    xy = t["xy"].combine_chunks()
+    n_parts = np.asarray(pc.fill_null(pc.list_value_length(xy), 0), np.int64)
+    parts = pc.list_flatten(xy)
+    rows = {"geom_id": [], "part_idx": [], "vtx_idx": [], "x": [], "y": []}
+    part_geom = np.repeat(geom_ids, n_parts)
+    part_off = np.zeros(len(n_parts) + 1, np.int64)
+    np.cumsum(n_parts, out=part_off[1:])
+    part_idx = (np.arange(len(parts), dtype=np.int64)
+                - np.repeat(part_off[:-1], n_parts))
+    for p in range(len(parts)):
+        pts = parts[p].as_py()
+        xs = [q[0] for q in pts]
+        ys = [q[1] for q in pts]
+        keep = dp_keep_scalar(xs, ys, eps)
+        for v, kept in enumerate(keep):
+            if kept:
+                rows["geom_id"].append(int(part_geom[p]))
+                rows["part_idx"].append(int(part_idx[p]))
+                rows["vtx_idx"].append(v)
+                rows["x"].append(xs[v])
+                rows["y"].append(ys[v])
+    tbl = pa.table({
+        "geom_id": pa.array(rows["geom_id"], pa.int64()),
+        "part_idx": pa.array(rows["part_idx"], pa.int64()),
+        "vtx_idx": pa.array(rows["vtx_idx"], pa.int64()),
+        "x": pa.array(rows["x"], pa.float64()),
+        "y": pa.array(rows["y"], pa.float64()),
+    })
+    tmp = DP_GOLDEN_PQ + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, DP_GOLDEN_PQ)
+
+
 def ensure_h3_golden(n_pages: int) -> None:
     """Idempotently write the H3 oracle golden: (page_id, h3_r4..h3_r9 hex)
     for every page id < n_pages, computed by the SCALAR encoder

@@ -360,3 +360,30 @@ def test_bloom_semi_equals_plain_semi(ray_session):
     assert member[truth].all()                       # no false negatives
     fpr = member[~truth].mean()
     assert fpr < 0.05, fpr
+
+
+def test_dp_iterative_equals_scalar_twin():
+    from shapefile_rs_ray.stages.simplify import dp_keep_mask, dp_keep_scalar
+    rng = np.random.default_rng(43)
+    for trial in range(60):
+        n = int(rng.integers(2, 120))
+        x = rng.uniform(-10, 10, n)
+        y = rng.uniform(-10, 10, n)
+        if trial % 3 == 0:            # closed ring (degenerate anchor)
+            x[-1], y[-1] = x[0], y[0]
+        if trial % 5 == 0:            # collinear run
+            x = np.linspace(0, 1, n)
+            y = 2 * x + 1
+        eps = float(rng.choice([0.0, 0.01, 0.5, 2.0]))
+        it = dp_keep_mask(x, y, eps)
+        sc = dp_keep_scalar(x.tolist(), y.tolist(), eps)
+        assert it.tolist() == sc, (trial, eps)
+        assert it[0] and it[-1]
+
+
+def test_dp_eps_zero_drops_only_collinear():
+    from shapefile_rs_ray.stages.simplify import dp_keep_mask
+    x = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    y = np.array([0.0, 0.0, 1.0, 2.0, 3.0])   # bend at 1; 1..4 collinear
+    keep = dp_keep_mask(x, y, 0.0)
+    assert keep.tolist() == [True, True, False, False, True]
