@@ -755,12 +755,16 @@ def _hll_window_users(sf_dir: str):
     import ray
     from shapefile_rs_ray.stages.sketch import hll_registers_by
 
+    from shapefile_rs_ray.stages.windows import WINDOW_SECONDS
+
     def add_window(batch):
         import numpy as _np
         import pyarrow as _pa
         ts = _np.asarray(batch["ts"].cast(_pa.int64()))
-        return _pa.table({"window": _pa.array(ts // 3_600_000_000,
-                                              _pa.int64()),
+        if len(ts) and ts.min() < 0:    # SQL // truncates, numpy floors
+            raise ValueError("window index needs ts >= epoch")
+        return _pa.table({"window": _pa.array(
+            ts // (WINDOW_SECONDS * 1_000_000), _pa.int64()),
                           "user_id": batch["user_id"]})
 
     ev = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -1657,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from shapefile_rs_ray.functions import synth
+    from shapefile_rs_ray.stages.windows import WINDOW_SECONDS
     from shapefile_rs_ray.functions.cells import grid_cell_sql, hex_cell_sql
     from shapefile_rs_ray.functions.text import langid_sql, token_stats_sql
     from shapefile_rs_ray.pipelines import oracles
@@ -1733,8 +1738,8 @@ def oracle_sql() -> dict[str, str]:
         "vectorize_regions": oracles.vectorize_regions_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "hll_users": oracles.hll_users_sql(),
-        "hll_window_users": oracles.hll_window_users_sql(),
-        "window_distinct": oracles.window_distinct_sql(),
+        "hll_window_users": oracles.hll_window_users_sql(WINDOW_SECONDS),
+        "window_distinct": oracles.window_distinct_sql(WINDOW_SECONDS),
         "sample_pages": oracles.sample_pages_sql(SAMPLE_PPM),
         "stratified_sample": oracles.stratified_sample_sql(
             STRATA_PPM, STRATA_DEFAULT_PPM),
@@ -1809,7 +1814,8 @@ FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM clone_pairs)""",
         # the TINY gid graph, then a join back onto pages
         "dup_clusters": f"""
 WITH RECURSIVE {pages},
-g AS (SELECT text, MIN(page_id) AS gid FROM pages GROUP BY text),
+g AS (SELECT text, MIN(page_id) AS gid, COUNT(*) AS cnt
+      FROM pages GROUP BY text),
 w AS (SELECT gid, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
       FROM g),
 sh AS (SELECT gid, text,
@@ -1826,8 +1832,14 @@ fam AS (SELECT a.gid AS ga, b.gid AS gb
               >= CAST('0.8' AS DOUBLE)),
 e AS (SELECT ga AS a, gb AS b FROM fam
       UNION ALL SELECT gb AS a, ga AS b FROM fam),
+-- the engine clusters only PAIR PARTICIPANTS: texts with >= 2 pages
+-- (clone pairs) or texts in a cross-family edge — not every page
+q AS (SELECT DISTINCT gid FROM (
+        SELECT ga AS gid FROM fam
+        UNION ALL SELECT gb AS gid FROM fam
+        UNION ALL SELECT gid FROM g WHERE cnt >= 2)),
 reach(gid, lbl) AS (
-  SELECT gid, gid FROM g
+  SELECT gid, gid FROM q
   UNION
   SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.gid),
 cl AS (SELECT gid, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
@@ -2121,7 +2133,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     from shapefile_rs_ray.stages.radius import radius_join_sql
     out["radius_join"] = radius_join_sql(pages, synth.sites_sql())
     from shapefile_rs_ray.stages.measures import polygon_measures_sql
-    out["lake_measures"] = polygon_measures_sql(oracles.LAKES_VERTICES_PQ)
+    out["lake_measures"] = polygon_measures_sql(
+        oracles.LAKES_VERTICES_PQ, oracles.LAKES_SUMMARY_PQ)
     out["simplify_lakes"] = ("SELECT geom_id, part_idx, vtx_idx, x, y "
                              f"FROM read_parquet('{oracles.DP_GOLDEN_PQ}')")
     from shapefile_rs_ray.stages.ngrams import ngram_topk_sql

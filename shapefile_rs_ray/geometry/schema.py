@@ -151,3 +151,44 @@ def arrow_to_shape_table(t: pa.Table) -> ShapeTable:
         is_null=(np.asarray(t["is_null"].combine_chunks(), bool)
                  if "is_null" in t.column_names else np.zeros(n, bool)),
     )
+
+
+def explode_xy(t: pa.Table) -> dict:
+    """Flatten the nested `xy` geometry column into vertex-level numpy
+    arrays plus every index array the vertex-walking stages share
+    (measures, simplification, vertex goldens) — ONE implementation of
+    the geometry->part->vertex expansion so null-shape / empty-part
+    handling can't skew between consumers.
+
+    Returns dict with: x, y (flat f64); n_parts (per geometry, nulls->0);
+    lens_pts (per part); part_off (geometry->part offsets, len n+1);
+    part_idx (per part, dense within geometry); pt_cum (part->point
+    offsets, len parts+1); part_geom / pt_geom / pt_part / vtx_idx
+    (owner ids per part / per vertex); g_start / g_end (per-geometry
+    vertex ranges)."""
+    import pyarrow.compute as pc
+    xy = t["xy"].combine_chunks()
+    n_parts = np.asarray(pc.fill_null(pc.list_value_length(xy), 0), np.int64)
+    parts = pc.list_flatten(xy)
+    lens_pts = np.asarray(pc.list_value_length(parts), np.int64)
+    flat = np.asarray(pc.list_flatten(pc.list_flatten(parts)), np.float64)
+    geom_ids = np.asarray(t["geom_id"], np.int64)
+    part_off = np.zeros(len(n_parts) + 1, np.int64)
+    np.cumsum(n_parts, out=part_off[1:])
+    part_idx = (np.arange(len(lens_pts), dtype=np.int64)
+                - np.repeat(part_off[:-1], n_parts))
+    pt_cum = np.zeros(len(lens_pts) + 1, np.int64)
+    np.cumsum(lens_pts, out=pt_cum[1:])
+    part_geom = np.repeat(geom_ids, n_parts)
+    pt_geom = np.repeat(part_geom, lens_pts)
+    pt_part = np.repeat(part_idx, lens_pts)
+    vtx_idx = (np.arange(len(pt_geom), dtype=np.int64)
+               - np.repeat(pt_cum[:-1], lens_pts))
+    return {
+        "x": flat[0::2], "y": flat[1::2],
+        "n_parts": n_parts, "lens_pts": lens_pts,
+        "part_off": part_off, "part_idx": part_idx, "pt_cum": pt_cum,
+        "part_geom": part_geom, "pt_geom": pt_geom, "pt_part": pt_part,
+        "vtx_idx": vtx_idx,
+        "g_start": pt_cum[part_off[:-1]], "g_end": pt_cum[part_off[1:]],
+    }

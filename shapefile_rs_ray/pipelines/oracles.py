@@ -98,34 +98,15 @@ def ensure_lakes_vertices() -> None:
     if os.path.exists(LAKES_VERTICES_PQ):
         return
     os.makedirs(ORACLE_DIR, exist_ok=True)
-    import pyarrow.compute as pc
-
+    from ..geometry.schema import explode_xy
     from ..sources.shapefile import read_shapefile_table
-    t = read_shapefile_table(LAKES, with_attrs=False)
-    xy = t["xy"].combine_chunks()
-    n_parts = np.asarray(pc.fill_null(pc.list_value_length(xy), 0), np.int64)
-    parts = pc.list_flatten(xy)
-    lens_pts = np.asarray(pc.list_value_length(parts), np.int64)
-    flat = np.asarray(pc.list_flatten(pc.list_flatten(parts)), np.float64)
-    geom_ids = np.asarray(t["geom_id"], np.int64)
-    part_geom = np.repeat(geom_ids, n_parts)
-    part_off = np.zeros(len(n_parts) + 1, np.int64)
-    np.cumsum(n_parts, out=part_off[1:])
-    # part_idx within geometry, vtx_idx within part (both dense from 0)
-    part_idx_flat = (np.arange(len(lens_pts), dtype=np.int64)
-                     - np.repeat(part_off[:-1], n_parts))
-    pt_geom = np.repeat(part_geom, lens_pts)
-    pt_part = np.repeat(part_idx_flat, lens_pts)
-    pt_cum = np.zeros(len(lens_pts) + 1, np.int64)
-    np.cumsum(lens_pts, out=pt_cum[1:])
-    vtx_idx = (np.arange(len(pt_geom), dtype=np.int64)
-               - np.repeat(pt_cum[:-1], lens_pts))
+    ex = explode_xy(read_shapefile_table(LAKES, with_attrs=False))
     tbl = pa.table({
-        "geom_id": pa.array(pt_geom, pa.int64()),
-        "part_idx": pa.array(pt_part, pa.int64()),
-        "vtx_idx": pa.array(vtx_idx, pa.int64()),
-        "x": pa.array(flat[0::2], pa.float64()),
-        "y": pa.array(flat[1::2], pa.float64()),
+        "geom_id": pa.array(ex["pt_geom"], pa.int64()),
+        "part_idx": pa.array(ex["pt_part"], pa.int64()),
+        "vtx_idx": pa.array(ex["vtx_idx"], pa.int64()),
+        "x": pa.array(ex["x"], pa.float64()),
+        "y": pa.array(ex["y"], pa.float64()),
     })
     tmp = LAKES_VERTICES_PQ + ".tmp"
     pq.write_table(tbl, tmp)
@@ -144,30 +125,20 @@ def ensure_dp_golden(eps: float = DP_EPS) -> None:
     if os.path.exists(DP_GOLDEN_PQ):
         return
     os.makedirs(ORACLE_DIR, exist_ok=True)
-    import pyarrow.compute as pc
-
+    from ..geometry.schema import explode_xy
     from ..sources.shapefile import read_shapefile_table
     from ..stages.simplify import dp_keep_scalar
-    t = read_shapefile_table(LAKES, with_attrs=False)
-    geom_ids = np.asarray(t["geom_id"], np.int64)
-    xy = t["xy"].combine_chunks()
-    n_parts = np.asarray(pc.fill_null(pc.list_value_length(xy), 0), np.int64)
-    parts = pc.list_flatten(xy)
+    ex = explode_xy(read_shapefile_table(LAKES, with_attrs=False))
     rows = {"geom_id": [], "part_idx": [], "vtx_idx": [], "x": [], "y": []}
-    part_geom = np.repeat(geom_ids, n_parts)
-    part_off = np.zeros(len(n_parts) + 1, np.int64)
-    np.cumsum(n_parts, out=part_off[1:])
-    part_idx = (np.arange(len(parts), dtype=np.int64)
-                - np.repeat(part_off[:-1], n_parts))
-    for p in range(len(parts)):
-        pts = parts[p].as_py()
-        xs = [q[0] for q in pts]
-        ys = [q[1] for q in pts]
+    for p in range(len(ex["lens_pts"])):
+        s, e = int(ex["pt_cum"][p]), int(ex["pt_cum"][p + 1])
+        xs = ex["x"][s:e].tolist()
+        ys = ex["y"][s:e].tolist()
         keep = dp_keep_scalar(xs, ys, eps)
         for v, kept in enumerate(keep):
             if kept:
-                rows["geom_id"].append(int(part_geom[p]))
-                rows["part_idx"].append(int(part_idx[p]))
+                rows["geom_id"].append(int(ex["part_geom"][p]))
+                rows["part_idx"].append(int(ex["part_idx"][p]))
                 rows["vtx_idx"].append(v)
                 rows["x"].append(xs[v])
                 rows["y"].append(ys[v])
@@ -789,16 +760,19 @@ FROM r GROUP BY register
 """
 
 
-def hll_window_users_sql() -> str:
+def hll_window_users_sql(window_s: int) -> str:
     """hll_window_users oracle: the grouped register table — identical
-    splitmix/rank arithmetic, grouped by the tumbling window index."""
+    splitmix/rank arithmetic, grouped by the tumbling window index (the
+    divisor derives from the SAME window_s as the engine; `//` truncation
+    == the engine's floor-division only for ts >= 0, which the engine
+    enforces)."""
     H = "CAST('{}' AS HUGEINT)".format
     hv = _splitmix_sql("user_id")
     rank = "CASE " + " ".join(
         f"WHEN (hv // 64) >= {H(1 << (58 - r))} THEN {r}"
         for r in range(1, 59)) + " ELSE 59 END"
     return f"""
-WITH h AS (SELECT epoch_us(ts) // 3600000000 AS win, {hv} AS hv
+WITH h AS (SELECT epoch_us(ts) // {window_s * 1_000_000} AS win, {hv} AS hv
            FROM events),
 r AS (SELECT win, CAST(hv % 64 AS BIGINT) AS register,
              ({rank}) AS rank
@@ -809,11 +783,12 @@ FROM r GROUP BY win, register
 """
 
 
-def window_distinct_sql() -> str:
+def window_distinct_sql(window_s: int) -> str:
     """window_distinct oracle: exact COUNT(DISTINCT) per tumbling window
-    (integer-us floor-division window index, same as the engine's)."""
-    return """
-SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window,
+    (divisor derived from the engine's window_s; ts >= 0 enforced
+    engine-side so `//` truncation == numpy floor-division)."""
+    return f"""
+SELECT CAST(epoch_us(ts) // {window_s * 1_000_000} AS BIGINT) AS window,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1
 """

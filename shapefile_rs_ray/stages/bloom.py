@@ -99,6 +99,8 @@ def bloom_semi_join(left, right_keys, *, key: str,
 
     from .relational import JOIN_PARTS, shuffle_join
 
+    # consumed by the bitmap build AND the verify join — pin it once
+    right_keys = right_keys.materialize()
     bitmap = build_bloom(right_keys, key=key, m_bits=m_bits)
     bref = ray.put(bitmap)
 

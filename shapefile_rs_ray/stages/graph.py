@@ -95,6 +95,9 @@ def min_label_components(pairs, *, a_col: str = "id_a", b_col: str = "id_b",
     from .relational import shuffle_join
 
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # pairs feeds BOTH the edge build and _distinct_nodes — pin it once so
+    # an expensive lazy producer (e.g. the MinHash verify tail) runs once
+    pairs = pairs.materialize()
 
     def as_directed(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch[a_col], np.int64)

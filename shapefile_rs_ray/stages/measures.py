@@ -47,23 +47,11 @@ def _seg_sums(values: np.ndarray, starts: np.ndarray,
 def polygon_measures(batch: pa.Table) -> pa.Table:
     """Geometry block -> (geom_id, n_parts, n_points, area2_q, perim_q,
     sum_xq, sum_yq); see module docstring for the fixed-point contract."""
-    n = batch.num_rows
-    xy = batch["xy"].combine_chunks()
-    lens_parts = pc.fill_null(pc.list_value_length(xy), 0)
-    n_parts = np.asarray(lens_parts, np.int64)
-    parts = pc.list_flatten(xy)                       # one row per part
-    lens_pts = np.asarray(pc.list_value_length(parts), np.int64)
-    flat = np.asarray(pc.list_flatten(pc.list_flatten(parts)), np.float64)
-    x, y = flat[0::2], flat[1::2]
+    from ..geometry.schema import explode_xy
+    ex = explode_xy(batch)
+    x, y, pt_cum = ex["x"], ex["y"], ex["pt_cum"]
+    n_parts, g_start, g_end = ex["n_parts"], ex["g_start"], ex["g_end"]
     npts = len(x)
-
-    # geometry -> part range -> point range
-    part_off = np.zeros(n + 1, np.int64)
-    np.cumsum(n_parts, out=part_off[1:])
-    pt_cum = np.zeros(len(lens_pts) + 1, np.int64)
-    np.cumsum(lens_pts, out=pt_cum[1:])
-    g_start = pt_cum[part_off[:-1]]
-    g_end = pt_cum[part_off[1:]]
     n_points = g_end - g_start
 
     # per-edge quantized terms, length npts (edge i joins points i, i+1);
@@ -94,31 +82,38 @@ def polygon_measures(batch: pa.Table) -> pa.Table:
     })
 
 
-def polygon_measures_sql(vertices_pq: str) -> str:
+def polygon_measures_sql(vertices_pq: str, summary_pq: str) -> str:
     """DuckDB twin over the single-node vertex golden (geom_id, part_idx,
-    vtx_idx, x, y): identical quantization, integer-only aggregates."""
+    vtx_idx, x, y): identical quantization, integer-only aggregates. The
+    geometry UNIVERSE (and the part count, which must include EMPTY
+    parts the vertex table cannot represent) comes from the decode
+    summary golden, so vertex-less shapes still emit their zero row —
+    matching the engine, which supports them."""
+    Q = "CAST('1048576.0' AS DOUBLE)"  # 2^20 (CLAUDE.md literal rule)
     return f"""
 WITH v AS (SELECT * FROM read_parquet('{vertices_pq}')),
+g AS (SELECT geom_id, CAST(n_parts AS BIGINT) AS n_parts
+      FROM read_parquet('{summary_pq}')),
 e AS (SELECT v1.geom_id,
-             CAST(FLOOR((v1.x * v2.y - v2.x * v1.y) * 1048576.0) AS BIGINT)
+             CAST(FLOOR((v1.x * v2.y - v2.x * v1.y) * {Q}) AS BIGINT)
                AS cq,
              CAST(FLOOR(SQRT((v2.x - v1.x) * (v2.x - v1.x)
                              + (v2.y - v1.y) * (v2.y - v1.y))
-                        * 1048576.0) AS BIGINT) AS sq
+                        * {Q}) AS BIGINT) AS sq
       FROM v v1
       JOIN v v2 ON v2.geom_id = v1.geom_id AND v2.part_idx = v1.part_idx
                AND v2.vtx_idx = v1.vtx_idx + 1),
 a AS (SELECT geom_id, CAST(SUM(cq) AS BIGINT) AS area2_q,
              CAST(SUM(sq) AS BIGINT) AS perim_q FROM e GROUP BY 1),
-p AS (SELECT geom_id, CAST(MAX(part_idx) + 1 AS BIGINT) AS n_parts,
-             COUNT(*) AS n_points,
-             CAST(SUM(CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS BIGINT)
+p AS (SELECT geom_id, COUNT(*) AS n_points,
+             CAST(SUM(CAST(FLOOR(x * {Q}) AS BIGINT)) AS BIGINT)
                AS sum_xq,
-             CAST(SUM(CAST(FLOOR(y * 1048576.0) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(FLOOR(y * {Q}) AS BIGINT)) AS BIGINT)
                AS sum_yq
       FROM v GROUP BY 1)
-SELECT p.geom_id, p.n_parts, p.n_points,
+SELECT g.geom_id, COALESCE(g.n_parts, 0) AS n_parts,
+       COALESCE(p.n_points, 0) AS n_points,
        COALESCE(a.area2_q, 0) AS area2_q, COALESCE(a.perim_q, 0) AS perim_q,
-       p.sum_xq, p.sum_yq
-FROM p LEFT JOIN a USING (geom_id)
+       COALESCE(p.sum_xq, 0) AS sum_xq, COALESCE(p.sum_yq, 0) AS sum_yq
+FROM g LEFT JOIN p USING (geom_id) LEFT JOIN a USING (geom_id)
 """

@@ -71,14 +71,15 @@ def radius_join_sql(pages_cte: str, sites_sql: str, *,
     """DuckDB twin: identical expression tree per pair (see radius_join)."""
     from ..functions.synth import _lit
     c = _lit(DEG2RAD)
+    half = _lit(0.5)
     return f"""
 WITH {pages_cte},
 pr AS (SELECT page_id, lon * {c} AS plonr, lat * {c} AS platr FROM pages),
 sr AS (SELECT site_id, lon * {c} AS slonr, lat * {c} AS slatr
        FROM ({sites_sql})),
 h AS (SELECT page_id, site_id,
-             SIN((slatr - platr) * 0.5) AS sa,
-             SIN((slonr - plonr) * 0.5) AS sb,
+             SIN((slatr - platr) * {half}) AS sa,
+             SIN((slonr - plonr) * {half}) AS sb,
              (COS(platr) * COS(slatr)) AS cc
       FROM pr CROSS JOIN sr)
 SELECT page_id, site_id, sa * sa + cc * (sb * sb) AS hav

@@ -119,30 +119,16 @@ def dp_keep_scalar(x, y, eps: float) -> list[bool]:
 def simplify_vertices(batch: pa.Table, *, eps: float) -> pa.Table:
     """Geometry block -> kept vertices (geom_id, part_idx, vtx_idx, x, y)
     after per-part DP simplification at tolerance eps."""
-    xy = batch["xy"].combine_chunks()
-    n_parts = np.asarray(pc.fill_null(pc.list_value_length(xy), 0), np.int64)
-    parts = pc.list_flatten(xy)
-    lens_pts = np.asarray(pc.list_value_length(parts), np.int64)
-    flat = np.asarray(pc.list_flatten(pc.list_flatten(parts)), np.float64)
-    x, y = flat[0::2], flat[1::2]
-    geom_ids = np.asarray(batch["geom_id"], np.int64)
-    part_geom = np.repeat(geom_ids, n_parts)
-    part_off = np.zeros(len(n_parts) + 1, np.int64)
-    np.cumsum(n_parts, out=part_off[1:])
-    part_idx = (np.arange(len(lens_pts), dtype=np.int64)
-                - np.repeat(part_off[:-1], n_parts))
-    pt_cum = np.zeros(len(lens_pts) + 1, np.int64)
-    np.cumsum(lens_pts, out=pt_cum[1:])
+    from ..geometry.schema import explode_xy
+    ex = explode_xy(batch)
+    x, y, pt_cum = ex["x"], ex["y"], ex["pt_cum"]
+    pt_geom, pt_part, vtx_idx = ex["pt_geom"], ex["pt_part"], ex["vtx_idx"]
 
     keep = np.zeros(len(x), bool)
-    for p in range(len(lens_pts)):
+    for p in range(len(ex["lens_pts"])):
         s, e = pt_cum[p], pt_cum[p + 1]
         keep[s:e] = dp_keep_mask(x[s:e], y[s:e], eps)
 
-    pt_geom = np.repeat(part_geom, lens_pts)
-    pt_part = np.repeat(part_idx, lens_pts)
-    vtx_idx = (np.arange(len(x), dtype=np.int64)
-               - np.repeat(pt_cum[:-1], lens_pts))
     k = np.nonzero(keep)[0]
     return pa.table({
         "geom_id": pa.array(pt_geom[k], pa.int64()),

@@ -574,6 +574,8 @@ def window_distinct_users(events, *, window_s: int = WINDOW_SECONDS,
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = np.asarray(batch["ts"].cast(pa.int64()))      # us since epoch
+        if len(ts) and ts.min() < 0:    # SQL // truncates, numpy floors
+            raise ValueError("window index needs ts >= epoch")
         win = ts // (window_s * 1_000_000)
         users = np.asarray(batch["user_id"], np.int64)
         pairs = np.unique(np.stack([win, users], 1), axis=0)
