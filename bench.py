@@ -235,6 +235,22 @@ def run_queries() -> tuple[dict, dict]:
 
     timed("quality_corpus", q_quality_corpus)
 
+    def q_bigrams():
+        # LM-count path: vectorized Arrow tokenize/join kernel, one coarse
+        # gram shuffle, bounded top-k merge — over the full bench pages
+        from shapefile_rs_ray.stages.ngrams import ngram_topk
+        return ngram_topk(pages(), n=2, k=100).count()
+
+    timed("bigram_counts", q_bigrams)
+
+    def q_radius():
+        # broadcast within-radius haversine join (map-side, no shuffle)
+        from shapefile_rs_ray.functions.synth import sites
+        from shapefile_rs_ray.stages.radius import radius_join
+        return radius_join(pages(), sites()).count()
+
+    timed("radius_join", q_radius)
+
     ray.shutdown()
     extra["query_samples"] = samples
     extra["samples_per_query"] = max(1, SAMPLES)
