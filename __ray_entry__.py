@@ -286,6 +286,32 @@ def _lag_lead(sf_dir: str):
     return lag_lead_delta(ev)
 
 
+def _decontaminate(sf_dir: str):
+    """LM decontamination screen: per-page word-3-gram occurrences hitting
+    the benchmark gram set (docs with doc_id %% 37 == 0 stand in for an
+    eval suite). Benchmark side broadcast once; membership map-side, no
+    shuffle."""
+    from shapefile_rs_ray.sources.webpages import (read_documents,
+                                                   read_webpages)
+    from shapefile_rs_ray.stages.ngrams import (bench_gram_set,
+                                                contamination_screen)
+
+    def bench_filter(batch):
+        import pyarrow.compute as _pc
+        keep = _pc.equal(_pc.subtract(
+            batch["doc_id"],
+            _pc.multiply(_pc.divide(batch["doc_id"], pa.scalar(37)),
+                         pa.scalar(37))), pa.scalar(0))
+        return batch.filter(keep)
+
+    bench = (read_documents(sf_dir, columns=["doc_id", "text"])
+             .map_batches(bench_filter, batch_format="pyarrow"))
+    grams = bench_gram_set(bench)
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id", "text"]))
+    return contamination_screen(pages, grams)
+
+
 def _bigram_counts(sf_dir: str):
     """Global top-100 word bigrams: per-batch vocabulary-sized partials,
     ONE coarse crc32-mod-251 shuffle, per-partition exact reduce + local
@@ -1592,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _token_quantiles,
         "tfidf_terms": _tfidf_terms,
         "bigram_counts": _bigram_counts,
+        "decontaminate": _decontaminate,
         "trigram_counts": _trigram_counts,
         "value_quantiles": _value_quantiles,
         "text_fidelity": _text_fidelity,
@@ -2139,6 +2166,23 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
                              f"FROM read_parquet('{oracles.DP_GOLDEN_PQ}')")
     from shapefile_rs_ray.stages.ngrams import ngram_topk_sql
     out["bigram_counts"] = ngram_topk_sql("documents", n=2, k=100)
+    out["decontaminate"] = f"""
+WITH {pages},
+bd AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+       FROM documents WHERE doc_id % 37 = 0),
+bg AS (SELECT DISTINCT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+       FROM bd, UNNEST(generate_series(1, len(l) - 2)) AS g(i)),
+pl AS (SELECT page_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+       FROM pages),
+pg AS (SELECT page_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+       FROM pl, UNNEST(generate_series(1, len(l) - 2)) AS g(i)),
+agg AS (SELECT page_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM pg LEFT JOIN bg USING (gram) GROUP BY 1)
+SELECT p.page_id, COALESCE(agg.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       COALESCE(agg.n_hits, CAST(0 AS BIGINT)) AS n_hits
+FROM pages p LEFT JOIN agg USING (page_id)"""
     out["trigram_counts"] = ngram_topk_sql("documents", n=3, k=100)
     out["knn_cellpart"] = out["knn_sites"]
     out["zonal_cellpart"] = out["zonal_stats"]

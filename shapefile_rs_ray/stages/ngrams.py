@@ -102,3 +102,101 @@ b AS (SELECT {gram} AS gram
 SELECT gram, COUNT(*) AS cnt FROM b
 GROUP BY 1 ORDER BY cnt DESC, gram LIMIT {k}
 """
+
+
+def contamination_screen(pages, bench_grams: "np.ndarray", *,
+                         id_col: str = "page_id", text_col: str = "text"):
+    """LM decontamination screen: per page, how many of its word-3-gram
+    OCCURRENCES appear in a benchmark gram set — the screen a training
+    pipeline runs against eval suites before training.
+
+    The benchmark set is the SMALL side: a sorted string array broadcast
+    once (ray.put), membership answered map-side with one searchsorted
+    per batch — no shuffle at any corpus size. Gram construction is the
+    same vectorized shifted-take kernel as ngram_topk (strict 3-grams;
+    pages with < 3 tokens emit n_grams = 0).
+
+    Output: (page_id, n_grams, n_hits) for EVERY page."""
+    import ray
+
+    bs = np.sort(np.asarray(bench_grams, dtype=str))
+    bref = ray.put(bs)
+
+    def screen(batch: pa.Table) -> pa.Table:
+        bsorted = ray.get(bref)
+        n_rows = batch.num_rows
+        pid = np.asarray(batch[id_col], np.int64)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.cast(batch[text_col], pa.string())),
+            pattern="[^a-z0-9]+")
+        lens = np.asarray(pc.list_value_length(toks), np.int64)
+        flat = pc.list_flatten(toks).combine_chunks()
+        total = len(flat)
+        n_grams = np.zeros(n_rows, np.int64)
+        n_hits = np.zeros(n_rows, np.int64)
+        if total >= 3:
+            nonempty = np.asarray(pc.not_equal(flat, pa.scalar("")), bool)
+            doc_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            m = total - 2
+            valid = nonempty[:m].copy()
+            for j in (1, 2):
+                valid &= nonempty[j:m + j]
+                valid &= doc_of[j:m + j] == doc_of[:m]
+            idx = np.nonzero(valid)[0]
+            if len(idx):
+                grams = pc.binary_join_element_wise(
+                    pc.take(flat, pa.array(idx, pa.int64())),
+                    pc.take(flat, pa.array(idx + 1, pa.int64())),
+                    pc.take(flat, pa.array(idx + 2, pa.int64())), " ")
+                g = np.asarray(grams, dtype=str)
+                owner = doc_of[idx]
+                if len(bsorted):
+                    pos = np.searchsorted(bsorted, g)
+                    pos = np.minimum(pos, len(bsorted) - 1)
+                    hit = bsorted[pos] == g
+                else:
+                    hit = np.zeros(len(g), bool)
+                np.add.at(n_grams, owner, 1)
+                np.add.at(n_hits, owner, hit.astype(np.int64))
+        return pa.table({
+            id_col: pa.array(pid, pa.int64()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_hits": pa.array(n_hits, pa.int64()),
+        })
+
+    return pages.map_batches(screen, batch_format="pyarrow")
+
+
+def bench_gram_set(docs, *, text_col: str = "text") -> "np.ndarray":
+    """Distinct word-3-grams of a (small, pre-filtered) benchmark Dataset
+    — per-batch distinct partials, driver-merged (the benchmark side of a
+    decontamination screen is eval-suite-sized by definition)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.cast(batch[text_col], pa.string())),
+            pattern="[^a-z0-9]+")
+        lens = np.asarray(pc.list_value_length(toks), np.int64)
+        flat = pc.list_flatten(toks).combine_chunks()
+        total = len(flat)
+        if total < 3:
+            return pa.table({"gram": pa.array([], pa.string())})
+        nonempty = np.asarray(pc.not_equal(flat, pa.scalar("")), bool)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        m = total - 2
+        valid = nonempty[:m].copy()
+        for j in (1, 2):
+            valid &= nonempty[j:m + j]
+            valid &= doc_of[j:m + j] == doc_of[:m]
+        idx = np.nonzero(valid)[0]
+        if not len(idx):
+            return pa.table({"gram": pa.array([], pa.string())})
+        grams = pc.binary_join_element_wise(
+            pc.take(flat, pa.array(idx, pa.int64())),
+            pc.take(flat, pa.array(idx + 1, pa.int64())),
+            pc.take(flat, pa.array(idx + 2, pa.int64())), " ")
+        return pa.table({"gram": pc.unique(grams)})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return np.array([], dtype=str)
+    return np.unique(np.array([r["gram"] for r in parts], dtype=str))

@@ -387,3 +387,39 @@ def test_dp_eps_zero_drops_only_collinear():
     y = np.array([0.0, 0.0, 1.0, 2.0, 3.0])   # bend at 1; 1..4 collinear
     keep = dp_keep_mask(x, y, 0.0)
     assert keep.tolist() == [True, True, False, False, True]
+
+
+def test_contamination_screen_vs_python(ray_session):
+    import re
+
+    import ray
+    from shapefile_rs_ray.stages.ngrams import contamination_screen
+
+    rng = np.random.default_rng(53)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(0, 10))))
+             for _ in range(200)] + ["", "x", "aa bb"]
+    bench = np.array(["aa bb cc", "dd ee aa", "zz zz zz"])
+    t = pa.table({"page_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = (contamination_screen(
+        ray.data.from_arrow(t).repartition(7), bench)
+        .to_pandas().sort_values("page_id").reset_index(drop=True))
+    bset = set(bench.tolist())
+    for i, txt in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", txt.lower())
+        grams = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        assert got.loc[i, "n_grams"] == len(grams), i
+        assert got.loc[i, "n_hits"] == sum(g in bset for g in grams), i
+
+
+def test_contamination_screen_empty_bench(ray_session):
+    import ray
+    from shapefile_rs_ray.stages.ngrams import contamination_screen
+    t = pa.table({"page_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["aa bb cc dd", "ee"])})
+    got = (contamination_screen(ray.data.from_arrow(t),
+                                np.array([], dtype=str))
+           .to_pandas().sort_values("page_id"))
+    assert got["n_grams"].tolist() == [2, 0]
+    assert got["n_hits"].tolist() == [0, 0]
