@@ -773,6 +773,20 @@ def _window_distinct(sf_dir: str):
     return window_distinct_users(ev)
 
 
+def _cms_users(sf_dir: str):
+    """Count-Min sketch of events.user_id as a (row, col, n) counter
+    table: d=4 row-seeded splitmix hashes, per-batch collapse to <= d*w
+    cells, bounded integer-SUM merge — bit-exact vs the UNION-ALL SQL
+    restatement; point estimates are a pure driver function (pytest
+    asserts the one-sided overestimate contract)."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.sketch import cms_counters
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    return cms_counters(ev, col="user_id")
+
+
 def _hll_window_users(sf_dir: str):
     """GROUPED HyperLogLog: one 64-register sketch per tumbling hour —
     the mergeable-sketch-per-key shape; register table bit-exact vs the
@@ -1638,6 +1652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "hll_users": _hll_users,
         "hll_window_users": _hll_window_users,
+        "cms_users": _cms_users,
         "window_distinct": _window_distinct,
         "sample_pages": _sample_pages,
         "stratified_sample": _stratified_sample,
@@ -1766,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "hll_users": oracles.hll_users_sql(),
         "hll_window_users": oracles.hll_window_users_sql(WINDOW_SECONDS),
+        "cms_users": oracles.cms_users_sql(),
         "window_distinct": oracles.window_distinct_sql(WINDOW_SECONDS),
         "sample_pages": oracles.sample_pages_sql(SAMPLE_PPM),
         "stratified_sample": oracles.stratified_sample_sql(

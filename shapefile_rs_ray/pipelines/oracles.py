@@ -987,3 +987,18 @@ SELECT geom_id, CAST(COUNT(*) AS BIGINT) AS n_pages,
        CAST(SUM(n_chars) AS BIGINT) AS sum_measure
 FROM hits GROUP BY geom_id
 """
+
+
+def cms_users_sql(d: int = 4, w: int = 1024) -> str:
+    """cms_users oracle: one UNION ALL arm per Count-Min hash row,
+    identical row-seeded splitmix (hash_r(x) = splitmix64(x*d + r)) and
+    modulus, integer COUNT merge (order-free)."""
+    arms = []
+    for r in range(d):
+        hv = _splitmix_sql(f"(user_id * {d} + {r})")
+        arms.append(
+            f"SELECT {r} AS row, CAST(({hv}) % {w} AS BIGINT) AS col "
+            f"FROM events")
+    u = " UNION ALL ".join(arms)
+    return (f"SELECT row, col, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM ({u}) GROUP BY row, col")

@@ -110,6 +110,62 @@ def hll_registers_by(ds, *, key_col: str, col: str, m: int = HLL_M):
             .map_batches(unpack, batch_format="pyarrow"))
 
 
+CMS_D = 4            # hash rows
+CMS_W = 1024         # counters per row; eps ~ e/w, delta ~ e^-d
+
+
+def cms_counters(ds, *, col: str, d: int = CMS_D, w: int = CMS_W):
+    """Count-Min sketch of an int64 column as a (row, col, count) counter
+    table — the mergeable frequency summary (heavy-hitter screens, join
+    cardinality hints). Counters merge with integer SUM (order-free), so
+    the whole table is bit-exact vs the SQL restatement; the sketch is
+    approximate w.r.t. true frequencies (one-sided overestimate) but
+    EXACT w.r.t. its own definition. Per batch: d vectorized splitmix64
+    evaluations + one np.unique collapse to <= d*w cells; the merge
+    groupby is BOUNDED at d*w rows regardless of input size.
+
+    Row-seeding: hash_r(x) = splitmix64(x*d + r); x must be in
+    [0, 2^61) so x*d + r cannot overflow int64 — DuckDB BIGINT raises on
+    overflow while numpy wraps, so the engine enforces the shared domain."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[col], np.int64)
+        if len(x) and (x.min() < 0 or x.max() >= (1 << 61)):
+            raise ValueError(f"{col} must be in [0, 2^61) for the "
+                             "SQL-parity row-seeded splitmix input")
+        keys = [splitmix64((x * np.int64(d) + np.int64(r))
+                           .astype(np.uint64)) % np.uint64(w)
+                + np.uint64(r * w) for r in range(d)]
+        uniq, cnt = np.unique(np.concatenate(keys).astype(np.int64),
+                              return_counts=True)
+        return pa.table({"cell": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        cell = np.asarray(batch["cell"], np.int64)
+        return pa.table({
+            "row": pa.array(cell // w, pa.int64()),
+            "col": pa.array(cell % w, pa.int64()),
+            "n": batch["n"],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cell").aggregate(Sum("n", alias_name="n"))
+            .map_batches(unpack, batch_format="pyarrow"))
+
+
+def cms_estimate(counters, x: int, *, d: int = CMS_D, w: int = CMS_W) -> int:
+    """Point frequency estimate from a {(row, col): count} dict — min over
+    the d counters (pure driver-side function of the tiny merged table)."""
+    est = None
+    for r in range(d):
+        h = int(splitmix64(np.array([x * d + r], np.uint64))[0]) % w
+        c = counters.get((r, h), 0)
+        est = c if est is None else min(est, c)
+    return int(est or 0)
+
+
 def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
     """Standard HLL estimate (with the small-range linear-counting
     correction) from a {register: max_rank} dict — a pure driver-side

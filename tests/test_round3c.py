@@ -423,3 +423,29 @@ def test_contamination_screen_empty_bench(ray_session):
            .to_pandas().sort_values("page_id"))
     assert got["n_grams"].tolist() == [2, 0]
     assert got["n_hits"].tolist() == [0, 0]
+
+
+def test_cms_overestimate_contract(ray_session):
+    import collections
+
+    import ray
+    from shapefile_rs_ray.stages.sketch import cms_counters, cms_estimate
+    rng = np.random.default_rng(61)
+    # zipf-ish: few heavy ids + tail
+    ids = np.concatenate([np.repeat(7, 5000), np.repeat(13, 2000),
+                          rng.integers(100, 5000, 8000)]).astype(np.int64)
+    t = pa.table({"user_id": pa.array(ids)})
+    got = (cms_counters(ray.data.from_arrow(t).repartition(9),
+                        col="user_id").to_pandas())
+    counters = {(r.row, r.col): r.n for r in got.itertuples()}
+    true = collections.Counter(ids.tolist())
+    for x in [7, 13, 999999]:
+        est = cms_estimate(counters, x)
+        assert est >= true.get(x, 0), x          # one-sided overestimate
+    assert cms_estimate(counters, 7) <= true[7] + len(ids) * 4 / 1024
+    # partition invariance (integer SUM merge is order-free)
+    got2 = (cms_counters(ray.data.from_arrow(t).repartition(3),
+                         col="user_id").to_pandas())
+    a = got.sort_values(["row", "col"]).reset_index(drop=True)
+    b = got2.sort_values(["row", "col"]).reset_index(drop=True)
+    assert a.values.tolist() == b.values.tolist()
