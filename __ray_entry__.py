@@ -1611,6 +1611,19 @@ def _simplify_lakes(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def _clip_lakes(sf_dir: str):
+    """Liang-Barsky clip of every lake ring edge to a Great-Lakes tile
+    bbox through the DISTRIBUTED decode; parametric ts / clipped
+    endpoints bit-exact vs the SQL twin (selection + identical IEEE
+    division / mult-add)."""
+    from shapefile_rs_ray.pipelines.oracles import ensure_lakes_vertices
+    from shapefile_rs_ray.sources.shapefile import read_shapefile_dataset
+    from shapefile_rs_ray.stages.clip import clip_edges
+    ensure_lakes_vertices()
+    ds = read_shapefile_dataset(LAKES, records_per_task=300)
+    return ds.map_batches(clip_edges, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "webpages": _webpages,
@@ -1664,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_lakes": _decode_lakes,
         "lake_measures": _lake_measures,
         "simplify_lakes": _simplify_lakes,
+        "clip_lakes": _clip_lakes,
         "html_extract": _html_extract,
         "image_meta": _image_meta,
         "audio_frames": _audio_frames,
@@ -2180,6 +2194,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         oracles.LAKES_VERTICES_PQ, oracles.LAKES_SUMMARY_PQ)
     out["simplify_lakes"] = ("SELECT geom_id, part_idx, vtx_idx, x, y "
                              f"FROM read_parquet('{oracles.DP_GOLDEN_PQ}')")
+    from shapefile_rs_ray.stages.clip import clip_edges_sql
+    out["clip_lakes"] = clip_edges_sql(oracles.LAKES_VERTICES_PQ)
     from shapefile_rs_ray.stages.ngrams import ngram_topk_sql
     out["bigram_counts"] = ngram_topk_sql("documents", n=2, k=100)
     out["decontaminate"] = f"""

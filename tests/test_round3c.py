@@ -449,3 +449,46 @@ def test_cms_overestimate_contract(ray_session):
     a = got.sort_values(["row", "col"]).reset_index(drop=True)
     b = got2.sort_values(["row", "col"]).reset_index(drop=True)
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_clip_edges_vs_bruteforce():
+    """Every kept sub-segment lies inside the box (endpoints within, up
+    to float eps); every fully-inside edge keeps t0=0,t1=1; every edge
+    with both endpoints strictly one side outside rejects."""
+    from shapefile_rs_ray.stages.clip import clip_edges
+
+    rng = np.random.default_rng(67)
+    box = (-1.0, -1.0, 1.0, 1.0)
+    rings = []
+    for _ in range(50):
+        k = int(rng.integers(2, 8))
+        pts = rng.uniform(-3, 3, (k, 2))
+        pts = np.vstack([pts, pts[0]])
+        rings.append([tuple(p) for p in pts])
+    # axis-parallel + degenerate edges
+    rings.append([(0.0, -2.0), (0.0, 2.0), (2.0, 2.0), (0.0, -2.0)])
+    rings.append([(0.5, 0.5), (0.5, 0.5), (0.9, 0.5), (0.5, 0.5)])
+    got = clip_edges(_xy_table([[r] for r in rings]),
+                     box=box).to_pandas()
+    eps = 1e-9
+    for r in got.itertuples():
+        for cx, cy in ((r.cx1, r.cy1), (r.cx2, r.cy2)):
+            assert -1 - eps <= cx <= 1 + eps, r
+            assert -1 - eps <= cy <= 1 + eps, r
+        assert 0.0 <= r.t0 <= r.t1 <= 1.0
+
+    kept = {(r.geom_id, r.part_idx, r.edge_idx) for r in got.itertuples()}
+    for gi, ring in enumerate(rings):
+        for ei in range(len(ring) - 1):
+            (ax, ay), (bx, by) = ring[ei], ring[ei + 1]
+            inside_a = -1 <= ax <= 1 and -1 <= ay <= 1
+            inside_b = -1 <= bx <= 1 and -1 <= by <= 1
+            if inside_a and inside_b:
+                assert (gi, 0, ei) in kept
+                row = got[(got.geom_id == gi) & (got.edge_idx == ei)]
+                assert row.iloc[0]["t0"] == 0.0
+                assert row.iloc[0]["t1"] == 1.0
+            # both strictly beyond the same boundary -> must reject
+            if (ax < -1 and bx < -1) or (ax > 1 and bx > 1) \
+                    or (ay < -1 and by < -1) or (ay > 1 and by > 1):
+                assert (gi, 0, ei) not in kept
