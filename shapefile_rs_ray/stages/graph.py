@@ -84,7 +84,7 @@ def _min_per_node(cand, parts: int):
 
 
 def min_label_components(pairs, *, a_col: str = "id_a", b_col: str = "id_b",
-                         parts: int = CC_PARTS, max_rounds: int = 24):
+                         parts: int | None = None, max_rounds: int = 24):
     """Dataset(node, cluster_id): connected components of the undirected
     pair graph; cluster_id = the component's minimum node id (order-free,
     so the result is deterministic at any parallelism). Node ids must be
@@ -98,6 +98,13 @@ def min_label_components(pairs, *, a_col: str = "id_a", b_col: str = "id_b",
     # pairs feeds BOTH the edge build and _distinct_nodes — pin it once so
     # an expensive lazy producer (e.g. the MinHash verify tail) runs once
     pairs = pairs.materialize()
+    if parts is None:
+        # partition ladder by graph size: the loop pays (groupby tasks x
+        # rounds), so 251 partitions over a 100k-pair graph is pure
+        # scheduler overhead (measured: the gate's dup_clusters spent
+        # most of its 17 s on empty groups); primes per the modulus rule
+        n_pairs = pairs.count()
+        parts = 61 if n_pairs < 5_000_000 else CC_PARTS
 
     def as_directed(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch[a_col], np.int64)
@@ -162,8 +169,10 @@ def min_label_components(pairs, *, a_col: str = "id_a", b_col: str = "id_b",
     def take_jump(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"], "lbl": batch["lbl2"]})
 
-    for _ in range(max_rounds):
-        if edges.count() > 0:
+    for _round in range(max_rounds):
+        # round 0's labels are the identity, so its relabel is a no-op —
+        # skip the two joins (the input pair list has no self-loops)
+        if _round > 0 and edges.count() > 0:
             # 1. contract: relabel src, then dst, through current labels
             e1 = shuffle_join(
                 edges,
@@ -184,6 +193,10 @@ def min_label_components(pairs, *, a_col: str = "id_a", b_col: str = "id_b",
             cand = cand.union(
                 edges.map_batches(offer, batch_format="pyarrow"))
         labels = _min_per_node(cand, parts).materialize()  # used twice below
+        # (NO fixpoint check here: a no-change min step does NOT imply the
+        # jump is the identity — labels are only jump-consistent up to one
+        # level after a jump; returning early here mislabels 185/400
+        # simulated graphs. The sum criterion is valid only post-jump.)
 
         # 3. pointer jump lbl <- lbl[lbl]
         jumped = shuffle_join(
@@ -191,7 +204,6 @@ def min_label_components(pairs, *, a_col: str = "id_a", b_col: str = "id_b",
             key="lbl", right_cols=("lbl2",), parts=parts)
         labels = (jumped.map_batches(take_jump, batch_format="pyarrow")
                   .repartition(n_blocks).materialize())
-
         cur_sum = labels.sum("lbl") or 0
         if cur_sum == prev_sum:
             return labels.map_batches(final, batch_format="pyarrow")
