@@ -1168,8 +1168,11 @@ def _tpch_q3(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"])
         .map_batches(prep_lineitem, batch_format="pyarrow"))
+    from shapefile_rs_ray.stages.relational import parts_for
+    jp = parts_for(pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows)
     joined = shuffle_join(li, orders, key="l_orderkey",
-                          right_cols=("odate_us",))
+                          right_cols=("odate_us",), parts=jp)
     agg = grouped_intsum(joined, group_col="l_orderkey", sum_col="rev",
                          carry_max_col="odate_us")
 
@@ -1205,6 +1208,9 @@ def _tpch_q5(sf_dir: str):
     from shapefile_rs_ray.stages.relational import (broadcast_join,
                                                     grouped_intsum,
                                                     shuffle_join)
+    from shapefile_rs_ray.stages.relational import parts_for
+    jp = parts_for(pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows)
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
     asia = region.filter(pc.equal(region["r_name"], "ASIA"))
@@ -1242,7 +1248,7 @@ def _tpch_q5(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
         .map_batches(prep_orders, batch_format="pyarrow"))
     orders = shuffle_join(orders, cust, key="o_custkey",
-                          right_cols=("c_nationkey",))
+                          right_cols=("c_nationkey",), parts=jp)
     orders = orders.select_columns(["l_orderkey", "c_nationkey"])
 
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
@@ -1269,7 +1275,7 @@ def _tpch_q5(sf_dir: str):
                         dim_cols=("s_nationkey",))
 
     joined = shuffle_join(li, orders, key="l_orderkey",
-                          right_cols=("c_nationkey",))
+                          right_cols=("c_nationkey",), parts=jp)
 
     def same_nation(b: pa.Table) -> pa.Table:
         keep = pc.equal(b["s_nationkey"], b["c_nationkey"])

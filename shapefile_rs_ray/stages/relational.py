@@ -120,6 +120,19 @@ def broadcast_join(ds, dim_table: pa.Table, *, key: str,
 JOIN_PARTS = 251   # prime (CLAUDE.md partition-modulus rule)
 
 
+def parts_for(n_rows: int) -> int:
+    """Prime partition-count ladder by expected exchange size. JOIN_PARTS
+    is the at-scale setting; a tiny input pays one scheduler round trip
+    per (mostly empty) group, so callers that KNOW their fact size (e.g.
+    from parquet metadata) pick the rung — the result is partition-count
+    invariant either way."""
+    if n_rows < 200_000:
+        return 13
+    if n_rows < 5_000_000:
+        return 61
+    return JOIN_PARTS
+
+
 NULL_KEY_SENTINEL = np.int64(-(2 ** 63))   # INT64_MIN
 
 
