@@ -67,6 +67,17 @@ def _tile_cells(sf_dir: str):
               .select_columns(["page_id", "cell"]))
 
 
+def _tile_pyramid(sf_dir: str):
+    """Multi-zoom tile-pyramid counts (zoom 4..12): integer parent
+    derivation from the shared zoom-12 base cell, partial counts before
+    ONE coarse shuffle."""
+    from shapefile_rs_ray.pipelines.flagship import tile_pyramid
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id", "lon", "lat"]))
+    return tile_pyramid(pages)
+
+
 def _hot_cells(sf_dir: str):
     """Cells with page count above threshold — exact counts through the
     coarse-partition merge (occupied cells grow with the corpus at zoom 12,
@@ -1635,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webpages": _webpages,
         "tile_cells": _tile_cells,
         "hot_cells": _hot_cells,
+        "tile_pyramid": _tile_pyramid,
         "pip_join": _pip_join,
         "pip_join_cellpart": _pip_join_cellpart,
         "pip_join_h3": _pip_join_h3,
@@ -1799,6 +1811,15 @@ def oracle_sql() -> dict[str, str]:
         "focal_stats": oracles.focal_stats_sql(),
         "vectorize_regions": oracles.vectorize_regions_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
+        "tile_pyramid": f"""
+WITH {pages},
+base AS (SELECT {cell12} AS cell FROM pages),
+b2 AS (SELECT cell // 4096 AS ix, cell % 4096 AS iy FROM base),
+u AS ({" UNION ALL ".join(
+    f"SELECT {z} AS zoom, ix // {1 << (12 - z)} AS cx, "
+    f"iy // {1 << (12 - z)} AS cy FROM b2" for z in (4, 6, 8, 10, 12))})
+SELECT zoom, cx, cy, CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM u GROUP BY zoom, cx, cy""",
         "hll_users": oracles.hll_users_sql(),
         "hll_window_users": oracles.hll_window_users_sql(WINDOW_SECONDS),
         "cms_users": oracles.cms_users_sql(),

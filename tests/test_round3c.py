@@ -492,3 +492,35 @@ def test_clip_edges_vs_bruteforce():
             if (ax < -1 and bx < -1) or (ax > 1 and bx > 1) \
                     or (ay < -1 and by < -1) or (ay > 1 and by > 1):
                 assert (gi, 0, ei) not in kept
+
+
+def test_tile_pyramid_nests_exactly(ray_session):
+    """Every zoom-z count == the sum of its 4 children at z+2 (exact
+    integer nesting from the shared base cell), and the finest level
+    matches a direct pandas count."""
+    import ray
+    from shapefile_rs_ray.functions.cells import grid_cell
+    from shapefile_rs_ray.pipelines.flagship import tile_pyramid
+    rng = np.random.default_rng(71)
+    n = 20000
+    lon = rng.uniform(-179, 179, n)
+    lat = rng.uniform(-85, 85, n)
+    t = pa.table({"page_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lon": pa.array(lon), "lat": pa.array(lat)})
+    got = (tile_pyramid(ray.data.from_arrow(t).repartition(7))
+           .to_pandas())
+    assert (got.groupby("zoom")["n_pages"].sum() == n).all()
+    base = grid_cell(lon, lat, 12)
+    ix, iy = base // 4096, base % 4096
+    import pandas as pd
+    exp12 = (pd.DataFrame({"cx": ix, "cy": iy}).groupby(["cx", "cy"])
+             .size().rename("n").reset_index())
+    g12 = got[got.zoom == 12].sort_values(["cx", "cy"]).reset_index(drop=True)
+    assert len(g12) == len(exp12)
+    assert g12["n_pages"].tolist() == exp12.sort_values(["cx", "cy"])["n"].tolist()
+    for z in (4, 6, 8, 10):
+        parent = got[got.zoom == z].set_index(["cx", "cy"])["n_pages"]
+        child = got[got.zoom == z + 2].copy()
+        rolled = (child.assign(cx=child.cx // 4, cy=child.cy // 4)
+                  .groupby(["cx", "cy"])["n_pages"].sum())
+        assert parent.sort_index().equals(rolled.sort_index()), z
