@@ -308,12 +308,8 @@ def _decontaminate(sf_dir: str):
                                                 contamination_screen)
 
     def bench_filter(batch):
-        import pyarrow.compute as _pc
-        keep = _pc.equal(_pc.subtract(
-            batch["doc_id"],
-            _pc.multiply(_pc.divide(batch["doc_id"], pa.scalar(37)),
-                         pa.scalar(37))), pa.scalar(0))
-        return batch.filter(keep)
+        keep = np.asarray(batch["doc_id"], np.int64) % 37 == 0
+        return batch.filter(pa.array(keep))
 
     bench = (read_documents(sf_dir, columns=["doc_id", "text"])
              .map_batches(bench_filter, batch_format="pyarrow"))

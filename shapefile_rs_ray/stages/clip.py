@@ -43,10 +43,12 @@ def clip_edges(batch: pa.Table, *, box=TILE_BOX) -> pa.Table:
     x2, y2 = x[1:], y[1:]
     dx = x2 - x1
     dy = y2 - y1
-    # edges crossing part boundaries are not real ring edges
+    # edges crossing part boundaries are not real ring edges; a leading
+    # EMPTY part puts 0 in bounds, and 0 - 1 would wrap to real[-1] and
+    # silently drop the batch's last genuine edge — exclude it
     real = np.ones(n - 1, bool)
     bounds = pt_cum[1:-1]
-    real[bounds[bounds <= n - 1] - 1] = False
+    real[bounds[(bounds > 0) & (bounds <= n - 1)] - 1] = False
 
     with np.errstate(divide="ignore", invalid="ignore"):
         tl = (xmin - x1) / dx

@@ -38,6 +38,35 @@ def _empty(n_cols: int = 3) -> pa.Table:
     return pa.table(cols)
 
 
+def _doc_ngrams(texts, n: int):
+    """Shared tokenize->n-gram kernel: lower + [a-z0-9]+ split (ONE Arrow
+    regex kernel), shifted-take gram join, doc-boundary + empty-edge-token
+    masking. Returns (grams StringArray, owner int64[] doc indices) — or
+    (None, None) when no gram exists. EVERY n-gram consumer in this module
+    must go through here: the decontaminate oracle's bit parity depends on
+    one single tokenization."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.cast(texts, pa.string())), pattern="[^a-z0-9]+")
+    lens = np.asarray(pc.list_value_length(toks), np.int64)
+    flat = pc.list_flatten(toks).combine_chunks()
+    total = len(flat)
+    if total < n:
+        return None, None
+    nonempty = np.asarray(pc.not_equal(flat, pa.scalar("")), bool)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    m = total - n + 1
+    valid = nonempty[:m].copy()
+    for j in range(1, n):
+        valid &= nonempty[j:m + j]
+        valid &= doc_of[j:m + j] == doc_of[:m]
+    idx = np.nonzero(valid)[0]
+    if len(idx) == 0:
+        return None, None
+    pieces = [pc.take(flat, pa.array(idx + j, pa.int64()))
+              for j in range(n)]
+    return pc.binary_join_element_wise(*pieces, " "), doc_of[idx]
+
+
 def ngram_topk(docs, *, text_col: str = "text", n: int = 2, k: int = 100,
                parts: int = GRAM_PARTS):
     """(gram, cnt): the corpus's k most frequent word n-grams, ties broken
@@ -45,27 +74,9 @@ def ngram_topk(docs, *, text_col: str = "text", n: int = 2, k: int = 100,
     assert n >= 2
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.cast(batch[text_col], pa.string())),
-            pattern="[^a-z0-9]+")
-        lens = np.asarray(pc.list_value_length(toks), np.int64)
-        flat = pc.list_flatten(toks).combine_chunks()
-        total = len(flat)
-        if total < n:
+        grams, _ = _doc_ngrams(batch[text_col], n)
+        if grams is None:
             return _empty()
-        nonempty = np.asarray(pc.not_equal(flat, pa.scalar("")), bool)
-        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        m = total - n + 1
-        valid = nonempty[:m].copy()
-        for j in range(1, n):
-            valid &= nonempty[j:m + j]
-            valid &= doc_of[j:m + j] == doc_of[:m]
-        idx = np.nonzero(valid)[0]
-        if len(idx) == 0:
-            return _empty()
-        pieces = [pc.take(flat, pa.array(idx + j, pa.int64()))
-                  for j in range(n)]
-        grams = pc.binary_join_element_wise(*pieces, " ")
         vc = pc.value_counts(grams)
         uniq = vc.field("values")
         cnt = pc.cast(vc.field("counts"), pa.int64())
@@ -126,38 +137,19 @@ def contamination_screen(pages, bench_grams: "np.ndarray", *,
         bsorted = ray.get(bref)
         n_rows = batch.num_rows
         pid = np.asarray(batch[id_col], np.int64)
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.cast(batch[text_col], pa.string())),
-            pattern="[^a-z0-9]+")
-        lens = np.asarray(pc.list_value_length(toks), np.int64)
-        flat = pc.list_flatten(toks).combine_chunks()
-        total = len(flat)
         n_grams = np.zeros(n_rows, np.int64)
         n_hits = np.zeros(n_rows, np.int64)
-        if total >= 3:
-            nonempty = np.asarray(pc.not_equal(flat, pa.scalar("")), bool)
-            doc_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-            m = total - 2
-            valid = nonempty[:m].copy()
-            for j in (1, 2):
-                valid &= nonempty[j:m + j]
-                valid &= doc_of[j:m + j] == doc_of[:m]
-            idx = np.nonzero(valid)[0]
-            if len(idx):
-                grams = pc.binary_join_element_wise(
-                    pc.take(flat, pa.array(idx, pa.int64())),
-                    pc.take(flat, pa.array(idx + 1, pa.int64())),
-                    pc.take(flat, pa.array(idx + 2, pa.int64())), " ")
-                g = np.asarray(grams, dtype=str)
-                owner = doc_of[idx]
-                if len(bsorted):
-                    pos = np.searchsorted(bsorted, g)
-                    pos = np.minimum(pos, len(bsorted) - 1)
-                    hit = bsorted[pos] == g
-                else:
-                    hit = np.zeros(len(g), bool)
-                np.add.at(n_grams, owner, 1)
-                np.add.at(n_hits, owner, hit.astype(np.int64))
+        grams, owner = _doc_ngrams(batch[text_col], 3)
+        if grams is not None:
+            g = np.asarray(grams, dtype=str)
+            if len(bsorted):
+                pos = np.searchsorted(bsorted, g)
+                pos = np.minimum(pos, len(bsorted) - 1)
+                hit = bsorted[pos] == g
+            else:
+                hit = np.zeros(len(g), bool)
+            np.add.at(n_grams, owner, 1)
+            np.add.at(n_hits, owner, hit.astype(np.int64))
         return pa.table({
             id_col: pa.array(pid, pa.int64()),
             "n_grams": pa.array(n_grams, pa.int64()),
@@ -172,28 +164,9 @@ def bench_gram_set(docs, *, text_col: str = "text") -> "np.ndarray":
     — per-batch distinct partials, driver-merged (the benchmark side of a
     decontamination screen is eval-suite-sized by definition)."""
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.cast(batch[text_col], pa.string())),
-            pattern="[^a-z0-9]+")
-        lens = np.asarray(pc.list_value_length(toks), np.int64)
-        flat = pc.list_flatten(toks).combine_chunks()
-        total = len(flat)
-        if total < 3:
+        grams, _ = _doc_ngrams(batch[text_col], 3)
+        if grams is None:
             return pa.table({"gram": pa.array([], pa.string())})
-        nonempty = np.asarray(pc.not_equal(flat, pa.scalar("")), bool)
-        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        m = total - 2
-        valid = nonempty[:m].copy()
-        for j in (1, 2):
-            valid &= nonempty[j:m + j]
-            valid &= doc_of[j:m + j] == doc_of[:m]
-        idx = np.nonzero(valid)[0]
-        if not len(idx):
-            return pa.table({"gram": pa.array([], pa.string())})
-        grams = pc.binary_join_element_wise(
-            pc.take(flat, pa.array(idx, pa.int64())),
-            pc.take(flat, pa.array(idx + 1, pa.int64())),
-            pc.take(flat, pa.array(idx + 2, pa.int64())), " ")
         return pa.table({"gram": pc.unique(grams)})
 
     parts = docs.map_batches(partial, batch_format="pyarrow").take_all()

@@ -524,3 +524,16 @@ def test_tile_pyramid_nests_exactly(ray_session):
         rolled = (child.assign(cx=child.cx // 4, cy=child.cy // 4)
                   .groupby(["cx", "cy"])["n_pages"].sum())
         assert parent.sort_index().equals(rolled.sort_index()), z
+
+
+def test_clip_edges_leading_empty_part():
+    """A batch whose FIRST part is empty must not wrap the part-boundary
+    mask to the batch's last edge (regression: review found bounds-1
+    indexing real[-1])."""
+    from shapefile_rs_ray.stages.clip import clip_edges
+    sq = [(0.0, 0.0), (0.0, 0.5), (0.5, 0.5), (0.0, 0.0)]
+    got = clip_edges(_xy_table([[[], sq]]), box=(-1, -1, 1, 1)).to_pandas()
+    # all 3 edges of the fully-inside ring survive, incl. the LAST one
+    assert len(got) == 3
+    assert sorted(got["edge_idx"].tolist()) == [0, 1, 2]
+    assert (got["t0"] == 0.0).all() and (got["t1"] == 1.0).all()
