@@ -1002,3 +1002,56 @@ def cms_users_sql(d: int = 4, w: int = 1024) -> str:
     u = " UNION ALL ".join(arms)
     return (f"SELECT row, col, CAST(COUNT(*) AS BIGINT) AS n "
             f"FROM ({u}) GROUP BY row, col")
+
+
+# ---------------------------------------------------------------------------
+# ANN consistency goldens (VERDICT-r3 #4: no more `no_oracle` gate rows)
+# ---------------------------------------------------------------------------
+
+ANN_LSH_PAIRS_PQ = os.path.join(ORACLE_DIR, "ann_lsh_pairs.parquet")
+ANN_IVF_PAIRS_PQ = os.path.join(ORACLE_DIR, "ann_ivf_pairs.parquet")
+
+
+def write_ann_pairs_golden(res, path: str):
+    """Materialize an ANN consistency result (vec_id, rank, nn_id, dot_q,
+    na_q, nb_q) and write its PAIR LIST (ids only) as the oracle golden.
+    The harness runs the Ray query before its oracle, so the oracle can
+    join the golden pairs against the embeddings table and independently
+    recompute each pair's quantized cosine components; the engine's
+    emitted dot_q/na_q/nb_q values are what the hash compare verifies.
+    Returns the materialized dataset (so the query callable hands the
+    driver an already-executed result)."""
+    import ray
+    mat = res.materialize()
+    tbls = [ray.get(r) for r in mat.to_arrow_refs()]
+    tbls = [t for t in tbls if t.num_rows]
+    if tbls:
+        tbl = pa.concat_tables(tbls)
+    else:
+        tbl = pa.table({"vec_id": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64()),
+                        "nn_id": pa.array([], pa.int64())})
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(tbl.select(["vec_id", "rank", "nn_id"]), tmp)
+    os.replace(tmp, path)
+    return mat
+
+
+def ann_consistency_sql(path: str) -> str:
+    """Oracle twin of stages/ann.py PairConsistency: q(x) = floor(x * 2^20)
+    per component (float->double widening and power-of-two multiply are
+    exact, so FLOOR matches numpy bit-for-bit), then pure BIGINT sums."""
+    return f"""
+WITH g AS (SELECT vec_id, "rank", nn_id FROM read_parquet('{path}')),
+e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS q
+      FROM embeddings)
+SELECT g.vec_id, g."rank" AS "rank", g.nn_id,
+       CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                                    p -> p[1] * p[2])) AS BIGINT) AS dot_q,
+       CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS na_q,
+       CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS nb_q
+FROM g JOIN e a ON g.vec_id = a.vec_id
+       JOIN e b ON g.nn_id = b.vec_id"""

@@ -521,3 +521,84 @@ def ivf_topk(embeddings, corpus, *, k: int = 1, n_centroids: int = 16,
              .groupby("__p").map_groups(search, batch_format="pyarrow"))
     return (cands.map_batches(add_qp, batch_format="pyarrow")
             .groupby("__p").map_groups(merge, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# consistency projection: make approximate results gate-checkable
+# ---------------------------------------------------------------------------
+
+QUANT_SCALE = 1048576.0     # 2^20: float32->float64 widening and the
+                            # power-of-two multiply are both EXACT, so
+                            # floor(x * 2^20) is bit-identical between
+                            # numpy and DuckDB (CLAUDE.md float-parity rule)
+
+
+def _quantize(M: np.ndarray) -> np.ndarray:
+    return np.floor(M * QUANT_SCALE).astype(np.int64)
+
+
+class PairConsistency:
+    """map_batches actor: append the integer-quantized cosine components
+    (dot_q, na_q, nb_q) of every returned (vec_id, nn_id) pair, where
+    q(x) = floor(float64(x) * 2^20) per embedding component and
+    dot_q = sum(q(a_i) * q(b_i)), na_q = sum(q(a_i)^2), nb_q = sum(q(b_i)^2)
+    — pure int64 arithmetic (dim 64 x ~2^19 components peaks ~2^46, far
+    from overflow), so a DuckDB oracle recomputes them bit-exactly.
+
+    This is the VERDICT-r3 #4 fix: approximate ANN rankings can't be
+    SQL-oracled row-for-row (the pair CHOICE is approximate), but the
+    pair's similarity claim can — the engine writes its returned pairs as
+    a golden parquet and the oracle independently recomputes each pair's
+    quantized components from the embeddings table. An engine that
+    misreports similarity (stale vectors, wrong gather, broken matmul)
+    fails the hash compare; recall vs the exact path stays pytest-asserted.
+
+    Scale: per batch only the batch's own pair members are gathered —
+    the corpus streams shard-by-shard from the object store exactly like
+    CosineTopK; per-actor state is the _ShardedCorpus cache, never the
+    whole corpus.
+    """
+
+    def __init__(self, corpus_ref, id_col: str = "vec_id"):
+        self.id_col = id_col
+        self.corpus = _ShardedCorpus(corpus_ref, id_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[self.id_col], np.int64)
+        c = np.asarray(batch["nn_id"], np.int64)
+        need = np.unique(np.concatenate([v, c]))
+        got_id, got_q = [], []
+        for cids, M, _norms in self.corpus.shards():
+            m = np.isin(cids, need, assume_unique=False)
+            if m.any():
+                got_id.append(cids[m])
+                got_q.append(_quantize(M[m]))
+        ids_all = np.concatenate(got_id) if got_id else np.empty(0, np.int64)
+        if len(ids_all) < len(need):
+            missing = np.setdiff1d(need, ids_all)
+            raise KeyError(
+                f"PairConsistency: {len(missing)} pair member ids absent "
+                f"from the corpus (first: {missing[:5].tolist()})")
+        Q = np.vstack(got_q)
+        order = np.argsort(ids_all, kind="stable")
+        ids_all, Q = ids_all[order], Q[order]
+        Qa = Q[np.searchsorted(ids_all, v)]
+        Qb = Q[np.searchsorted(ids_all, c)]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "rank": batch["rank"],
+            "nn_id": batch["nn_id"],
+            "dot_q": pa.array((Qa * Qb).sum(axis=1), pa.int64()),
+            "na_q": pa.array((Qa * Qa).sum(axis=1), pa.int64()),
+            "nb_q": pa.array((Qb * Qb).sum(axis=1), pa.int64())})
+
+
+def with_pair_consistency(result, corpus, *, id_col: str = "vec_id",
+                          concurrency=(1, 4)):
+    """Append (dot_q, na_q, nb_q) to an ANN top-k result Dataset; `corpus`
+    is a pa.Table (broadcast) or Dataset (object-store shard refs)."""
+    return result.drop_columns(["cos"]).map_batches(
+        PairConsistency,
+        fn_constructor_kwargs={"corpus_ref": _corpus_ref(corpus, id_col),
+                               "id_col": id_col},
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
