@@ -1650,57 +1650,16 @@ def _clip_lakes(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING MATTERS: the driver's CORRECTNESS gate truncates at the
+    # first 50 entries (dict order). Front-load (a) queries whose oracle is
+    # new this round and (b) queries the gate has never seen green, then
+    # fill the window with driver-green staples representing the core
+    # surface; the remainder (all driver-green in earlier rounds) follows.
     return {
-        "webpages": _webpages,
-        "tile_cells": _tile_cells,
-        "hot_cells": _hot_cells,
-        "tile_pyramid": _tile_pyramid,
-        "pip_join": _pip_join,
-        "pip_join_cellpart": _pip_join_cellpart,
-        "pip_join_h3": _pip_join_h3,
-        "zonal_stats": _zonal_stats,
-        "bbox_join": _bbox_join,
-        "nearest_polygon": _nearest_polygon,
-        "zonal_cellpart": _zonal_cellpart,
-        "knn_sites": _knn_sites,
-        "knn_cellpart": _knn_cellpart,
-        "radius_join": _radius_join,
-        "embed_neardup": _embed_neardup,
-        "exact_dedup": _exact_dedup,
-        "token_stats": _token_stats,
-        "token_quantiles": _token_quantiles,
-        "tfidf_terms": _tfidf_terms,
-        "bigram_counts": _bigram_counts,
-        "decontaminate": _decontaminate,
-        "trigram_counts": _trigram_counts,
-        "value_quantiles": _value_quantiles,
-        "text_fidelity": _text_fidelity,
-        "langid": _langid,
-        "cells_multi": _cells_multi,
-        "h3_ring": _h3_ring,
-        "h3_polyfill": _h3_polyfill,
-        "h3_compact": _h3_compact,
-        "rasterize_zones": _rasterize_zones,
-        "focal_stats": _focal_stats,
-        "vectorize_regions": _vectorize_regions,
-        "hex_cells": _hex_cells,
-        "quality_corpus": _quality_corpus,
-        "minhash_pairs": _minhash_pairs,
-        "dup_clusters": _dup_clusters,
-        "jaccard_pairs": _jaccard_pairs,
-        "simhash_pairs": _simhash_pairs,
-        "hll_users": _hll_users,
-        "hll_window_users": _hll_window_users,
-        "cms_users": _cms_users,
-        "window_distinct": _window_distinct,
-        "sample_pages": _sample_pages,
-        "stratified_sample": _stratified_sample,
-        "value_histogram": _value_histogram,
-        "fingerprints": _fingerprints,
-        "ann_top1": _ann_top1,
+        # -- new/changed oracles this round --
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
-        "decode_lakes": _decode_lakes,
+        # -- never driver-verified before round 4 (local-green in r3) --
         "lake_measures": _lake_measures,
         "simplify_lakes": _simplify_lakes,
         "clip_lakes": _clip_lakes,
@@ -1734,6 +1693,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_max": _running_max,
         "lag_lead": _lag_lead,
         "union_split": _union_split,
+        # -- driver-green staples filling the 50-entry gate window --
+        "webpages": _webpages,
+        "decode_lakes": _decode_lakes,
+        "pip_join": _pip_join,
+        "pip_join_cellpart": _pip_join_cellpart,
+        "pip_join_h3": _pip_join_h3,
+        "knn_sites": _knn_sites,
+        "zonal_stats": _zonal_stats,
+        "minhash_pairs": _minhash_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "exact_dedup": _exact_dedup,
+        "tfidf_terms": _tfidf_terms,
+        "cells_multi": _cells_multi,
+        "h3_polyfill": _h3_polyfill,
+        "hot_cells": _hot_cells,
+        "ann_top1": _ann_top1,
+        # -- driver-green in r2/r3 (beyond the 50-entry window) --
+        "tile_cells": _tile_cells,
+        "tile_pyramid": _tile_pyramid,
+        "zonal_cellpart": _zonal_cellpart,
+        "bbox_join": _bbox_join,
+        "nearest_polygon": _nearest_polygon,
+        "knn_cellpart": _knn_cellpart,
+        "radius_join": _radius_join,
+        "embed_neardup": _embed_neardup,
+        "token_stats": _token_stats,
+        "token_quantiles": _token_quantiles,
+        "bigram_counts": _bigram_counts,
+        "decontaminate": _decontaminate,
+        "trigram_counts": _trigram_counts,
+        "value_quantiles": _value_quantiles,
+        "text_fidelity": _text_fidelity,
+        "langid": _langid,
+        "h3_ring": _h3_ring,
+        "h3_compact": _h3_compact,
+        "rasterize_zones": _rasterize_zones,
+        "focal_stats": _focal_stats,
+        "vectorize_regions": _vectorize_regions,
+        "hex_cells": _hex_cells,
+        "quality_corpus": _quality_corpus,
+        "dup_clusters": _dup_clusters,
+        "jaccard_pairs": _jaccard_pairs,
+        "hll_users": _hll_users,
+        "hll_window_users": _hll_window_users,
+        "cms_users": _cms_users,
+        "window_distinct": _window_distinct,
+        "sample_pages": _sample_pages,
+        "stratified_sample": _stratified_sample,
+        "value_histogram": _value_histogram,
+        "fingerprints": _fingerprints,
     }
 
 
