@@ -43,8 +43,8 @@ def _doc_ngrams(texts, n: int):
     regex kernel), shifted-take gram join, doc-boundary + empty-edge-token
     masking. Returns (grams StringArray, owner int64[] doc indices) — or
     (None, None) when no gram exists. EVERY n-gram consumer in this module
-    must go through here: the decontaminate oracle's bit parity depends on
-    one single tokenization."""
+    (and the tfidf stage, via n=1) must go through here: the decontaminate
+    and tfidf oracles' bit parity depends on one single tokenization."""
     toks = pc.split_pattern_regex(
         pc.utf8_lower(pc.cast(texts, pa.string())), pattern="[^a-z0-9]+")
     lens = np.asarray(pc.list_value_length(toks), np.int64)
@@ -62,6 +62,8 @@ def _doc_ngrams(texts, n: int):
     idx = np.nonzero(valid)[0]
     if len(idx) == 0:
         return None, None
+    if n == 1:
+        return pc.take(flat, pa.array(idx, pa.int64())), doc_of[idx]
     pieces = [pc.take(flat, pa.array(idx + j, pa.int64()))
               for j in range(n)]
     return pc.binary_join_element_wise(*pieces, " "), doc_of[idx]
