@@ -39,6 +39,14 @@ def _dedup_pairs(pairs, extra_col: str | None = None, parts: int = 61):
     partitions on id_b's low bits alone."""
 
     def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # fully-empty upstream groupby outputs can be schema-less
+            z = pa.array([], pa.int64())
+            cols = {"id_a": z, "id_b": z}
+            if extra_col is not None:
+                cols[extra_col] = z
+            cols["__p"] = z
+            return pa.table(cols)
         a = np.asarray(batch["id_a"], np.int64)
         b = np.asarray(batch["id_b"], np.int64)
         key = a * np.int64(1 << 31) + b        # ids < 2^31 by construction
@@ -141,14 +149,14 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
     Jaccard, and confirmed family pairs expand to member pairs through the
     member rows. Texts never shuffle.
 
-    Driver memory is BOUNDED: when the collision set exceeds
-    `max_driver_candidates` rows (adversarial / heavily clustered
-    corpora), pass 2 runs in hash-residue CHUNKS of ~that size. The chunk
-    id is a pure function of the (h_a, h_b) pair, so cross-partition
-    duplicates of a pair land in the same chunk and the global pair dedup
-    stays exact; each chunk pays one extra rep-filtered pass over the
-    corpus — the trade for never holding an unbounded candidate set on
-    the driver.
+    Pass 2 is ONE corpus pass at any candidate count (round-3 ran one
+    pass per driver-bounded chunk; K chunks cost K corpus scans): the
+    candidate set never touches the driver — global (h_a, h_b) dedup is
+    a coarse pair-hash shuffle, rep membership is a driver-bounded Bloom
+    bitmap (false positives only shingle extra pages; the attach join
+    drops them), and confirmed-family expansion is a member-hash
+    shuffle. `max_driver_candidates` is retained for API compatibility
+    but no longer chunks anything.
     """
     import ray
 
@@ -278,195 +286,353 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
     clones = (mixed.filter(expr="kind == 0")
               .map_batches(rename_pair, batch_format="pyarrow"))
 
-    # ---- pass 2: verify candidate family pairs by exact shingle Jaccard,
-    # in driver-bounded chunks of <= ~max_driver_candidates rows
+    # ---- pass 2: verify candidate family pairs by exact shingle Jaccard
+    # — fully distributed, ONE rep-filtered corpus pass at any scale
     cand_ds = (mixed.filter(expr="kind == 1")
                .select_columns(["a", "b", "rep_a", "rep_b"]))
-    n_cand_rows = cand_ds.count()
-    if n_cand_rows == 0:
+    cand = _dedup_cand(cand_ds).materialize()
+    if cand.count() == 0:
         return _dedup_pairs(clones)
 
     members = mixed.filter(expr="kind == 2").select_columns(["a", "b"])
-    verified = [clones]
-    for cand_tbl in _iter_candidate_chunks(
-            cand_ds, n_cand_rows, max_driver_candidates,
-            ("a", "b", "rep_a", "rep_b")):
-        expanded = _verify_chunk(
-            pages, members, cand_tbl, id_col=id_col, text_col=text_col,
-            jaccard_threshold=jaccard_threshold)
-        if expanded is not None:
-            verified.append(expanded)
-    out = verified[0]
-    if len(verified) > 1:
-        out = out.union(*verified[1:])
-    return _dedup_pairs(out)
+    confirmed = _verify_candidates(pages, cand, id_col=id_col,
+                                   text_col=text_col,
+                                   threshold=jaccard_threshold)
+    expanded = _expand_members(confirmed, members)
+    return _dedup_pairs(clones.union(expanded))
 
 
-def _dedup_candidate_chunk(cand_tbl, cols=("a", "b", "rep_a", "rep_b")):
-    """Driver-held global dedup of one candidate chunk on its (a, b)
-    key: lexsort + first-occurrence mask. The chunk id is a function of
-    (a, b), so a pair's duplicates are ALL in this chunk and
-    within-chunk dedup is global dedup. Returns the deduped column
-    arrays in `cols` order (int64)."""
-    arrays = [cand_tbl[c].to_numpy(np.int64) for c in cols]
-    ca, cb = arrays[0], arrays[1]
-    o = np.lexsort((cb, ca))
-    arrays = [x[o] for x in arrays]
-    ca, cb = arrays[0], arrays[1]
-    first = np.empty(len(ca), bool)
-    first[0:1] = True
-    first[1:] = (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])
-    return [x[first] for x in arrays]
+# ---------------------------------------------------------------------------
+# distributed candidate verification (shared by minhash + jaccard pass 2)
+# ---------------------------------------------------------------------------
+
+_REP_PARTS = 61
+_BLOOM_K = 8
+_BLOOM_BITS_PER_KEY = 16
+_EMPTY_SH = pa.list_(pa.string())
 
 
-def _build_rep_map(cra: np.ndarray, crb: np.ndarray
-                   ) -> dict[int, list[tuple[int, int]]]:
-    """rep page id -> [(pair_idx, side)] routing table for the
-    distributed verify (broadcast once via ray.put)."""
-    rep_map: dict[int, list[tuple[int, int]]] = {}
-    for i in range(len(cra)):
-        rep_map.setdefault(int(cra[i]), []).append((i, 0))
-        rep_map.setdefault(int(crb[i]), []).append((i, 1))
-    return rep_map
+def _splitmix(x: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wrapping multiply)."""
+    z = x + np.uint64(seed)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
-def _rep_shingle_router(rep_map_ref, *, id_col: str, text_col: str):
-    """Task fn factory (plain tasks fan out immediately; an autoscaling
-    actor pool would serialize the fused re-read through one actor):
-    emit (pair_idx, side, shingles, __p) for collision representatives
-    only; every other page is dropped before any string work. ray.get
-    on the broadcast map is a zero-copy local-object-store hit."""
+def _pair_part(a: np.ndarray, b: np.ndarray,
+               parts: int = PAIR_PARTS) -> np.ndarray:
+    mix = _splitmix(a.view(np.uint64) ^
+                    (b.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)),
+                    0x517CC1)
+    return (mix % np.uint64(parts)).astype(np.int64)
+
+
+def _dedup_cand(cand_ds):
+    """Distributed global dedup of candidate rows on (a, b): one coarse
+    pair-hash shuffle, one lexsort + first-of-run per partition. The rep
+    columns are a pure function of (a, b) (each family's global min id
+    — identical texts share every band/prefix bucket), so keeping the
+    first run member keeps consistent reps."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], np.int64)
+        b = np.asarray(batch["b"], np.int64)
+        return batch.append_column("__pc",
+                                   pa.array(_pair_part(a, b), pa.int64()))
+
+    def local(part: pa.Table) -> pa.Table:
+        cols = [np.asarray(part[c], np.int64)
+                for c in ("a", "b", "rep_a", "rep_b")]
+        a, b = cols[0], cols[1]
+        o = np.lexsort((b, a))
+        cols = [x[o] for x in cols]
+        a, b = cols[0], cols[1]
+        first = np.empty(len(a), bool)
+        first[0:1] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({c: pa.array(x[first], pa.int64()) for c, x in
+                         zip(("a", "b", "rep_a", "rep_b"), cols)})
+
+    return (cand_ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__pc").map_groups(local, batch_format="pyarrow"))
+
+
+def _bloom_positions(ids: np.ndarray, mask: np.uint64):
+    u = ids.view(np.uint64)
+    h1 = _splitmix(u, 0xA5A5A5A5)
+    h2 = _splitmix(u, 0xC3C3C3C3) | np.uint64(1)
+    return [(h1 + np.uint64(j) * h2) & mask for j in range(_BLOOM_K)]
+
+
+def _make_rep_bloom(cand, n_cand: int):
+    """Build a Bloom bitmap over the candidate rep ids — the ONLY
+    driver-held state in pass 2, capped at 2^31 bits (256 MB) however
+    large the candidate set grows. False positives cost extra shingle
+    work on a few non-rep pages (dropped at the attach join); false
+    negatives are impossible. Returns (ray_ref, mask)."""
     import ray
 
-    def rep_shingles(batch: pa.Table) -> pa.Table:
-        rmap = ray.get(rep_map_ref)
-        rep_ids = pa.array(sorted(rmap), pa.int64())
-        keep = pc.is_in(batch[id_col], value_set=rep_ids)
-        sub = batch.filter(keep)
-        pis, sides, shs = [], [], []
-        for rid, text in zip(sub[id_col].to_pylist(),
-                             sub[text_col].to_pylist()):
-            sh = sorted(hashing.text_shingles(text))
-            for pi, side in rmap[rid]:
-                pis.append(pi)
-                sides.append(side)
-                shs.append(sh)
+    want = max(1024, 2 * n_cand * _BLOOM_BITS_PER_KEY)
+    m_bits = 1 << min(31, int(np.ceil(np.log2(want))))
+    mask = np.uint64(m_bits - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            np.asarray(batch["rep_a"], np.int64),
+            np.asarray(batch["rep_b"], np.int64)]))
+        pos = np.unique(np.concatenate(_bloom_positions(ids, mask)))
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        uniq, start = np.unique(word, return_index=True)
+        masks = np.bitwise_or.reduceat(bit, start)
+        return pa.table({"w": pa.array(uniq, pa.int64()),
+                         "m": pa.array(masks.view(np.int64), pa.int64())})
+
+    bm = np.zeros(m_bits // 64, np.uint64)
+    for ref in cand.map_batches(partial,
+                                batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            np.bitwise_or.at(bm, np.asarray(t["w"], np.int64),
+                             np.asarray(t["m"], np.int64).view(np.uint64))
+    return ray.put(bm), mask
+
+
+def _bloom_contains(ids: np.ndarray, bm: np.ndarray,
+                    mask: np.uint64) -> np.ndarray:
+    ok = np.ones(len(ids), bool)
+    for p in _bloom_positions(ids, mask):
+        word = (p >> np.uint64(6)).astype(np.int64)
+        ok &= (bm[word] >> (p & np.uint64(63))) & np.uint64(1) != 0
+    return ok
+
+
+def _verify_candidates(pages, cand, *, id_col: str, text_col: str,
+                       threshold: float):
+    """Exact string-shingle Jaccard verification of a deduped candidate
+    Dataset (a, b, rep_a, rep_b) — zero driver-held candidate state:
+
+      1. candidate rows split into two (rep, side) routing rows and
+         shuffle by rep-id hash (ints only);
+      2. ONE pass over the corpus computes shingles for pages passing the
+         rep Bloom filter and shuffles them to the same key;
+      3. the attach join pairs each routing row with its rep's shingles
+         (a Bloom false positive simply finds no routing row) and
+         re-shuffles by pair hash so both sides co-locate;
+      4. per-pair exact Jaccard.
+
+    Emits (a, b, rep_a, rep_b, jac) for confirmed pairs."""
+    import ray
+
+    bloom_ref, mask = _make_rep_bloom(cand, cand.count())
+
+    def rep_rows(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], np.int64)
+        b = np.asarray(batch["b"], np.int64)
+        ra = np.asarray(batch["rep_a"], np.int64)
+        rb = np.asarray(batch["rep_b"], np.int64)
+        n = len(a)
+        rep = np.concatenate([ra, rb])
         return pa.table({
-            "pair_idx": pa.array(pis, pa.int64()),
-            "side": pa.array(sides, pa.int64()),
-            "sh": pa.array(shs, pa.list_(pa.string())),
-            "__p": pa.array([p % PAIR_PARTS for p in pis], pa.int64()),
-        })
+            "rk": pa.array(np.ones(2 * n, np.int64), pa.int64()),
+            "rep": pa.array(rep, pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "side": pa.array(np.concatenate([np.zeros(n, np.int64),
+                                             np.ones(n, np.int64)]),
+                             pa.int64()),
+            "sh": pa.array([[]] * (2 * n), _EMPTY_SH),
+            "__pr": pa.array(rep % _REP_PARTS, pa.int64())})
 
-    return rep_shingles
+    def page_rows(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        ids = np.asarray(batch[id_col], np.int64)
+        keep = _bloom_contains(ids, bm, mask)
+        sub_ids = ids[keep]
+        texts = batch.filter(pa.array(keep))[text_col].to_pylist()
+        shs = [sorted(hashing.text_shingles(t)) for t in texts]
+        n = len(sub_ids)
+        z = np.zeros(n, np.int64)
+        return pa.table({
+            "rk": pa.array(z, pa.int64()),
+            "rep": pa.array(sub_ids, pa.int64()),
+            "a": pa.array(z, pa.int64()),
+            "b": pa.array(z, pa.int64()),
+            "side": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "sh": pa.array(shs, _EMPTY_SH),
+            "__pr": pa.array(sub_ids % _REP_PARTS, pa.int64())})
 
-
-def _iter_candidate_chunks(cand_ds, n_cand_rows: int,
-                           max_driver_candidates: int,
-                           cols: tuple[str, ...]):
-    """Yield driver-bounded candidate slices (pandas) of cand_ds.
-    When the candidate set exceeds the cap, rows are chunked by a hash
-    residue of (a, b) so every duplicate of a pair lands in ONE chunk
-    (making within-chunk dedup global) and the driver never holds more
-    than ~max_driver_candidates rows."""
-    n_chunks = max(1, -(-n_cand_rows // max_driver_candidates))
-    if n_chunks > 1:
-        def add_chunk(batch: pa.Table) -> pa.Table:
-            a = np.asarray(batch["a"], np.int64).view(np.uint64)
-            b = np.asarray(batch["b"], np.int64).view(np.uint64)
-            mix = a ^ (b * np.uint64(0x9E3779B97F4A7C15))
-            return batch.append_column(
-                "__chunk",
-                pa.array((mix % np.uint64(n_chunks)).astype(np.int64)))
-        cand_ds = cand_ds.map_batches(
-            add_chunk, batch_format="pyarrow").materialize()
-    for ci in range(n_chunks):
-        chunk = (cand_ds if n_chunks == 1
-                 else cand_ds.filter(expr=f"__chunk == {ci}")
-                 .select_columns(list(cols)))
-        tbl = chunk.to_pandas()
-        if len(tbl):
-            yield tbl
-
-
-def _verify_chunk(pages, members, cand_tbl, *, id_col: str, text_col: str,
-                  jaccard_threshold: float):
-    """One pass-2 chunk: exact-Jaccard verify + member expansion of a
-    driver-held candidate slice. Returns the expanded pair Dataset, or
-    None when nothing confirms."""
-    import ray
-
-    ca, cb, cra, crb = _dedup_candidate_chunk(cand_tbl)
-    rep_map_ref = ray.put(_build_rep_map(cra, crb))
-    rep_shingles = _rep_shingle_router(rep_map_ref, id_col=id_col,
-                                       text_col=text_col)
+    def attach(part: pa.Table) -> pa.Table:
+        """Partition = whole rep-id groups: give every routing row its
+        rep's shingle list, key the output by pair hash."""
+        rk = np.asarray(part["rk"], np.int64)
+        rep = np.asarray(part["rep"], np.int64)
+        is_page = rk == 0
+        page_pos = np.nonzero(is_page)[0]
+        order = np.argsort(rep[page_pos], kind="stable")
+        page_pos = page_pos[order]
+        sorted_ids = rep[page_pos]
+        rr = np.nonzero(~is_page)[0]
+        if len(rr) == 0:
+            return pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int64()),
+                "rep": pa.array([], pa.int64()),
+                "sh": pa.array([], _EMPTY_SH),
+                "__pp": pa.array([], pa.int64())})
+        rrep = rep[rr]
+        pos = np.searchsorted(sorted_ids, rrep)
+        if (pos >= len(sorted_ids)).any() or \
+                (sorted_ids[np.minimum(pos, max(0, len(sorted_ids) - 1))]
+                 != rrep).any():
+            raise ValueError(
+                "minhash/jaccard verify: rep id absent from the corpus — "
+                "upstream dataset changed between passes")
+        take = pa.array(page_pos[pos], pa.int64())
+        a = np.asarray(part["a"], np.int64)[rr]
+        b = np.asarray(part["b"], np.int64)[rr]
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "side": pa.array(np.asarray(part["side"], np.int64)[rr],
+                             pa.int64()),
+            "rep": pa.array(rrep, pa.int64()),
+            "sh": pc.take(part["sh"].combine_chunks(), take),
+            "__pp": pa.array(_pair_part(a, b), pa.int64())})
 
     def verify(part: pa.Table) -> pa.Table:
-        """Partition = whole pairs (both sides co-located by pair_idx%P);
-        the row count here is the collision set, not the corpus."""
-        pis = np.asarray(part["pair_idx"], np.int64)
-        sides = np.asarray(part["side"], np.int64)
+        a = np.asarray(part["a"], np.int64)
+        b = np.asarray(part["b"], np.int64)
+        side = np.asarray(part["side"], np.int64)
+        rep = np.asarray(part["rep"], np.int64)
         shs = part["sh"].to_pylist()
-        by_pair: dict[int, dict[int, set]] = {}
-        for i in range(len(pis)):
-            by_pair.setdefault(int(pis[i]), {})[int(sides[i])] = set(shs[i])
-        ok = []
-        for pi, sd in by_pair.items():
-            sa, sb = sd.get(0, set()), sd.get(1, set())
+        by: dict[tuple[int, int], dict[int, tuple[int, set]]] = {}
+        for i in range(len(a)):
+            by.setdefault((int(a[i]), int(b[i])), {})[int(side[i])] = \
+                (int(rep[i]), set(shs[i]))
+        oa, ob, ora, orb, oj = [], [], [], [], []
+        for (ka, kb) in sorted(by):
+            sd = by[(ka, kb)]
+            if len(sd) != 2:
+                raise ValueError(
+                    "minhash/jaccard verify: pair side missing after "
+                    "attach — routing rows lost")
+            ra, sa = sd[0]
+            rb, sb = sd[1]
             inter = len(sa & sb)
             union = len(sa) + len(sb) - inter
             j = (inter / union) if union else 1.0
-            if j >= jaccard_threshold:
-                ok.append(pi)
-        return pa.table({"pair_idx": pa.array(sorted(ok), pa.int64())})
-
-    confirmed = (pages.map_batches(rep_shingles, batch_format="pyarrow")
-                 .groupby("__p").map_groups(verify, batch_format="pyarrow")
-                 .to_pandas())
-    if len(confirmed) == 0:
-        return None
-    conf_idx = confirmed["pair_idx"].to_numpy(np.int64)
-
-    # ---- expansion: confirmed (h_a, h_b) -> member id pairs, via the
-    # member rows (kind 2) — no re-hash of the corpus
-    h_map: dict[int, list[tuple[int, int]]] = {}
-    for pi in conf_idx:
-        h_map.setdefault(int(ca[pi]), []).append((int(pi), 0))
-        h_map.setdefault(int(cb[pi]), []).append((int(pi), 1))
-    h_map_ref = ray.put(h_map)
-
-    def route_members(batch: pa.Table) -> pa.Table:
-        hmap = ray.get(h_map_ref)
-        conf_h = pa.array(sorted(hmap), pa.int64())
-        keep = pc.is_in(batch["a"], value_set=conf_h)
-        sub = batch.filter(keep)
-        hs_ = np.asarray(sub["a"], np.int64)
-        ids_ = np.asarray(sub["b"], np.int64)
-        pis, sides, mids = [], [], []
-        for i in range(len(hs_)):
-            for pi, side in hmap[int(hs_[i])]:
-                pis.append(pi)
-                sides.append(side)
-                mids.append(int(ids_[i]))
+            if j >= threshold:
+                oa.append(ka)
+                ob.append(kb)
+                ora.append(ra)
+                orb.append(rb)
+                oj.append(j)
         return pa.table({
-            "pair_idx": pa.array(pis, pa.int64()),
-            "side": pa.array(sides, pa.int64()),
-            "member": pa.array(mids, pa.int64()),
-            "__p": pa.array([p % PAIR_PARTS for p in pis], pa.int64()),
-        })
+            "a": pa.array(oa, pa.int64()),
+            "b": pa.array(ob, pa.int64()),
+            "rep_a": pa.array(ora, pa.int64()),
+            "rep_b": pa.array(orb, pa.int64()),
+            "jac": pa.array(oj, pa.float64())})
+
+    routed = cand.map_batches(rep_rows, batch_format="pyarrow")
+    shingled = pages.map_batches(page_rows, batch_format="pyarrow")
+    return (shingled.union(routed).groupby("__pr")
+            .map_groups(attach, batch_format="pyarrow")
+            .groupby("__pp").map_groups(verify, batch_format="pyarrow"))
+
+
+def _expand_members(confirmed, members):
+    """Distributed expansion of confirmed FAMILY pairs (a, b text hashes)
+    to member id pairs through the (hash, id) member rows: confirmed
+    pairs split into per-hash routing rows, co-partition with member
+    rows on hash, then co-partition the (pair, side, member) rows on
+    pair hash and emit the per-pair cross products. Ints only end to
+    end; no driver state."""
+
+    def conf_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # fully-empty upstream groupby outputs can be schema-less
+            a = b = np.empty(0, np.int64)
+        else:
+            a = np.asarray(batch["a"], np.int64)
+            b = np.asarray(batch["b"], np.int64)
+        n = len(a)
+        h = np.concatenate([a, b])
+        return pa.table({
+            "mk": pa.array(np.ones(2 * n, np.int64), pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "side": pa.array(np.concatenate([np.zeros(n, np.int64),
+                                             np.ones(n, np.int64)]),
+                             pa.int64()),
+            "member": pa.array(np.zeros(2 * n, np.int64), pa.int64()),
+            "__ph": pa.array(h % PAIR_PARTS, pa.int64())})
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["a"], np.int64)
+        n = len(h)
+        z = np.zeros(n, np.int64)
+        return pa.table({
+            "mk": pa.array(z, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "a": pa.array(z, pa.int64()),
+            "b": pa.array(z, pa.int64()),
+            "side": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "member": pa.array(np.asarray(batch["b"], np.int64),
+                               pa.int64()),
+            "__ph": pa.array(h % PAIR_PARTS, pa.int64())})
+
+    def join_members(part: pa.Table) -> pa.Table:
+        mk = np.asarray(part["mk"], np.int64)
+        h = np.asarray(part["h"], np.int64)
+        is_m = mk == 0
+        mh = h[is_m]
+        mid = np.asarray(part["member"], np.int64)[is_m]
+        o = np.argsort(mh, kind="stable")
+        mh, mid = mh[o], mid[o]
+        cr = np.nonzero(~is_m)[0]
+        ch = h[cr]
+        lo = np.searchsorted(mh, ch, side="left")
+        hi = np.searchsorted(mh, ch, side="right")
+        counts = hi - lo
+        tot = int(counts.sum())
+        if tot == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z, "side": z, "member": z,
+                             "__pp": z})
+        starts = np.repeat(lo, counts)
+        offs = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        idx = starts + offs
+        a = np.repeat(np.asarray(part["a"], np.int64)[cr], counts)
+        b = np.repeat(np.asarray(part["b"], np.int64)[cr], counts)
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "side": pa.array(np.repeat(
+                np.asarray(part["side"], np.int64)[cr], counts),
+                pa.int64()),
+            "member": pa.array(mid[idx], pa.int64()),
+            "__pp": pa.array(_pair_part(a, b), pa.int64())})
 
     def expand(part: pa.Table) -> pa.Table:
-        pis = np.asarray(part["pair_idx"], np.int64)
+        a = np.asarray(part["a"], np.int64)
+        b = np.asarray(part["b"], np.int64)
         sides = np.asarray(part["side"], np.int64)
         mems = np.asarray(part["member"], np.int64)
-        order = np.lexsort((mems, sides, pis))
-        pis, sides, mems = pis[order], sides[order], mems[order]
-        out_a, out_b = [], []
-        new = np.empty(len(pis), bool)
+        order = np.lexsort((mems, sides, b, a))
+        a, b = a[order], b[order]
+        sides, mems = sides[order], mems[order]
+        new = np.empty(len(a), bool)
         new[0:1] = True
-        new[1:] = pis[1:] != pis[:-1]
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         starts = np.nonzero(new)[0]
-        bounds = np.append(starts, len(pis))
+        bounds = np.append(starts, len(a))
+        out_a, out_b = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             m_a = mems[s:e][sides[s:e] == 0]
             m_b = mems[s:e][sides[s:e] == 1]
@@ -481,8 +647,12 @@ def _verify_chunk(pages, members, cand_tbl, *, id_col: str, text_col: str,
             "id_a": pa.array(np.concatenate(out_a), pa.int64()),
             "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    return (members.map_batches(route_members, batch_format="pyarrow")
-            .groupby("__p").map_groups(expand, batch_format="pyarrow"))
+    conf = confirmed.select_columns(["a", "b"]).map_batches(
+        conf_rows, batch_format="pyarrow")
+    mem = members.map_batches(member_rows, batch_format="pyarrow")
+    return (mem.union(conf).groupby("__ph")
+            .map_groups(join_members, batch_format="pyarrow")
+            .groupby("__pp").map_groups(expand, batch_format="pyarrow"))
 
 
 def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
@@ -623,9 +793,10 @@ def jaccard_similarity_join(pages, *, id_col: str = "page_id",
     hash buckets (identical texts all emit identical prefixes, so the
     min id seen in a bucket family IS the global representative);
     verification recomputes exact STRING-shingle Jaccard on the
-    candidate-rep-filtered corpus (the minhash pass-2 routing pattern)
-    and emits the jac value; the driver-held candidate slice is
-    bounded by the same hash-residue chunking as minhash.
+    Bloom-rep-filtered corpus in ONE pass (the shared minhash pass-2
+    machinery) and emits the jac value; no candidate row ever lands on
+    the driver. `max_driver_candidates` is retained for API
+    compatibility but no longer chunks anything.
 
     At-scale caveats (documented, immaterial at gate scale): prefix
     membership uses random hash order, so one extremely frequent
@@ -711,65 +882,22 @@ def jaccard_similarity_join(pages, *, id_col: str = "page_id",
                .map_batches(add_part, batch_format="pyarrow")
                .groupby("__p").map_groups(detect, batch_format="pyarrow")
                ).materialize()
-    n_cand_rows = cand_ds.count()
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "jac": pa.array([], pa.float64())})
-    if n_cand_rows == 0:
+    if cand_ds.count() == 0:
         return ray.data.from_arrow(empty)
 
-    outs = []
-    for cand_tbl in _iter_candidate_chunks(
-            cand_ds, n_cand_rows, max_driver_candidates,
-            ("a", "b", "rep_a", "rep_b")):
-        verified = _jaccard_verify_chunk(
-            pages, cand_tbl, id_col=id_col, text_col=text_col,
-            threshold=threshold)
-        outs.append(verified)
-    if not outs:
-        return ray.data.from_arrow(empty)
-    return outs[0] if len(outs) == 1 else outs[0].union(*outs[1:])
+    cand = _dedup_cand(cand_ds).materialize()
+    confirmed = _verify_candidates(pages, cand, id_col=id_col,
+                                   text_col=text_col, threshold=threshold)
 
-
-def _jaccard_verify_chunk(pages, cand_tbl, *, id_col: str, text_col: str,
-                          threshold: float):
-    """Exact string-shingle Jaccard over one driver-bounded candidate
-    slice; emits (id_a, id_b, jac) for confirmed pairs. The chunk id is
-    a function of (h_a, h_b), so global (h_a, h_b) dedup within the
-    chunk is global dedup, and chunk outputs union without repeats."""
-    import ray
-
-    _, _, cra, crb = _dedup_candidate_chunk(cand_tbl)
-    rep_map_ref = ray.put(_build_rep_map(cra, crb))
-    pair_ids_ref = ray.put((cra, crb))
-    rep_shingles = _rep_shingle_router(rep_map_ref, id_col=id_col,
-                                       text_col=text_col)
-
-    def verify(part: pa.Table) -> pa.Table:
-        cra_, crb_ = ray.get(pair_ids_ref)
-        pis = np.asarray(part["pair_idx"], np.int64)
-        sides = np.asarray(part["side"], np.int64)
-        shs = part["sh"].to_pylist()
-        by_pair: dict[int, dict[int, set]] = {}
-        for i in range(len(pis)):
-            by_pair.setdefault(int(pis[i]), {})[int(sides[i])] = set(shs[i])
-        ia, ib, jv = [], [], []
-        for pi in sorted(by_pair):
-            sd = by_pair[pi]
-            sa, sb = sd.get(0, set()), sd.get(1, set())
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            j = (inter / union) if union else 1.0
-            if j >= threshold:
-                ra, rb = int(cra_[pi]), int(crb_[pi])
-                ia.append(min(ra, rb))
-                ib.append(max(ra, rb))
-                jv.append(j)
+    def rep_pairs(batch: pa.Table) -> pa.Table:
+        ra = np.asarray(batch["rep_a"], np.int64)
+        rb = np.asarray(batch["rep_b"], np.int64)
         return pa.table({
-            "id_a": pa.array(ia, pa.int64()),
-            "id_b": pa.array(ib, pa.int64()),
-            "jac": pa.array(jv, pa.float64()),
-        })
+            "id_a": pa.array(np.minimum(ra, rb), pa.int64()),
+            "id_b": pa.array(np.maximum(ra, rb), pa.int64()),
+            "jac": batch["jac"]})
 
-    return (pages.map_batches(rep_shingles, batch_format="pyarrow")
-            .groupby("__p").map_groups(verify, batch_format="pyarrow"))
+    return confirmed.map_batches(rep_pairs, batch_format="pyarrow")

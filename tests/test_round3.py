@@ -198,9 +198,9 @@ def test_shuffle_join_rejects_sentinel_right_key(ray_session):
 
 def test_minhash_driver_candidate_cap_chunks(ray_session):
     """VERDICT r2: an adversarial all-near-dup corpus must not grow the
-    driver candidate set unbounded — pass 2 chunks at
-    max_driver_candidates and the chunked result is identical to the
-    unchunked one."""
+    driver candidate set unbounded. Round 4 removed chunking entirely
+    (pass 2 is fully distributed; max_driver_candidates is a no-op kept
+    for API compatibility) — the cap argument must not change results."""
     import ray
     from shapefile_rs_ray.stages.dedup import minhash_lsh_pairs
     base = ("the quick brown fox jumps over the lazy dog again and again "

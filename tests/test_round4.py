@@ -30,6 +30,101 @@ def test_tfidf_shuffle_path_matches_broadcast(ray_session, sf_dir):
                           bc["tf"].to_numpy() / bc["df"].to_numpy())
 
 
+def _near_dup_corpus():
+    import pyarrow as pa
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while seven wizards brew quirky potions beyond the misty "
+            "mountain ridge at dawn")
+    texts, ids = [], []
+    for i in range(12):
+        texts.append(base + f" variant tail {i}")
+        ids.append(i)
+    texts.append("completely unrelated text about parquet shuffles")
+    ids.append(99)
+    return pa.table({"page_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_minhash_verify_is_single_corpus_pass(ray_session, tmp_path):
+    """VERDICT-r3 #4: pass 2 must scan the corpus exactly ONCE however
+    large the candidate set is (round-3 chunking paid one scan per
+    driver-bounded chunk). Count pages-batch executions through a tap
+    stage: pass 1 (signatures) + pass 2 (rep shingles) = exactly 2 scans
+    of every block."""
+    import ray
+    from shapefile_rs_ray.stages.dedup import minhash_lsh_pairs
+
+    marker = tmp_path / "scans.log"
+
+    def tap(batch):
+        with open(marker, "a") as f:
+            f.write(f"{batch.num_rows}\n")
+        return batch
+
+    n_blocks = 4
+    pages = (ray.data.from_arrow(_near_dup_corpus()).repartition(n_blocks)
+             .materialize().map_batches(tap, batch_format="pyarrow"))
+    # the old design at this cap ran >= 3 chunked verify scans
+    out = minhash_lsh_pairs(pages, max_driver_candidates=25).to_pandas()
+    assert len(out) > 50
+    scans = len(marker.read_text().splitlines())
+    assert scans == 2 * n_blocks, f"expected 2 corpus passes, saw {scans/n_blocks}"
+
+
+def test_verify_candidates_zero_confirmed(ray_session):
+    """Candidates that all FAIL exact-Jaccard verification flow through
+    the distributed verify + expansion without driver state or crashes
+    and produce an empty pair set."""
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.functions import hashing
+    from shapefile_rs_ray.stages.dedup import (_dedup_pairs,
+                                               _expand_members,
+                                               _verify_candidates)
+
+    texts = ["alpha beta gamma delta epsilon zeta eta theta",
+             "alpha beta gamma nine ten eleven twelve thirteen fourteen"]
+    pages = ray.data.from_items(
+        [{"page_id": i, "text": t} for i, t in enumerate(texts)])
+    h = hashing.content_hash64(texts).view("int64")
+    a, b = (int(h[0]), int(h[1])) if h[0] < h[1] else (int(h[1]), int(h[0]))
+    ra, rb = (0, 1) if h[0] < h[1] else (1, 0)
+    cand = ray.data.from_items(
+        [{"a": a, "b": b, "rep_a": ra, "rep_b": rb}]).materialize()
+    confirmed = _verify_candidates(pages, cand, id_col="page_id",
+                                   text_col="text", threshold=0.9)
+    members = ray.data.from_items(
+        [{"a": int(h[i]), "b": i} for i in range(2)])
+    expanded = _dedup_pairs(_expand_members(confirmed, members))
+    assert expanded.count() == 0
+
+
+def test_verify_candidates_confirms_and_reports_jaccard(ray_session):
+    """A pair above threshold confirms with the exact Jaccard value and
+    the family reps."""
+    import ray
+    from shapefile_rs_ray.functions import hashing
+    from shapefile_rs_ray.stages.dedup import _verify_candidates
+
+    t0 = "one two three four five six seven eight nine ten"
+    t1 = "one two three four five six seven eight nine eleven"
+    pages = ray.data.from_items(
+        [{"page_id": i, "text": t} for i, t in enumerate([t0, t1])])
+    h = hashing.content_hash64([t0, t1]).view("int64")
+    a, b = sorted((int(h[0]), int(h[1])))
+    ra, rb = (0, 1) if int(h[0]) == a else (1, 0)
+    cand = ray.data.from_items(
+        [{"a": a, "b": b, "rep_a": ra, "rep_b": rb}]).materialize()
+    out = _verify_candidates(pages, cand, id_col="page_id",
+                             text_col="text", threshold=0.5).to_pandas()
+    assert len(out) == 1
+    s0 = set(hashing.text_shingles(t0))
+    s1 = set(hashing.text_shingles(t1))
+    expect = len(s0 & s1) / len(s0 | s1)
+    assert out["jac"].iloc[0] == expect
+    assert {out["rep_a"].iloc[0], out["rep_b"].iloc[0]} == {0, 1}
+
+
 def test_tfidf_empty_and_tokenless_docs(ray_session):
     """Docs with no [a-z0-9] token vanish from the result; others rank by
     (score desc, term asc)."""
