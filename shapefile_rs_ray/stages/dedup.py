@@ -292,14 +292,21 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
                .select_columns(["a", "b", "rep_a", "rep_b"]))
     cand = _dedup_cand(cand_ds).materialize()
     if cand.count() == 0:
-        return _dedup_pairs(clones)
+        return clones
 
     members = mixed.filter(expr="kind == 2").select_columns(["a", "b"])
     confirmed = _verify_candidates(pages, cand, id_col=id_col,
                                    text_col=text_col,
                                    threshold=jaccard_threshold)
     expanded = _expand_members(confirmed, members)
-    return _dedup_pairs(clones.union(expanded))
+    # No trailing pair dedup shuffle: clone pairs are emitted exactly once
+    # globally (band-0 whole-bucket triangles over ascending member ids),
+    # expanded pairs exactly once per globally-deduped (a, b) family pair
+    # (member rows are band-0 once-per-page), and the two sets are
+    # disjoint (clone pairs share a text hash, expanded pairs join two
+    # DISTINCT hashes) — the union is already duplicate-free with
+    # id_a < id_b everywhere.
+    return clones.union(expanded)
 
 
 # ---------------------------------------------------------------------------
