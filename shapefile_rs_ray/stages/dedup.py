@@ -663,7 +663,8 @@ def _expand_members(confirmed, members):
 
 
 def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
-                  max_hamming: int = 3, concurrency=(1, 4)):
+                  max_hamming: int = 3, concurrency=(1, 4),
+                  bucket_cap: int = 8192):
     """Near-dup pairs by 64-bit SimHash: 4x16-bit band blocking (any pair
     within hamming<=3 must agree on >=1 of 4 bands), verified by exact
     hamming distance. Returns Dataset(id_a, id_b, hamming).
@@ -672,6 +673,16 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
     runs (hamming 0, the clone mass) emit vectorized triangles in band 0
     only; only DISTINCT simhash values within a bucket pay a pairwise
     popcount, vectorized per bucket.
+
+    QUADRATIC BOUND (documented trade): within one 16-bit band bucket the
+    distinct-hash families pair all-vs-all — O(families^2) popcounts and
+    a families^2 index allocation. Real corpora spread ~uniformly over
+    the 2^16 buckets per band, but a pathological corpus (every doc
+    sharing one band value with a distinct hash) concentrates mass in one
+    bucket; past `bucket_cap` families the partition fails LOUDLY instead
+    of silently allocating gigabytes. Fixes: raise max_hamming's band
+    count (narrower bands -> more buckets), pre-split hot band values
+    with an extra salt bit from another band, or raise the cap knowingly.
     """
 
     def signatures(batch: pa.Table) -> pa.Table:
@@ -729,6 +740,13 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
         b_start = np.nonzero(bucket_new)[0]
         b_size = np.append(b_start[1:], len(fam_key)) - b_start
         for b in np.nonzero(b_size > 1)[0]:
+            if b_size[b] > bucket_cap:
+                raise ValueError(
+                    f"simhash_pairs: band bucket key={int(fam_key[b_start[b]])}"
+                    f" holds {int(b_size[b])} distinct-hash families "
+                    f"(> bucket_cap={bucket_cap}); the all-vs-all verify "
+                    f"would allocate O(n^2) pair indices. Narrow the bands,"
+                    f" salt the hot band value, or raise bucket_cap.")
             fs = np.arange(b_start[b], b_start[b] + b_size[b])
             fa, fb = np.triu_indices(len(fs), k=1)
             ham = _popcount64(fam_sh[fs[fa]] ^ fam_sh[fs[fb]])

@@ -125,6 +125,45 @@ def test_verify_candidates_confirms_and_reports_jaccard(ray_session):
     assert {out["rep_a"].iloc[0], out["rep_b"].iloc[0]} == {0, 1}
 
 
+def test_simhash_bucket_cap_trips_loudly(ray_session):
+    """VERDICT-r3 #8: a band bucket whose distinct-hash family count
+    exceeds bucket_cap must fail loudly (the all-vs-all verify is
+    O(n^2)) instead of silently allocating. Find two distinct-hash docs
+    sharing a 16-bit band value in a fixed corpus, then run with
+    bucket_cap=1 so that bucket trips."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+    from shapefile_rs_ray.functions import hashing
+    from shapefile_rs_ray.stages.dedup import simhash_pairs
+
+    texts = [f"document number {i} carries {i * 7} unique words plus "
+             f"tail {i * i}" for i in range(800)]
+    sh = hashing.simhash64(texts).view(np.uint64)
+    pair = None
+    for b in range(4):
+        band = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+        order = np.argsort(band, kind="stable")
+        bs = band[order]
+        dup = np.nonzero(bs[1:] == bs[:-1])[0]
+        for d in dup:
+            i, j = int(order[d]), int(order[d + 1])
+            if sh[i] != sh[j]:
+                pair = (i, j)
+                break
+        if pair:
+            break
+    assert pair is not None, "no band collision in the fixed corpus"
+    ds = ray.data.from_items([
+        {"page_id": 0, "text": texts[pair[0]]},
+        {"page_id": 1, "text": texts[pair[1]]}])
+    with pytest.raises(Exception, match="bucket_cap"):
+        simhash_pairs(ds, bucket_cap=1).materialize()
+    # default cap: same corpus passes
+    assert simhash_pairs(ds).count() >= 0
+
+
 def test_tfidf_empty_and_tokenless_docs(ray_session):
     """Docs with no [a-z0-9] token vanish from the result; others rank by
     (score desc, term asc)."""
