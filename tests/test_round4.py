@@ -125,6 +125,35 @@ def test_verify_candidates_confirms_and_reports_jaccard(ray_session):
     assert {out["rep_a"].iloc[0], out["rep_b"].iloc[0]} == {0, 1}
 
 
+def test_s2_published_golden_vectors():
+    """VERDICT-r3 #5: byte-exact parity with the OPEN-SOURCE s2geometry
+    library, asserted against published doc example vectors (leaf cell
+    ids for known lat/lngs) — 64-bit agreement cannot be coincidental.
+    Face-cell ids additionally pin the (face << 61) | 2^60 packing."""
+    import numpy as np
+    from shapefile_rs_ray.functions import cells
+
+    # s2geometry documentation examples: S2CellId(S2LatLng::FromDegrees(..))
+    golden = [
+        (49.703498679, 11.770681595, 0x47A1CBD595522B39),
+        (45.486546517, -93.449700022, 0x52B30B71698E729D),
+    ]
+    lat = np.array([g[0] for g in golden], np.float64)
+    lon = np.array([g[1] for g in golden], np.float64)
+    got = cells.s2_cell(lon, lat, level=30)
+    want = np.array([g[2] for g in golden], np.uint64)
+    assert np.array_equal(got, want)
+    # parents of a golden leaf are prefix-truncations with the new lsb
+    p12 = cells.s2_parent(want, 12)
+    assert np.array_equal(cells.s2_cell(lon, lat, 12), p12)
+    # face cells: id = (face << 61) | 2^60 (tokens 1,3,5,7,9,b)
+    for face, (la, lo) in enumerate(
+            [(0.0, 0.0), (0.0, 90.0), (90.0, 0.0),
+             (0.0, 180.0), (0.0, -90.0), (-90.0, 0.0)]):
+        c = cells.s2_cell(np.array([lo]), np.array([la]), 0)
+        assert int(c[0]) == (face << 61) | (1 << 60)
+
+
 def test_simhash_bucket_cap_trips_loudly(ray_session):
     """VERDICT-r3 #8: a band bucket whose distinct-hash family count
     exceeds bucket_cap must fail loudly (the all-vs-all verify is
