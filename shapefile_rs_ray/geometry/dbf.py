@@ -248,18 +248,91 @@ _ARROW_TO_DBF = [
 
 def write_dbf(table: pa.Table, encoding: str = "utf-8",
               date: tuple[int, int, int] = (2000, 1, 1)) -> bytes:
-    """Encode an Arrow table as dBase III. `date` is the header's last-update
-    stamp — fixed by default so outputs are deterministic/resumable."""
+    """Encode an Arrow table as dBase III (no memo sidecar: long strings
+    truncate at 254 — use `write_dbf_with_memo` for Memo fidelity).
+    `date` is the header's last-update stamp — fixed by default so
+    outputs are deterministic/resumable."""
+    dbf, _ = _write_dbf_impl(table, encoding, date, memo_cols=(),
+                             currency_cols=(), memo_threshold=None)
+    return dbf
+
+
+def write_dbf_with_memo(table: pa.Table, encoding: str = "utf-8",
+                        date: tuple[int, int, int] = (2000, 1, 1),
+                        memo_cols: tuple[str, ...] = (),
+                        currency_cols: tuple[str, ...] = (),
+                        memo_threshold: int = 254
+                        ) -> tuple[bytes, bytes | None]:
+    """dBase III+ write with the reference writer's full field surface
+    (the dbase crate behind /root/reference/src/writer.rs:311-334 writes
+    Memo/.dbt, Currency and DateTime): returns (dbf_bytes, dbt_bytes or
+    None when no memo field was needed).
+
+    - string columns named in `memo_cols`, or containing any value longer
+      than `memo_threshold` encoded bytes, become 'M' fields whose
+      10-byte block numbers point into a dBase III .dbt (512-byte blocks,
+      0x1A 0x1A terminator, header block 0 carries the next-free-block
+      count and the 0x03 version byte);
+    - float columns named in `currency_cols` (and decimal columns) become
+      'Y' Currency fields: LE i64 of round(value * 10^4), the layout the
+      reader decodes;
+    - timestamps stay 'T' (LE i32 julian day + LE i32 ms-of-day).
+
+    The .dbf version byte is 0x83 (III + memo) when a memo field exists.
+    """
+    return _write_dbf_impl(table, encoding, date, memo_cols=memo_cols,
+                           currency_cols=currency_cols,
+                           memo_threshold=memo_threshold)
+
+
+_DBT_BLOCK = 512
+
+
+def _write_dbf_impl(table: pa.Table, encoding: str,
+                    date: tuple[int, int, int],
+                    memo_cols: tuple[str, ...],
+                    currency_cols: tuple[str, ...],
+                    memo_threshold: int | None
+                    ) -> tuple[bytes, bytes | None]:
     fields: list[DbfField] = []
     pycols: list[list] = []
+    memo_blocks: list[bytes] = []     # payloads in block order
+    next_block = 1                    # block 0 is the .dbt header
+
+    def memo_field(name: str, enc_vals: list[bytes | None]):
+        nonlocal next_block
+        blocks = []
+        for v in enc_vals:
+            if v is None:
+                blocks.append(None)
+                continue
+            payload = v + b"\x1a\x1a"
+            n_blk = -(-len(payload) // _DBT_BLOCK)
+            memo_blocks.append(payload + b"\x00" * (n_blk * _DBT_BLOCK
+                                                    - len(payload)))
+            blocks.append(next_block)
+            next_block += n_blk
+        fields.append(DbfField(name[:10], "M", 10, 0))
+        pycols.append(blocks)
+
     for name, col in zip(table.column_names, table.columns):
         vals = col.to_pylist()
         typ = col.type
         if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-            enc = [("" if v is None else v).encode(encoding) for v in vals]
-            ln = max([len(e) for e in enc] + [1])
+            enc = [None if v is None else v.encode(encoding) for v in vals]
+            ln = max([len(e) for e in enc if e is not None] + [1])
+            if memo_threshold is not None and (
+                    name in memo_cols or ln > memo_threshold):
+                memo_field(name, enc)
+                continue
+            enc = [b"" if e is None else e for e in enc]
             fields.append(DbfField(name[:10], "C", min(ln, 254), 0))
             pycols.append(enc)
+        elif pa.types.is_decimal(typ) or (name in currency_cols
+                                          and pa.types.is_floating(typ)):
+            fields.append(DbfField(name[:10], "Y", 8, 4))
+            pycols.append([None if v is None else
+                           int(round(float(v) * 10000.0)) for v in vals])
         elif pa.types.is_boolean(typ):
             fields.append(DbfField(name[:10], "L", 1, 0))
             pycols.append(vals)
@@ -289,8 +362,10 @@ def write_dbf(table: pa.Table, encoding: str = "utf-8",
     record_size = 1 + sum(f.length for f in fields)
     header_size = 32 + 32 * len(fields) + 1
     n = table.num_rows
+    has_memo = any(f.ftype == "M" for f in fields)
     out = bytearray()
-    out += struct.pack("<BBBB", 0x03, date[0] % 100, date[1], date[2])
+    out += struct.pack("<BBBB", 0x83 if has_memo else 0x03,
+                       date[0] % 100, date[1], date[2])
     out += struct.pack("<IHH", n, header_size, record_size)
     out += b"\x00" * 20
     for f in fields:
@@ -322,6 +397,14 @@ def write_dbf(table: pa.Table, encoding: str = "utf-8",
                     ms = ((v.hour * 3600 + v.minute * 60 + v.second) * 1000
                           + v.microsecond // 1000)
                     out += struct.pack("<ii", jdn, ms)
+            elif f.ftype == "Y":
+                # null currency encodes as 0 (reads back 0.0): the i64
+                # layout has no blank representation the reader could
+                # distinguish from a real value — documented lossy-null
+                out += struct.pack("<q", 0 if v is None else v)
+            elif f.ftype == "M":
+                out += (b" " * 10 if v is None
+                        else str(v).rjust(10).encode("ascii"))
             else:  # N
                 if v is None:
                     out += b" " * f.length
@@ -337,4 +420,14 @@ def write_dbf(table: pa.Table, encoding: str = "utf-8",
                             f"{f.length} for column {f.name!r}")
                     out += b" " * (f.length - len(b)) + b
     out += b"\x1a"
-    return bytes(out)
+
+    if not has_memo:
+        return bytes(out), None
+    dbt = bytearray()
+    dbt += struct.pack("<I", next_block)          # next free block
+    dbt += b"\x00" * 12
+    dbt += b"\x03"                                # dBase III version
+    dbt += b"\x00" * (_DBT_BLOCK - len(dbt))
+    for blk in memo_blocks:
+        dbt += blk
+    return bytes(out), bytes(dbt)

@@ -125,6 +125,60 @@ def test_verify_candidates_confirms_and_reports_jaccard(ray_session):
     assert {out["rep_a"].iloc[0], out["rep_b"].iloc[0]} == {0, 1}
 
 
+def test_dbf_memo_currency_datetime_roundtrip(tmp_path):
+    """VERDICT-r3 #7: the write side now covers the reference writer's
+    full field surface (dbase crate: Memo/.dbt, Currency, DateTime).
+    Round-trip through the existing M/Y/T read path."""
+    import datetime as dt
+    import pyarrow as pa
+    from shapefile_rs_ray.geometry import dbf as dbf_mod
+
+    long_text = "memo " * 200            # > 254 bytes -> auto-promotes
+    tbl = pa.table({
+        "name": pa.array(["a", "b", None], pa.string()),
+        "blob": pa.array([long_text, "short", None], pa.string()),
+        "price": pa.array([12.3456, -0.0001, None], pa.float64()),
+        "seen": pa.array([dt.datetime(2020, 5, 17, 11, 22, 33, 250000),
+                          dt.datetime(1999, 12, 31, 23, 59, 59),
+                          None], pa.timestamp("ms")),
+    })
+    dbf_bytes, dbt_bytes = dbf_mod.write_dbf_with_memo(
+        tbl, currency_cols=("price",))
+    assert dbt_bytes is not None and len(dbt_bytes) % 512 == 0
+    assert dbf_bytes[0] == 0x83          # III + memo version byte
+    p = tmp_path / "t.dbf"
+    p.write_bytes(dbf_bytes)
+    (tmp_path / "t.dbt").write_bytes(dbt_bytes)
+    out = dbf_mod.read_dbf(str(p))
+    assert out["blob"].to_pylist() == [long_text, "short", None]
+    assert out["name"].to_pylist() == ["a", "b", ""]      # C null == ""
+    assert out["price"].to_pylist() == [12.3456, -0.0001, 0.0]
+    assert out["seen"].to_pylist() == [
+        dt.datetime(2020, 5, 17, 11, 22, 33, 250000),
+        dt.datetime(1999, 12, 31, 23, 59, 59), None]
+    # plain write_dbf output is unchanged by the refactor (no memo path)
+    legacy = dbf_mod.write_dbf(pa.table({"v": pa.array([1, 2], pa.int64())}))
+    rt = dbf_mod.read_dbf_bytes(legacy)
+    assert rt["v"].to_pylist() == [1, 2]
+
+
+def test_dbf_multiblock_memo(tmp_path):
+    """A memo spanning several 512-byte .dbt blocks keeps later memos at
+    the right block numbers."""
+    import pyarrow as pa
+    from shapefile_rs_ray.geometry import dbf as dbf_mod
+
+    big = "x" * 1500                      # 3 blocks
+    tbl = pa.table({"m": pa.array([big, "tail memo"], pa.string())})
+    dbf_bytes, dbt_bytes = dbf_mod.write_dbf_with_memo(
+        tbl, memo_cols=("m",))
+    p = tmp_path / "m.dbf"
+    p.write_bytes(dbf_bytes)
+    (tmp_path / "m.dbt").write_bytes(dbt_bytes)
+    out = dbf_mod.read_dbf(str(p))
+    assert out["m"].to_pylist() == [big, "tail memo"]
+
+
 def test_s2_published_golden_vectors():
     """VERDICT-r3 #5: byte-exact parity with the OPEN-SOURCE s2geometry
     library, asserted against published doc example vectors (leaf cell
