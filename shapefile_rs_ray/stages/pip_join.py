@@ -68,12 +68,17 @@ class PIPJoinStage:
         import ray
         polys = (ray.get(polys_ref)
                  if isinstance(polys_ref, ray.ObjectRef) else polys_ref)
-        self.index = PIPIndex(polys)
         self.keep_cols = list(keep_cols)
         self.lon_col = lon_col
         self.lat_col = lat_col
+        self.build(polys)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    # build/probe_batch implement the SpatialJoin extension protocol
+    # (shapefile_rs_ray.protocols): build once per actor, probe per batch
+    def build(self, build_side) -> None:
+        self.index = PIPIndex(build_side)
+
+    def probe_batch(self, batch: pa.Table) -> pa.Table:
         lon = np.asarray(batch[self.lon_col], np.float64)
         lat = np.asarray(batch[self.lat_col], np.float64)
         pt, poly = self.index.query(lon, lat)
@@ -82,6 +87,9 @@ class PIPJoinStage:
         out["geom_id"] = pa.array(self.index.geom_ids[poly], pa.int64())
         out["poly_idx"] = pa.array(self.index.poly_idx[poly], pa.int64())
         return pa.table(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.probe_batch(batch)
 
 
 def broadcast_pip_join(ds, polys: list[SimplePolygon], *,
