@@ -362,6 +362,92 @@ def _tfidf_terms(sf_dir: str):
     return tfidf_top_terms(docs, k=3)
 
 
+def _pii_scrub_sql() -> str:
+    """DuckDB twin of _pii_scrub: identical synthetic contact suffix,
+    identical RE2 patterns (module-sourced so they can never drift),
+    counts taken at the same stage as the engine (phones counted AFTER
+    email redaction)."""
+    from shapefile_rs_ray.stages.textqc import EMAIL_RE, PHONE_RE
+    suffix = ("' contact user' || CAST(doc_id AS VARCHAR) || "
+              "'@example.com tel 555-' || "
+              "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    t2 = f"text || CASE WHEN doc_id % 3 = 0 THEN '' ELSE {suffix} END"
+    em = f"regexp_replace(t2, '{EMAIL_RE}', '<EMAIL>', 'g')"
+    return f"""
+WITH t AS (SELECT doc_id, {t2} AS t2 FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2, '{EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all({em}, '{PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       regexp_replace({em}, '{PHONE_RE}', '<PHONE>', 'g') AS clean
+FROM t"""
+
+
+def _pii_suffix(ids):
+    """Deterministic synthetic contact strings (docs have no real PII;
+    the redaction operator needs material): every doc except id%3==0
+    gains one email and one 555 phone derived from its id. The SQL twin
+    builds the identical string."""
+    import numpy as np
+    blank = ids % 3 == 0
+    suf = np.char.add(
+        np.char.add(" contact user", ids.astype(str)),
+        np.char.add("@example.com tel 555-",
+                    np.char.zfill((ids % 10000).astype(str), 4)))
+    return np.where(blank, "", suf)
+
+
+def _pii_scrub(sf_dir: str):
+    """PII redaction over the documents table: count + redact emails and
+    555-phone patterns (RE2 on both sides; synthetic contacts appended
+    deterministically since the corpus carries no real PII)."""
+    import numpy as np
+    import pyarrow as pa
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.textqc import pii_scrub
+
+    def add_contacts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], np.int64)
+        text = np.asarray(batch["text"], dtype=str)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pa.array(np.char.add(text, _pii_suffix(ids)).tolist(),
+                             pa.string())})
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return pii_scrub(docs.map_batches(add_contacts,
+                                      batch_format="pyarrow"))
+
+
+def _gopher_quality(sf_dir: str):
+    """Gopher-style repetition/quality stats per document (top-word
+    fraction gate, mean word length, distinct counts)."""
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.textqc import gopher_quality
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return gopher_quality(docs)
+
+
+def _chunk_dedup(sf_dir: str):
+    """C4-style cross-document chunk dedup accounting: global
+    first-occurrence wins over 8-token chunks, (doc_id, n_chunks,
+    n_kept) per doc. 128-bit chunk keys; chunk text never shuffles."""
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.dedup import chunk_dedup
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return chunk_dedup(docs)
+
+
+def _inverted_index(sf_dir: str):
+    """Inverted-index summary: per term with df >= 50, (term, df,
+    min_doc, max_doc, sum_doc) via term-hash partial reduce."""
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.tfidf import inverted_index
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return inverted_index(docs, min_df=50)
+
+
 def _token_quantiles(sf_dir: str):
     """Exact per-language token-count quantiles (p50/p90/p99) with NO
     data sort: bounded (lang, n_tokens) count partials + a per-group
@@ -1656,6 +1742,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # fill the window with driver-green staples representing the core
     # surface; the remainder (all driver-green in earlier rounds) follows.
     return {
+        # -- new operators this round (must sit in the gate window) --
+        "pii_scrub": _pii_scrub,
+        "gopher_quality": _gopher_quality,
+        "chunk_dedup": _chunk_dedup,
+        "inverted_index": _inverted_index,
         # -- new/changed oracles this round --
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
@@ -1991,6 +2082,49 @@ SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN value END) AS p50,
        MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN value END) AS p90,
        MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN value END) AS p99
 FROM w""",
+        "pii_scrub": _pii_scrub_sql(),
+        "gopher_quality": """
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+           FROM documents),
+w AS (SELECT doc_id, unnest(l) AS w FROM d),
+c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+a AS (SELECT doc_id, COUNT(*) AS n_words, SUM(length(w)) AS sum_word_len
+      FROM w GROUP BY 1),
+di AS (SELECT doc_id, COUNT(*) AS n_distinct, MAX(cnt) AS max_word_cnt
+       FROM c GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.sum_word_len, 0) AS BIGINT) AS sum_word_len,
+       CAST(COALESCE(di.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(di.max_word_cnt, 0) AS BIGINT) AS max_word_cnt,
+       CASE WHEN COALESCE(a.n_words, 0) > 0
+            THEN CAST(a.sum_word_len AS DOUBLE) / a.n_words
+            ELSE CAST(0 AS DOUBLE) END AS mean_word_len,
+       CAST(CASE WHEN COALESCE(a.n_words, 0) > 0
+                  AND di.max_word_cnt * 5 > a.n_words
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+FROM d LEFT JOIN a USING (doc_id) LEFT JOIN di USING (doc_id)""",
+        "chunk_dedup": """
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+           FROM documents),
+c AS (SELECT doc_id, i AS cidx,
+             array_to_string(l[(i - 1) * 8 + 1 : i * 8], ' ') AS chunk
+      FROM d, UNNEST(generate_series(1, len(l) // 8)) AS g(i)),
+r AS (SELECT doc_id, cidx,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, cidx) AS rn FROM c),
+k AS (SELECT doc_id, COUNT(*) AS n_kept FROM r WHERE rn = 1 GROUP BY 1)
+SELECT d.doc_id, CAST(len(d.l) // 8 AS BIGINT) AS n_chunks,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM d LEFT JOIN k USING (doc_id)""",
+        "inverted_index": """
+WITH t AS (SELECT DISTINCT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+FROM t GROUP BY term HAVING COUNT(*) >= 50""",
         "tfidf_terms": """
 WITH t AS (SELECT doc_id,
                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

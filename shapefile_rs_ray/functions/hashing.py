@@ -40,6 +40,17 @@ def content_hash64(texts: list[str]) -> np.ndarray:
     return out
 
 
+def content_digest128(texts: list[str]) -> np.ndarray:
+    """(n, 2) int64 view of the first 16 bytes of sha256 per text — the
+    128-bit key for cross-corpus chunk dedup (64 bits would birthday-
+    collide at 10^12 chunks)."""
+    out = np.empty((len(texts), 2), np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = np.frombuffer(
+            hashlib.sha256(t.encode("utf-8")).digest()[:16], np.uint64)
+    return out.view(np.int64)
+
+
 def _shingle_crcs(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
     """All word-k-shingle crc32s of all docs, flat + (n_docs+1,) offsets."""
     crcs: list[int] = []

@@ -662,6 +662,114 @@ def _expand_members(confirmed, members):
             .groupby("__pp").map_groups(expand, batch_format="pyarrow"))
 
 
+CHUNK_WORDS = 8
+_CHUNK_DPARTS = 127
+
+
+def chunk_dedup(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                chunk_words: int = CHUNK_WORDS, parts: int = PAIR_PARTS,
+                dparts: int = _CHUNK_DPARTS):
+    """C4-style cross-document chunk dedup accounting: split each doc's
+    token stream into consecutive `chunk_words`-token chunks (tail
+    shorter than the window is kept verbatim — never deduped), keep the
+    globally FIRST occurrence of each distinct chunk (order = (doc_id,
+    chunk_idx)), and report (doc_id, n_chunks, n_kept) per doc.
+
+    Distributed shape: chunk text never shuffles — each occurrence
+    ships as (h1, h2, doc_id, chunk_idx) where (h1, h2) is the 128-bit
+    sha digest of the chunk string (full digest: a 64-bit key would
+    birthday-collide at 10^12 chunks), one coarse hash shuffle decides
+    winners per partition-local distinct chunk, per-doc kept partials
+    plus map-side (doc, n_chunks) marker rows reduce in one doc-hash
+    shuffle. Docs with no full chunk still emit (doc, 0, 0)."""
+    from .ngrams import _doc_ngrams
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        n_rows = batch.num_rows
+        nchunks = np.zeros(n_rows, np.int64)
+        out = {
+            "h1": np.empty(0, np.int64), "h2": np.empty(0, np.int64),
+            "doc": np.empty(0, np.int64), "cidx": np.empty(0, np.int64)}
+        toks, owner = _doc_ngrams(batch[text_col], 1)
+        if toks is not None:
+            doclen = np.bincount(owner, minlength=n_rows)
+            starts = np.cumsum(doclen) - doclen
+            within = np.arange(len(owner), dtype=np.int64) - starts[owner]
+            head = (within % chunk_words == 0) & \
+                (within + chunk_words <= doclen[owner])
+            pos = np.nonzero(head)[0]
+            if len(pos):
+                pieces = [pc.take(toks, pa.array(pos + w, pa.int64()))
+                          for w in range(chunk_words)]
+                chunks = pc.binary_join_element_wise(*pieces, " ")
+                dg = hashing.content_digest128(chunks.to_pylist())
+                own = owner[pos]
+                np.add.at(nchunks, own, 1)
+                out = {"h1": dg[:, 0], "h2": dg[:, 1],
+                       "doc": ids[own],
+                       "cidx": within[pos] // chunk_words}
+        marker = pa.table({
+            "doc": pa.array(ids, pa.int64()),
+            "nc": pa.array(nchunks, pa.int64()),
+            "nk": pa.array(np.zeros(n_rows, np.int64), pa.int64()),
+            "__dp": pa.array(ids % dparts, pa.int64())})
+        occ = pa.table({
+            "h1": pa.array(out["h1"], pa.int64()),
+            "h2": pa.array(out["h2"], pa.int64()),
+            "doc": pa.array(out["doc"], pa.int64()),
+            "cidx": pa.array(out["cidx"], pa.int64()),
+            "__p": pa.array(out["h1"] % parts, pa.int64())})
+        return {"marker": marker, "occ": occ}
+
+    # two outputs from one pass: run the kernel twice on the lazy input
+    # instead of materializing a combined row union (chunk rows dominate;
+    # markers are one row per doc) — the second pass re-reads only the
+    # (id, text) columns
+    def markers_only(batch: pa.Table) -> pa.Table:
+        return chunk_rows(batch)["marker"]
+
+    def occs_only(batch: pa.Table) -> pa.Table:
+        return chunk_rows(batch)["occ"]
+
+    def kept_partials(part: pa.Table) -> pa.Table:
+        h1 = np.asarray(part["h1"], np.int64)
+        h2 = np.asarray(part["h2"], np.int64)
+        doc = np.asarray(part["doc"], np.int64)
+        cidx = np.asarray(part["cidx"], np.int64)
+        order = np.lexsort((cidx, doc, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.empty(len(h1s), bool)
+        first[0:1] = True
+        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        win_doc = doc[order][first]
+        u, cnt = np.unique(win_doc, return_counts=True)
+        return pa.table({
+            "doc": pa.array(u, pa.int64()),
+            "nc": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            "nk": pa.array(cnt.astype(np.int64), pa.int64()),
+            "__dp": pa.array(u % dparts, pa.int64())})
+
+    def per_doc(part: pa.Table) -> pa.Table:
+        doc = np.asarray(part["doc"], np.int64)
+        nc = np.asarray(part["nc"], np.int64)
+        nk = np.asarray(part["nk"], np.int64)
+        u, inv = np.unique(doc, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(u, pa.int64()),
+            "n_chunks": pa.array(np.bincount(inv, weights=nc)
+                                 .astype(np.int64), pa.int64()),
+            "n_kept": pa.array(np.bincount(inv, weights=nk)
+                               .astype(np.int64), pa.int64())})
+
+    markers = docs.map_batches(markers_only, batch_format="pyarrow")
+    kept = (docs.map_batches(occs_only, batch_format="pyarrow")
+            .groupby("__p").map_groups(kept_partials,
+                                       batch_format="pyarrow"))
+    return (markers.union(kept).groupby("__dp")
+            .map_groups(per_doc, batch_format="pyarrow"))
+
+
 def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
                   max_hamming: int = 3, concurrency=(1, 4),
                   bucket_cap: int = 8192):

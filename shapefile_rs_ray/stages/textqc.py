@@ -1,0 +1,93 @@
+"""Text quality-control operators for LM-corpus curation: PII
+redaction and Gopher-style repetition/quality statistics.
+
+Both are pure map-side stages (no shuffle at any corpus size): every
+kernel is one Arrow compute call or one lexsort/reduceat pass per
+batch, and both ship exact DuckDB twins (RE2 regexes on both sides;
+ratios are single int/int IEEE divisions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .ngrams import _doc_ngrams
+
+# RE2 syntax, identical semantics in Arrow and DuckDB (both link RE2)
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b5[0-9]{2}-[0-9]{4}\b"
+
+
+def pii_scrub(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_emails, n_phones, clean): count and redact email and
+    US-555-style phone patterns. Redaction order is emails first, then
+    phones, so a phone inside an email never double-redacts."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch[text_col], pa.string())
+        n_email = pc.count_substring_regex(text, EMAIL_RE)
+        clean = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+        n_phone = pc.count_substring_regex(clean, PHONE_RE)
+        clean = pc.replace_substring_regex(clean, PHONE_RE, "<PHONE>")
+        return pa.table({
+            id_col: batch[id_col],
+            "n_emails": pc.cast(n_email, pa.int64()),
+            "n_phones": pc.cast(n_phone, pa.int64()),
+            "clean": clean,
+        })
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def gopher_quality(docs, *, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   repetition_factor: int = 5):
+    """Per-doc Gopher-style repetition/quality measures over the shared
+    [a-z0-9]+ token kernel:
+
+      n_words, sum_word_len, n_distinct, max_word_cnt (the most frequent
+      word's count), mean_word_len (= sum/n, one IEEE division),
+      is_repetitive (1 when the top word exceeds 1/repetition_factor of
+      all tokens — the 'max repeated word fraction' gate).
+
+    Docs without a single token emit zeros (mean 0.0, not NULL)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        ids = np.asarray(batch[id_col], np.int64)
+        n_words = np.zeros(n_rows, np.int64)
+        sum_len = np.zeros(n_rows, np.int64)
+        n_dist = np.zeros(n_rows, np.int64)
+        max_cnt = np.zeros(n_rows, np.int64)
+        toks, owner = _doc_ngrams(batch[text_col], 1)
+        if toks is not None:
+            np.add.at(n_words, owner, 1)
+            lens = np.asarray(pc.utf8_length(toks), np.int64)
+            np.add.at(sum_len, owner, lens)
+            terms = np.asarray(toks, dtype=str)
+            order = np.lexsort((terms, owner))
+            t_s, o_s = terms[order], owner[order]
+            new = np.empty(len(t_s), bool)
+            new[0] = True
+            new[1:] = (o_s[1:] != o_s[:-1]) | (t_s[1:] != t_s[:-1])
+            starts = np.nonzero(new)[0]
+            cnt = np.diff(np.append(starts, len(t_s))).astype(np.int64)
+            u_owner = o_s[starts]
+            np.add.at(n_dist, u_owner, 1)
+            np.maximum.at(max_cnt, u_owner, cnt)
+        mean_len = np.where(n_words > 0, sum_len / np.maximum(n_words, 1),
+                            0.0)
+        rep = (max_cnt * repetition_factor > n_words) & (n_words > 0)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "sum_word_len": pa.array(sum_len, pa.int64()),
+            "n_distinct": pa.array(n_dist, pa.int64()),
+            "max_word_cnt": pa.array(max_cnt, pa.int64()),
+            "mean_word_len": pa.array(mean_len, pa.float64()),
+            "is_repetitive": pa.array(rep.astype(np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow")

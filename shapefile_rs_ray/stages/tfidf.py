@@ -102,6 +102,71 @@ _EMPTY_TOPK = pa.table({
 })
 
 
+def inverted_index(docs, *, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 50,
+                   parts: int = TERM_PARTS):
+    """Corpus inverted-index summary: per term with document frequency
+    >= min_df, (term, df, min_doc, max_doc, sum_doc) — the bounded
+    projection of a postings list that a SQL oracle can recompute
+    (full postings are the same rows before the per-term reduce; a
+    sink would write them partitioned by the same crc32(term) key).
+
+    Shape: per-batch per-term partials (df, min/max/sum of doc ids over
+    the batch's distinct (doc, term) pairs — each doc counted once per
+    term), ONE coarse prime-modulus term-hash shuffle, vectorized local
+    reduce. Never a per-distinct-term groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, terms, _ = _batch_doc_term_tf(batch, id_col, text_col)
+        if ids is None:
+            z = pa.array([], pa.int64())
+            return pa.table({"term": pa.array([], pa.string()),
+                             "dfp": z, "mn": z, "mx": z, "sm": z,
+                             "__p": z})
+        order = np.argsort(terms, kind="stable")
+        t_s, id_s = terms[order], ids[order]
+        new = np.empty(len(t_s), bool)
+        new[0] = True
+        new[1:] = t_s[1:] != t_s[:-1]
+        starts = np.nonzero(new)[0]
+        uniq = t_s[starts]
+        return pa.table({
+            "term": pa.array(uniq.tolist(), pa.string()),
+            "dfp": pa.array(np.diff(np.append(starts, len(t_s)))
+                            .astype(np.int64), pa.int64()),
+            "mn": pa.array(np.minimum.reduceat(id_s, starts), pa.int64()),
+            "mx": pa.array(np.maximum.reduceat(id_s, starts), pa.int64()),
+            "sm": pa.array(np.add.reduceat(id_s, starts), pa.int64()),
+            "__p": pa.array(_term_part(uniq, parts), pa.int64())})
+
+    def reduce_(part: pa.Table) -> pa.Table:
+        terms = np.asarray(part["term"], dtype=str)
+        order = np.argsort(terms, kind="stable")
+        t_s = terms[order]
+        dfp = np.asarray(part["dfp"], np.int64)[order]
+        mn = np.asarray(part["mn"], np.int64)[order]
+        mx = np.asarray(part["mx"], np.int64)[order]
+        sm = np.asarray(part["sm"], np.int64)[order]
+        new = np.empty(len(t_s), bool)
+        new[0] = True
+        new[1:] = t_s[1:] != t_s[:-1]
+        starts = np.nonzero(new)[0]
+        df = np.add.reduceat(dfp, starts)
+        keep = df >= min_df
+        return pa.table({
+            "term": pa.array(t_s[starts][keep].tolist(), pa.string()),
+            "df": pa.array(df[keep], pa.int64()),
+            "min_doc": pa.array(np.minimum.reduceat(mn, starts)[keep],
+                                pa.int64()),
+            "max_doc": pa.array(np.maximum.reduceat(mx, starts)[keep],
+                                pa.int64()),
+            "sum_doc": pa.array(np.add.reduceat(sm, starts)[keep],
+                                pa.int64())})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("__p").map_groups(reduce_, batch_format="pyarrow"))
+
+
 def tfidf_top_terms(docs, *, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3,
                     parts: int = TERM_PARTS, doc_parts: int = DOC_PARTS,
