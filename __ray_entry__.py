@@ -1796,11 +1796,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "exact_dedup": _exact_dedup,
         "tfidf_terms": _tfidf_terms,
+        # -- driver-green in r2/r3 (beyond the 50-entry window) --
         "cells_multi": _cells_multi,
         "h3_polyfill": _h3_polyfill,
         "hot_cells": _hot_cells,
         "ann_top1": _ann_top1,
-        # -- driver-green in r2/r3 (beyond the 50-entry window) --
         "tile_cells": _tile_cells,
         "tile_pyramid": _tile_pyramid,
         "zonal_cellpart": _zonal_cellpart,

@@ -1046,7 +1046,8 @@ def ann_consistency_sql(path: str) -> str:
 WITH g AS (SELECT vec_id, "rank", nn_id FROM read_parquet('{path}')),
 e AS (SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS q
+                            x -> CAST(FLOOR(x * CAST('1048576.0' AS DOUBLE))
+                                      AS BIGINT)) AS q
       FROM embeddings)
 SELECT g.vec_id, g."rank" AS "rank", g.nn_id,
        CAST(list_sum(list_transform(list_zip(a.q, b.q),

@@ -684,53 +684,51 @@ def chunk_dedup(docs, *, id_col: str = "doc_id", text_col: str = "text",
     shuffle. Docs with no full chunk still emit (doc, 0, 0)."""
     from .ngrams import _doc_ngrams
 
-    def chunk_rows(batch: pa.Table) -> pa.Table:
+    def _chunk_heads(batch: pa.Table):
+        """Shared head-mask kernel: (ids, toks, owner, within, pos) with
+        pos = flat token index of every full-chunk head (or pos=None)."""
         ids = np.asarray(batch[id_col], np.int64)
-        n_rows = batch.num_rows
-        nchunks = np.zeros(n_rows, np.int64)
-        out = {
-            "h1": np.empty(0, np.int64), "h2": np.empty(0, np.int64),
-            "doc": np.empty(0, np.int64), "cidx": np.empty(0, np.int64)}
         toks, owner = _doc_ngrams(batch[text_col], 1)
-        if toks is not None:
-            doclen = np.bincount(owner, minlength=n_rows)
-            starts = np.cumsum(doclen) - doclen
-            within = np.arange(len(owner), dtype=np.int64) - starts[owner]
-            head = (within % chunk_words == 0) & \
-                (within + chunk_words <= doclen[owner])
-            pos = np.nonzero(head)[0]
-            if len(pos):
-                pieces = [pc.take(toks, pa.array(pos + w, pa.int64()))
-                          for w in range(chunk_words)]
-                chunks = pc.binary_join_element_wise(*pieces, " ")
-                dg = hashing.content_digest128(chunks.to_pylist())
-                own = owner[pos]
-                np.add.at(nchunks, own, 1)
-                out = {"h1": dg[:, 0], "h2": dg[:, 1],
-                       "doc": ids[own],
-                       "cidx": within[pos] // chunk_words}
-        marker = pa.table({
+        if toks is None:
+            return ids, None, None, None, None
+        doclen = np.bincount(owner, minlength=batch.num_rows)
+        starts = np.cumsum(doclen) - doclen
+        within = np.arange(len(owner), dtype=np.int64) - starts[owner]
+        head = (within % chunk_words == 0) & \
+            (within + chunk_words <= doclen[owner])
+        return ids, toks, owner, within, np.nonzero(head)[0]
+
+    # two passes over the lazy input: the markers pass needs only the
+    # head COUNTS (no chunk strings, no sha), the occurrence pass pays
+    # the join + digest exactly once
+    def markers_only(batch: pa.Table) -> pa.Table:
+        ids, _, owner, _, pos = _chunk_heads(batch)
+        nchunks = np.zeros(batch.num_rows, np.int64)
+        if pos is not None and len(pos):
+            np.add.at(nchunks, owner[pos], 1)
+        return pa.table({
             "doc": pa.array(ids, pa.int64()),
             "nc": pa.array(nchunks, pa.int64()),
-            "nk": pa.array(np.zeros(n_rows, np.int64), pa.int64()),
+            "nk": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
             "__dp": pa.array(ids % dparts, pa.int64())})
-        occ = pa.table({
-            "h1": pa.array(out["h1"], pa.int64()),
-            "h2": pa.array(out["h2"], pa.int64()),
-            "doc": pa.array(out["doc"], pa.int64()),
-            "cidx": pa.array(out["cidx"], pa.int64()),
-            "__p": pa.array(out["h1"] % parts, pa.int64())})
-        return {"marker": marker, "occ": occ}
-
-    # two outputs from one pass: run the kernel twice on the lazy input
-    # instead of materializing a combined row union (chunk rows dominate;
-    # markers are one row per doc) — the second pass re-reads only the
-    # (id, text) columns
-    def markers_only(batch: pa.Table) -> pa.Table:
-        return chunk_rows(batch)["marker"]
 
     def occs_only(batch: pa.Table) -> pa.Table:
-        return chunk_rows(batch)["occ"]
+        ids, toks, owner, within, pos = _chunk_heads(batch)
+        if pos is None or not len(pos):
+            z = pa.array([], pa.int64())
+            return pa.table({"h1": z, "h2": z, "doc": z, "cidx": z,
+                             "__p": z})
+        pieces = [pc.take(toks, pa.array(pos + w, pa.int64()))
+                  for w in range(chunk_words)]
+        chunks = pc.binary_join_element_wise(*pieces, " ")
+        dg = hashing.content_digest128(chunks.to_pylist())
+        own = owner[pos]
+        return pa.table({
+            "h1": pa.array(dg[:, 0], pa.int64()),
+            "h2": pa.array(dg[:, 1], pa.int64()),
+            "doc": pa.array(ids[own], pa.int64()),
+            "cidx": pa.array(within[pos] // chunk_words, pa.int64()),
+            "__p": pa.array(dg[:, 0] % parts, pa.int64())})
 
     def kept_partials(part: pa.Table) -> pa.Table:
         h1 = np.asarray(part["h1"], np.int64)

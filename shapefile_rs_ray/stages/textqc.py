@@ -13,8 +13,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .ngrams import _doc_ngrams
-
 # RE2 syntax, identical semantics in Arrow and DuckDB (both link RE2)
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PHONE_RE = r"\b5[0-9]{2}-[0-9]{4}\b"
@@ -54,29 +52,32 @@ def gopher_quality(docs, *, id_col: str = "doc_id",
 
     Docs without a single token emit zeros (mean 0.0, not NULL)."""
 
+    from .tfidf import _batch_doc_term_tf
+
     def stats(batch: pa.Table) -> pa.Table:
+        # every measure derives from the SHARED distinct-(doc, term, tf)
+        # kernel (tfidf._batch_doc_term_tf) so the tokenization can never
+        # drift from the tfidf/ngram surface; assumes one row per doc id
+        # within a batch (the documents-table shape)
         n_rows = batch.num_rows
         ids = np.asarray(batch[id_col], np.int64)
         n_words = np.zeros(n_rows, np.int64)
         sum_len = np.zeros(n_rows, np.int64)
         n_dist = np.zeros(n_rows, np.int64)
         max_cnt = np.zeros(n_rows, np.int64)
-        toks, owner = _doc_ngrams(batch[text_col], 1)
-        if toks is not None:
-            np.add.at(n_words, owner, 1)
-            lens = np.asarray(pc.utf8_length(toks), np.int64)
-            np.add.at(sum_len, owner, lens)
-            terms = np.asarray(toks, dtype=str)
-            order = np.lexsort((terms, owner))
-            t_s, o_s = terms[order], owner[order]
-            new = np.empty(len(t_s), bool)
+        kids, terms, tf = _batch_doc_term_tf(batch, id_col, text_col)
+        if kids is not None:
+            new = np.empty(len(kids), bool)
             new[0] = True
-            new[1:] = (o_s[1:] != o_s[:-1]) | (t_s[1:] != t_s[:-1])
+            new[1:] = kids[1:] != kids[:-1]
             starts = np.nonzero(new)[0]
-            cnt = np.diff(np.append(starts, len(t_s))).astype(np.int64)
-            u_owner = o_s[starts]
-            np.add.at(n_dist, u_owner, 1)
-            np.maximum.at(max_cnt, u_owner, cnt)
+            order = np.argsort(ids, kind="stable")
+            pos = order[np.searchsorted(ids[order], kids[starts])]
+            tlen = np.char.str_len(terms).astype(np.int64)
+            n_words[pos] = np.add.reduceat(tf, starts)
+            sum_len[pos] = np.add.reduceat(tf * tlen, starts)
+            n_dist[pos] = np.diff(np.append(starts, len(kids)))
+            max_cnt[pos] = np.maximum.reduceat(tf, starts)
         mean_len = np.where(n_words > 0, sum_len / np.maximum(n_words, 1),
                             0.0)
         rep = (max_cnt * repetition_factor > n_words) & (n_words > 0)
