@@ -1056,3 +1056,106 @@ SELECT g.vec_id, g."rank" AS "rank", g.nn_id,
        CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS nb_q
 FROM g JOIN e a ON g.vec_id = a.vec_id
        JOIN e b ON g.nn_id = b.vec_id"""
+
+
+# ---------------------------------------------------------------------------
+# WAV / BMP decode goldens (round 4: REAL multimodal decode, scalar twins)
+# ---------------------------------------------------------------------------
+
+WAV_GOLDEN_PQ = os.path.join(ORACLE_DIR, "wav_decode.parquet")
+BMP_GOLDEN_PQ = os.path.join(ORACLE_DIR, "bmp_decode.parquet")
+
+
+def _wav_scalar_row(doc_id: int) -> tuple:
+    """Independent scalar twin of WavDecodeStage over synth_wav_bytes:
+    struct-module parse, pure-Python loops — no numpy, no shared control
+    flow with the vectorized production decoder."""
+    import struct
+    from ..stages.multimodal import synth_wav_bytes
+    p = synth_wav_bytes(doc_id)
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(p):
+        cid, sz = p[pos:pos + 4], struct.unpack("<I", p[pos + 4:pos + 8])[0]
+        body = p[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    _, n_ch, rate = struct.unpack("<HHI", fmt[:8])
+    sum_abs = sum_sq = peak = 0
+    n_samples = len(data) // 2
+    for s in struct.iter_unpack("<h", data):
+        a = abs(s[0])
+        sum_abs += a
+        sum_sq += a * a
+        peak = max(peak, a)
+    return rate, n_ch, n_samples, sum_abs, sum_sq, peak
+
+
+def _bmp_scalar_row(doc_id: int) -> tuple:
+    """Independent scalar twin of BmpDecodeStage over synth_bmp_bytes:
+    byte-offset arithmetic + per-pixel Python loops."""
+    import struct
+    from ..stages.multimodal import BmpDecodeStage, synth_bmp_bytes
+    p = synth_bmp_bytes(doc_id)
+    assert p[:2] == b"BM"
+    off = struct.unpack("<I", p[10:14])[0]
+    w = struct.unpack("<i", p[18:22])[0]
+    h = struct.unpack("<i", p[22:26])[0]
+    stride = (w * 3 + 3) & ~3
+    sums = [0, 0, 0]
+
+    def px(x: int, y: int) -> tuple:
+        row_off = off + (h - 1 - y) * stride      # bottom-up
+        b0 = row_off + x * 3
+        return p[b0 + 2], p[b0 + 1], p[b0]        # BGR -> RGB
+
+    for y in range(h):
+        for x in range(w):
+            r, g, bch = px(x, y)
+            sums[0] += r
+            sums[1] += g
+            sums[2] += bch
+    t = BmpDecodeStage.THUMB
+    thumb = 0
+    for yi in range(t):
+        for xi in range(t):
+            thumb += sum(px((xi * w) // t, (yi * h) // t))
+    return w, h, sums[0], sums[1], sums[2], thumb
+
+
+def _ensure_scalar_golden(path: str, n_docs: int, row_fn, names) -> None:
+    if os.path.exists(path) and \
+            pq.ParquetFile(path).metadata.num_rows >= n_docs:
+        return
+    import ray
+
+    @ray.remote
+    def _chunk(start: int, stop: int) -> pa.Table:
+        rows = [row_fn(d) for d in range(start, stop)]
+        cols = {"doc_id": pa.array(range(start, stop), pa.int64())}
+        for ci, nm in enumerate(names):
+            cols[nm] = pa.array([r[ci] for r in rows], pa.int64())
+        return pa.table(cols)
+
+    step = 200
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    parts = ray.get([_chunk.remote(s, min(s + step, n_docs))
+                     for s in range(0, n_docs, step)])
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(pa.concat_tables(parts), tmp)
+    os.replace(tmp, path)
+
+
+def ensure_wav_golden(n_docs: int) -> None:
+    _ensure_scalar_golden(WAV_GOLDEN_PQ, n_docs, _wav_scalar_row,
+                          ("sample_rate", "n_channels", "n_samples",
+                           "sum_abs", "sum_sq", "peak"))
+
+
+def ensure_bmp_golden(n_docs: int) -> None:
+    _ensure_scalar_golden(BMP_GOLDEN_PQ, n_docs, _bmp_scalar_row,
+                          ("width", "height", "sum_r", "sum_g", "sum_b",
+                           "thumb_sum"))

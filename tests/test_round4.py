@@ -189,6 +189,57 @@ def test_inverted_index_min_df(ray_session):
     assert list(out["sum_doc"]) == [45, 45]
 
 
+def test_wav_decode_real_parse():
+    """The WAV stage is a REAL decoder: stats computed from the parsed
+    PCM match a direct recomputation, and malformed payloads raise."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    from shapefile_rs_ray.stages.multimodal import (WavDecodeStage,
+                                                    _parse_wav,
+                                                    synth_wav_bytes)
+    payload = synth_wav_bytes(42)
+    rate, nch, s = _parse_wav(payload)
+    assert (rate, nch, len(s)) == (8200, 1, 442)
+    stage = WavDecodeStage()
+    out = stage(pa.table({"doc_id": pa.array([42], pa.int64()),
+                          "wav": pa.array([payload], pa.binary())}))
+    a = np.abs(s.astype(np.int64))
+    assert out["sum_abs"][0].as_py() == int(a.sum())
+    assert out["sum_sq"][0].as_py() == int((a * a).sum())
+    assert out["peak"][0].as_py() == int(a.max())
+    with pytest.raises(ValueError, match="RIFF"):
+        _parse_wav(b"OggS not a wav")
+
+
+def test_bmp_decode_real_parse():
+    """BMP decode handles bottom-up rows, padding, and BGR order; the
+    8x8 thumbnail is an exact nearest-neighbor integer sample."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    from shapefile_rs_ray.stages.multimodal import (BmpDecodeStage,
+                                                    _parse_bmp,
+                                                    synth_bmp_bytes)
+    payload = synth_bmp_bytes(5)
+    px = _parse_bmp(payload)
+    h, w = px.shape[:2]
+    assert (w, h) == (16 + 5 % 17, 12 + 5 % 13)
+    # formula check at an arbitrary pixel (proves BGR + bottom-up undo)
+    a, b = 5 % 7 + 1, 5 % 11 + 1
+    assert px[2, 3, 1] == (3 * a + 2 * b + 1 * 37 + 5) % 256
+    stage = BmpDecodeStage()
+    out = stage(pa.table({"doc_id": pa.array([5], pa.int64()),
+                          "bmp": pa.array([payload], pa.binary())}))
+    assert out["sum_g"][0].as_py() == int(px[:, :, 1].astype(np.int64).sum())
+    yi = (np.arange(8) * h) // 8
+    xi = (np.arange(8) * w) // 8
+    assert out["thumb_sum"][0].as_py() == int(
+        px[yi][:, xi].astype(np.int64).sum())
+    with pytest.raises(ValueError, match="BMP"):
+        _parse_bmp(b"PNG...")
+
+
 def test_h3_cell_to_latlng_libh3_centers():
     """VERDICT-r3 #6: cell_to_latlng now computes the CANONICAL libh3
     frame (home descent + derived faceNeighbors overage adjustment) with
