@@ -251,6 +251,24 @@ def run_queries() -> tuple[dict, dict]:
 
     timed("radius_join", q_radius)
 
+    def q_tfidf():
+        # round-4 rewrite: shared Arrow token kernel + vectorized top-k
+        # (broadcast df path at this vocabulary size)
+        from shapefile_rs_ray.stages.tfidf import tfidf_top_terms
+        ds = read_webpages(SF_DIR, repl=20, with_html=False)
+        return tfidf_top_terms(ds, id_col="page_id", text_col="text",
+                               k=3).count()
+
+    timed("tfidf_pages", q_tfidf)
+
+    def q_chunk_dedup():
+        # round-4 C4-style chunk dedup accounting over the page corpus
+        from shapefile_rs_ray.stages.dedup import chunk_dedup
+        ds = read_webpages(SF_DIR, repl=20, with_html=False)
+        return chunk_dedup(ds, id_col="page_id").count()
+
+    timed("chunk_dedup", q_chunk_dedup)
+
     ray.shutdown()
     extra["query_samples"] = samples
     extra["samples_per_query"] = max(1, SAMPLES)
