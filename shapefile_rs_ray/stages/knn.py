@@ -197,9 +197,21 @@ class KnnStage:
 
 def knn_join(ds, sites: tuple[np.ndarray, np.ndarray, np.ndarray], *,
              k: int = 3, keep_cols=("page_id",), concurrency=(1, 4),
-             batch_size=None):
+             batch_size=None, task_threshold: int = 10_000):
+    """kNN map stage. Small site sets run as PLAIN TASKS — per-task setup
+    is one 10^4-row argsort off a zero-copy ray.get, and tasks use every
+    CPU immediately while an actor pool pays process startup per run
+    (the measured bench delta; same rule as the minhash signatures
+    stage). Site sets past `task_threshold` keep the actor pool so the
+    GridKnnIndex builds once per actor."""
     import ray
     ref = ray.put(sites)
+    if len(np.asarray(sites[0])) <= task_threshold:
+        def knn_fn(batch: pa.Table) -> pa.Table:
+            return KnnStage(ref, k=k, keep_cols=keep_cols)(batch)
+
+        return ds.map_batches(knn_fn, batch_format="pyarrow",
+                              batch_size=batch_size)
     return ds.map_batches(
         KnnStage,
         fn_constructor_kwargs={"sites_ref": ref, "k": k,
