@@ -367,6 +367,12 @@ def _kmeans_sql() -> str:
     return kmeans_embed_sql(k=8, rounds=5, dim=64)
 
 
+def _semantic_neardup_sql() -> str:
+    from shapefile_rs_ray.stages.cluster import semantic_neardup_sql
+    return semantic_neardup_sql(k=8, rounds=5, dim=64,
+                               thr_num=2304, thr_den=10000)
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB twin of _pii_scrub: identical synthetic contact suffix,
     identical RE2 patterns (module-sourced so they can never drift),
@@ -523,6 +529,22 @@ def _kmeans_embed(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"])
     return kmeans_embed(ds, k=8, rounds=5)
+
+
+def _semantic_neardup(sf_dir: str):
+    """Semantic near-dup pairs: k-means cluster blocking + exact
+    within-cluster quantized-cosine verify (cos >= 0.48, the
+    embed_neardup threshold). The oracle
+    replays the identical blocking, so the gate checks implementation,
+    not blocking recall (documented approximation contract)."""
+    import os
+    import ray
+    from shapefile_rs_ray.stages.cluster import semantic_neardup
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return semantic_neardup(ds, k=8, rounds=5,
+                            thr_num=2304, thr_den=10000)
 
 
 def _token_quantiles(sf_dir: str):
@@ -1827,6 +1849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_decode": _wav_decode,
         "bmp_decode": _bmp_decode,
         "kmeans_embed": _kmeans_embed,
+        "semantic_neardup": _semantic_neardup,
         # -- new/changed oracles this round --
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
@@ -1872,8 +1895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _dup_clusters,
         "h3_polyfill": _h3_polyfill,
         "h3_compact": _h3_compact,
-        "h3_ring": _h3_ring,
         # -- driver-green in r2/r3, untouched (beyond the 50-entry window) --
+        "h3_ring": _h3_ring,
         "cells_multi": _cells_multi,
         "webpages": _webpages,
         "decode_lakes": _decode_lakes,
@@ -2171,6 +2194,7 @@ FROM w""",
             "SELECT doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum "
             f"FROM read_parquet('{oracles.BMP_GOLDEN_PQ}')"),
         "kmeans_embed": _kmeans_sql(),
+        "semantic_neardup": _semantic_neardup_sql(),
         "gopher_quality": """
 WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
            FROM documents),

@@ -155,3 +155,157 @@ SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist_q FROM (
   SELECT vec_id, cluster, dist, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM fa)
 WHERE rn = 1""")
+
+
+# ---------------------------------------------------------------------------
+# semantic near-dup: k-means blocking + exact within-cluster verify
+# ---------------------------------------------------------------------------
+
+COS_SCALE = 1048576.0            # 2^20, the ann consistency quantization
+
+
+def semantic_neardup(embeddings, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = 8,
+                     rounds: int = 5, thr_num: int = 81,
+                     thr_den: int = 100, parts: int = 61,
+                     cluster_cap: int = 100_000):
+    """Semantic near-duplicate pairs with k-means cluster BLOCKING: only
+    same-cluster pairs pay the exact cosine check (the classic semantic
+    dedup shape — brute all-pairs is quadratic in the corpus, blocking
+    is quadratic only within clusters).
+
+    The cosine test is integer-quantized and float-comparison-exact on
+    both engines: with qi = floor(x_i * 2^20), a pair is near-dup iff
+    dot_q > 0 and (dot_q^2) * thr_den >= thr_num * na_q * nb_q, i.e.
+    cos^2 >= thr_num/thr_den (default 81/100 -> cos >= 0.9), evaluated
+    in float64 with the same op order as the SQL twin. Emits
+    (id_a, id_b, dot_q), id_a < id_b.
+
+    APPROXIMATION CONTRACT (documented): blocking can miss near-dup
+    pairs that k-means separated — same as every blocked semantic dedup;
+    the oracle applies the identical blocking, so the gate checks the
+    implementation, not recall. Clusters past `cluster_cap` members
+    fail loudly (the within-cluster verify is O(m^2))."""
+    import ray
+
+    assign = kmeans_embed(embeddings, id_col=id_col, vec_col=vec_col,
+                          k=k, rounds=rounds)
+
+    def qrows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        M = np.stack([np.asarray(v, np.float64)
+                      for v in batch[vec_col].to_pylist()])
+        Q = np.floor(M * COS_SCALE).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(np.full(len(ids), -1, np.int64),
+                                pa.int64()),
+            "q": pa.array(list(Q), pa.list_(pa.int64())),
+            "__p": pa.array(ids % parts, pa.int64())})
+
+    def arow(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": batch["cluster"],
+            "q": pa.array([[]] * n, pa.list_(pa.int64())),
+            "__p": pa.array(np.asarray(batch["vec_id"], np.int64) % parts,
+                            pa.int64())})
+
+    def attach(part: pa.Table) -> pa.Table:
+        ids = np.asarray(part["vec_id"], np.int64)
+        cl = np.asarray(part["cluster"], np.int64)
+        has_q = cl < 0
+        q_ids = ids[has_q]
+        order = np.argsort(q_ids, kind="stable")
+        a_ids = ids[~has_q]
+        a_cl = cl[~has_q]
+        pos = np.searchsorted(q_ids[order], a_ids)
+        if len(a_ids) and ((pos >= len(q_ids)).any()
+                           or (q_ids[order][np.minimum(
+                               pos, len(q_ids) - 1)] != a_ids).any()):
+            raise ValueError("semantic_neardup: assignment id missing "
+                             "from the embedding side")
+        qcol = part["q"].combine_chunks()
+        take = pa.array(np.nonzero(has_q)[0][order][pos], pa.int64())
+        import pyarrow.compute as pc
+        return pa.table({
+            "vec_id": pa.array(a_ids, pa.int64()),
+            "cluster": pa.array(a_cl, pa.int64()),
+            "q": pc.take(qcol, take),
+            "__pc": pa.array(a_cl % parts, pa.int64())})
+
+    def pairs(part: pa.Table) -> pa.Table:
+        ids = np.asarray(part["vec_id"], np.int64)
+        cl = np.asarray(part["cluster"], np.int64)
+        Q = np.stack([np.asarray(v, np.int64)
+                      for v in part["q"].to_pylist()])
+        out_a, out_b, out_d = [], [], []
+        for c in np.unique(cl):
+            m = cl == c
+            if int(m.sum()) > cluster_cap:
+                raise ValueError(
+                    f"semantic_neardup: cluster {int(c)} holds "
+                    f"{int(m.sum())} members (> cluster_cap="
+                    f"{cluster_cap}); the within-cluster verify is "
+                    f"O(m^2) — raise k or the cap knowingly")
+            cid = ids[m]
+            o = np.argsort(cid, kind="stable")
+            cid = cid[o]
+            CQ = Q[m][o]
+            G = CQ @ CQ.T                      # int64 gram matrix
+            na = np.diag(G).astype(np.float64)
+            d = G.astype(np.float64)
+            ok = (G > 0) & (((d * d) * float(thr_den))
+                            >= (float(thr_num) * (na[:, None] * na[None, :])))
+            ia, ib = np.nonzero(np.triu(ok, k=1))
+            out_a.append(cid[ia])
+            out_b.append(cid[ib])
+            out_d.append(G[ia, ib])
+        if not out_a:
+            z = pa.array([], pa.int64())
+            return pa.table({"id_a": z, "id_b": z, "dot_q": z})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "dot_q": pa.array(np.concatenate(out_d), pa.int64())})
+
+    qside = embeddings.map_batches(qrows, batch_format="pyarrow")
+    aside = assign.drop_columns(["dist_q"]).map_batches(
+        arow, batch_format="pyarrow")
+    attached = (qside.union(aside).groupby("__p")
+                .map_groups(attach, batch_format="pyarrow"))
+    return (attached.groupby("__pc")
+            .map_groups(pairs, batch_format="pyarrow"))
+
+
+def semantic_neardup_sql(k: int = 8, rounds: int = 5, dim: int = 64,
+                         thr_num: int = 81, thr_den: int = 100) -> str:
+    """DuckDB twin: the replayed k-means assignment CTE chain + the
+    identical float-op threshold over same-cluster pairs."""
+    base = kmeans_embed_sql(k=k, rounds=rounds, dim=dim)
+    # reuse the kmeans CTE chain: wrap its final SELECT as an `asg` CTE
+    head, _, final = base.partition("\nSELECT vec_id, cluster,")
+    asg = ("asg AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+           "dist, ROW_NUMBER() OVER (PARTITION BY vec_id "
+           "ORDER BY dist, cluster) AS rn FROM fa) WHERE rn = 1)")
+    q2 = ("q2 AS (SELECT vec_id, list_transform("
+          "CAST(embedding AS DOUBLE[]), x -> CAST(FLOOR(x * "
+          "CAST('1048576.0' AS DOUBLE)) AS BIGINT)) AS q "
+          "FROM embeddings)")
+    return head + ",\n" + asg + ",\n" + q2 + f""",
+pp AS (SELECT wa.vec_id AS id_a, wb.vec_id AS id_b,
+       CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                                    p -> p[1] * p[2])) AS BIGINT) AS dot_q,
+       CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS na_q,
+       CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS nb_q
+       FROM asg wa JOIN asg wb
+         ON wa.cluster = wb.cluster AND wa.vec_id < wb.vec_id
+       JOIN q2 a ON a.vec_id = wa.vec_id
+       JOIN q2 b ON b.vec_id = wb.vec_id)
+SELECT id_a, id_b, dot_q FROM pp
+WHERE dot_q > 0 AND
+      (CAST(dot_q AS DOUBLE) * CAST(dot_q AS DOUBLE))
+          * CAST('{float(thr_den)!r}' AS DOUBLE)
+      >= CAST('{float(thr_num)!r}' AS DOUBLE)
+          * (CAST(na_q AS DOUBLE) * CAST(nb_q AS DOUBLE))"""

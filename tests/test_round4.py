@@ -212,6 +212,38 @@ def test_kmeans_embed_deterministic_and_coherent(ray_session, sf_dir):
     assert (a["dist_q"] >= 0).all()
 
 
+def test_semantic_neardup_subset_of_brute(ray_session, sf_dir):
+    """Cluster blocking never invents pairs: every semantic_neardup pair
+    must appear in the brute all-pairs cosine join at the same
+    threshold (it may MISS pairs k-means separated — the documented
+    approximation), and the emitted dot_q is the exact quantized dot."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    from shapefile_rs_ray.stages.cluster import COS_SCALE, semantic_neardup
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    got = semantic_neardup(ds, k=4, rounds=2,
+                           thr_num=2304, thr_den=10000).to_pandas()
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    M = np.stack([np.asarray(v, np.float64)
+                  for v in tbl["embedding"].to_pylist()])
+    Q = np.floor(M * COS_SCALE).astype(np.int64)
+    G = Q @ Q.T
+    na = np.diag(G).astype(np.float64)
+    d = G.astype(np.float64)
+    ok = (G > 0) & (((d * d) * 10000.0) >= (2304.0 * (na[:, None] * na[None, :])))
+    ia, ib = np.nonzero(np.triu(ok, k=1))
+    brute = {(int(min(ids[x], ids[y])), int(max(ids[x], ids[y]))): int(G[x, y])
+             for x, y in zip(ia, ib)}
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        key = (int(r["id_a"]), int(r["id_b"]))
+        assert key in brute and brute[key] == int(r["dot_q"])
+
+
 def test_wav_decode_real_parse():
     """The WAV stage is a REAL decoder: stats computed from the parsed
     PCM match a direct recomputation, and malformed payloads raise."""
