@@ -212,17 +212,18 @@ def test_kmeans_embed_deterministic_and_coherent(ray_session, sf_dir):
     assert (a["dist_q"] >= 0).all()
 
 
-def test_semantic_neardup_subset_of_brute(ray_session, sf_dir):
+def test_semantic_neardup_subset_of_brute(ray_session):
     """Cluster blocking never invents pairs: every semantic_neardup pair
     must appear in the brute all-pairs cosine join at the same
     threshold (it may MISS pairs k-means separated — the documented
-    approximation), and the emitted dot_q is the exact quantized dot."""
+    approximation), and the emitted dot_q is the exact quantized dot.
+    Uses sf0.01 — the sf0.001 embeddings hold no qualifying pair."""
     import numpy as np
     import pyarrow.parquet as pq
     import ray
     from shapefile_rs_ray.stages.cluster import COS_SCALE, semantic_neardup
 
-    path = f"{sf_dir}/embeddings.parquet"
+    path = "/root/testdata/sf0.01/embeddings.parquet"
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     got = semantic_neardup(ds, k=4, rounds=2,
                            thr_num=2304, thr_den=10000).to_pandas()
