@@ -547,6 +547,15 @@ def _semantic_neardup(sf_dir: str):
                             thr_num=2304, thr_den=10000)
 
 
+def _host_docs(sf_dir: str):
+    """Document assembly: per url host, concatenate page texts in
+    (warc_ts, page_id) order — the WET -> document reconstruction step —
+    emitting (host, n_pages, n_chars, doc_sha)."""
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.textqc import assemble_host_docs
+    return assemble_host_docs(read_webpages(sf_dir, with_html=False))
+
+
 def _token_quantiles(sf_dir: str):
     """Exact per-language token-count quantiles (p50/p90/p99) with NO
     data sort: bounded (lang, n_tokens) count partials + a per-group
@@ -1850,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_decode": _bmp_decode,
         "kmeans_embed": _kmeans_embed,
         "semantic_neardup": _semantic_neardup,
+        "host_docs": _host_docs,
         # -- new/changed oracles this round --
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
@@ -1894,8 +1904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _jaccard_pairs,
         "dup_clusters": _dup_clusters,
         "h3_polyfill": _h3_polyfill,
-        "h3_compact": _h3_compact,
         # -- driver-green in r2/r3, untouched (beyond the 50-entry window) --
+        "h3_compact": _h3_compact,
         "h3_ring": _h3_ring,
         "cells_multi": _cells_multi,
         "webpages": _webpages,
@@ -2195,6 +2205,17 @@ FROM w""",
             f"FROM read_parquet('{oracles.BMP_GOLDEN_PQ}')"),
         "kmeans_embed": _kmeans_sql(),
         "semantic_neardup": _semantic_neardup_sql(),
+        "host_docs": f"""
+WITH {pages},
+h AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+             warc_ts, page_id, text FROM pages),
+d AS (SELECT host, COUNT(*) AS n_pages,
+             string_agg(text, '' ORDER BY warc_ts, page_id) AS doc
+      FROM h GROUP BY host)
+SELECT host, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(length(doc) AS BIGINT) AS n_chars,
+       substr(sha256(doc), 1, 16) AS doc_sha
+FROM d""",
         "gopher_quality": """
 WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
            FROM documents),

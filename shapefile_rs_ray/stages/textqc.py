@@ -92,3 +92,63 @@ def gopher_quality(docs, *, id_col: str = "doc_id",
         })
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+
+HOST_PARTS = 61
+
+
+def assemble_host_docs(pages, *, url_col: str = "url",
+                       text_col: str = "text", ts_col: str = "warc_ts",
+                       id_col: str = "page_id", parts: int = HOST_PARTS):
+    """Document assembly (the WET -> document reconstruction step): per
+    url host, concatenate page texts in (ts, page_id) order and emit
+    (host, n_pages, n_chars, doc_sha) — the assembled doc itself is
+    summarized by sha256 so the output stays bounded per host.
+
+    Shape: ONE coarse crc32(host)-mod-prime shuffle (whole hosts
+    co-locate; never a per-distinct-host groupby), per-partition lexsort
+    + run-boundary concat. Text moves once — the unavoidable motion of
+    a grouping concat."""
+    import hashlib
+    import zlib
+
+    def rows(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(batch[url_col], r"https://(?P<h>[^/]+)/"), "h")
+        ph = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in
+                          host.to_pylist()), np.int64, batch.num_rows) % parts
+        return pa.table({
+            "host": host,
+            "ts": pc.cast(batch[ts_col], pa.int64()),   # timestamp -> us
+            "pid": batch[id_col],
+            "text": batch[text_col],
+            "__p": pa.array(ph, pa.int64())})
+
+    def assemble(part: pa.Table) -> pa.Table:
+        host = np.asarray(part["host"], dtype=str)
+        ts = np.asarray(part["ts"], np.int64)
+        pid = np.asarray(part["pid"], np.int64)
+        texts = part["text"].to_pylist()
+        order = np.lexsort((pid, ts, host))
+        host_s = host[order]
+        new = np.empty(len(host_s), bool)
+        new[0:1] = True
+        new[1:] = host_s[1:] != host_s[:-1]
+        starts = np.nonzero(new)[0]
+        bounds = np.append(starts, len(host_s))
+        out_h, out_n, out_c, out_s = [], [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            doc = "".join(texts[order[i]] for i in range(s, e))
+            out_h.append(host_s[s])
+            out_n.append(e - s)
+            out_c.append(len(doc))
+            out_s.append(hashlib.sha256(doc.encode("utf-8"))
+                         .hexdigest()[:16])
+        return pa.table({
+            "host": pa.array(out_h, pa.string()),
+            "n_pages": pa.array(np.array(out_n, np.int64), pa.int64()),
+            "n_chars": pa.array(np.array(out_c, np.int64), pa.int64()),
+            "doc_sha": pa.array(out_s, pa.string())})
+
+    return (pages.map_batches(rows, batch_format="pyarrow")
+            .groupby("__p").map_groups(assemble, batch_format="pyarrow"))
