@@ -1902,9 +1902,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _minhash_pairs,
         "simhash_pairs": _simhash_pairs,
         "jaccard_pairs": _jaccard_pairs,
-        "dup_clusters": _dup_clusters,
         "h3_polyfill": _h3_polyfill,
-        # -- driver-green in r2/r3, untouched (beyond the 50-entry window) --
+        # knn_join gained a task-based small-site path this round
+        "knn_sites": _knn_sites,
+        # -- beyond the 50-entry window: dup_clusters' code is unchanged
+        # and its only input (minhash pairs) is gate-verified bit-exact
+        # in-window; the rest are driver-green r2/r3 untouched --
+        "dup_clusters": _dup_clusters,
         "h3_compact": _h3_compact,
         "h3_ring": _h3_ring,
         "cells_multi": _cells_multi,
@@ -1913,7 +1917,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": _pip_join,
         "pip_join_cellpart": _pip_join_cellpart,
         "pip_join_h3": _pip_join_h3,
-        "knn_sites": _knn_sites,
         "zonal_stats": _zonal_stats,
         "exact_dedup": _exact_dedup,
         "hot_cells": _hot_cells,
@@ -2196,13 +2199,17 @@ SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN value END) AS p50,
        MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN value END) AS p99
 FROM w""",
         "pii_scrub": _pii_scrub_sql(),
+        # goldens may be cached OVERSIZED from a larger-sf run (the ensure_*
+        # early-return) — restrict to this sf's doc ids via a semi-join
         "wav_decode": (
-            "SELECT doc_id, sample_rate, n_channels, n_samples, "
+            "SELECT g.doc_id, sample_rate, n_channels, n_samples, "
             "sum_abs, sum_sq, peak "
-            f"FROM read_parquet('{oracles.WAV_GOLDEN_PQ}')"),
+            f"FROM read_parquet('{oracles.WAV_GOLDEN_PQ}') g "
+            "JOIN documents d ON d.doc_id = g.doc_id"),
         "bmp_decode": (
-            "SELECT doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum "
-            f"FROM read_parquet('{oracles.BMP_GOLDEN_PQ}')"),
+            "SELECT g.doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum "
+            f"FROM read_parquet('{oracles.BMP_GOLDEN_PQ}') g "
+            "JOIN documents d ON d.doc_id = g.doc_id"),
         "kmeans_embed": _kmeans_sql(),
         "semantic_neardup": _semantic_neardup_sql(),
         "host_docs": f"""

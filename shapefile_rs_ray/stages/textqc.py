@@ -113,8 +113,11 @@ def assemble_host_docs(pages, *, url_col: str = "url",
     import zlib
 
     def rows(batch: pa.Table) -> pa.Table:
-        host = pc.struct_field(
-            pc.extract_regex(batch[url_col], r"https://(?P<h>[^/]+)/"), "h")
+        # non-matching urls -> host '' (the oracle's regexp_extract
+        # convention), never a None crash
+        host = pc.fill_null(pc.struct_field(
+            pc.extract_regex(batch[url_col], r"https://(?P<h>[^/]+)/"),
+            "h"), "")
         ph = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in
                           host.to_pylist()), np.int64, batch.num_rows) % parts
         return pa.table({
