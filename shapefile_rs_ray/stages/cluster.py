@@ -42,12 +42,14 @@ def _assign(Q: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return a.astype(np.int64), d2[np.arange(len(Q)), a]
 
 
-def kmeans_embed(embeddings, *, id_col: str = "vec_id",
-                 vec_col: str = "embedding", k: int = 8, rounds: int = 5):
-    """Dataset(vec_id, embedding) -> Dataset(vec_id, cluster, dist_q):
-    `rounds` integer Lloyd updates seeded by the k smallest vec_ids,
-    then a final assignment pass. dist_q is the exact integer squared
-    distance to the assigned final centroid."""
+def kmeans_centroids(embeddings, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = 8,
+                     rounds: int = 5):
+    """Run the integer Lloyd rounds and return (final centroids C
+    (k, dim) int64, the materialized quantized Dataset) — the shared
+    core of kmeans_embed and the blocking consumers (semantic_neardup
+    assigns MAP-SIDE against the broadcast centroids instead of paying
+    an assignment-join shuffle)."""
     import ray
 
     def quant(batch: pa.Table) -> pa.Table:
@@ -95,6 +97,19 @@ def kmeans_embed(embeddings, *, id_col: str = "vec_id",
         C = C.copy()
         C[nonempty] = sums[nonempty] // cnt[nonempty, None]
 
+    return C, qds
+
+
+def kmeans_embed(embeddings, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 8, rounds: int = 5):
+    """Dataset(vec_id, embedding) -> Dataset(vec_id, cluster, dist_q):
+    `rounds` integer Lloyd updates seeded by the k smallest vec_ids,
+    then a final assignment pass. dist_q is the exact integer squared
+    distance to the assigned final centroid."""
+    import ray
+
+    C, qds = kmeans_centroids(embeddings, id_col=id_col, vec_col=vec_col,
+                              k=k, rounds=rounds)
     cref = ray.put(C)
 
     def final_assign(batch: pa.Table) -> pa.Table:
@@ -185,55 +200,30 @@ def semantic_neardup(embeddings, *, id_col: str = "vec_id",
     pairs that k-means separated — same as every blocked semantic dedup;
     the oracle applies the identical blocking, so the gate checks the
     implementation, not recall. Clusters past `cluster_cap` members
-    fail loudly (the within-cluster verify is O(m^2))."""
+    fail loudly (the within-cluster verify is O(m^2)).
+
+    Scale shape: the final assignment happens MAP-SIDE against the
+    broadcast centroids in the same pass that quantizes the cosine
+    components, so the only vector motion is the ONE cluster-key
+    shuffle into the verify partitions."""
     import ray
 
-    assign = kmeans_embed(embeddings, id_col=id_col, vec_col=vec_col,
-                          k=k, rounds=rounds)
+    C, _ = kmeans_centroids(embeddings, id_col=id_col, vec_col=vec_col,
+                            k=k, rounds=rounds)
+    cref = ray.put(C)
 
-    def qrows(batch: pa.Table) -> pa.Table:
+    def rows(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(cref)
         ids = np.asarray(batch[id_col], np.int64)
         M = np.stack([np.asarray(v, np.float64)
                       for v in batch[vec_col].to_pylist()])
+        a, _d = _assign(_quantize(M), Cc)
         Q = np.floor(M * COS_SCALE).astype(np.int64)
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
-            "cluster": pa.array(np.full(len(ids), -1, np.int64),
-                                pa.int64()),
+            "cluster": pa.array(a, pa.int64()),
             "q": pa.array(list(Q), pa.list_(pa.int64())),
-            "__p": pa.array(ids % parts, pa.int64())})
-
-    def arow(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            "vec_id": batch["vec_id"],
-            "cluster": batch["cluster"],
-            "q": pa.array([[]] * n, pa.list_(pa.int64())),
-            "__p": pa.array(np.asarray(batch["vec_id"], np.int64) % parts,
-                            pa.int64())})
-
-    def attach(part: pa.Table) -> pa.Table:
-        ids = np.asarray(part["vec_id"], np.int64)
-        cl = np.asarray(part["cluster"], np.int64)
-        has_q = cl < 0
-        q_ids = ids[has_q]
-        order = np.argsort(q_ids, kind="stable")
-        a_ids = ids[~has_q]
-        a_cl = cl[~has_q]
-        pos = np.searchsorted(q_ids[order], a_ids)
-        if len(a_ids) and ((pos >= len(q_ids)).any()
-                           or (q_ids[order][np.minimum(
-                               pos, len(q_ids) - 1)] != a_ids).any()):
-            raise ValueError("semantic_neardup: assignment id missing "
-                             "from the embedding side")
-        qcol = part["q"].combine_chunks()
-        take = pa.array(np.nonzero(has_q)[0][order][pos], pa.int64())
-        import pyarrow.compute as pc
-        return pa.table({
-            "vec_id": pa.array(a_ids, pa.int64()),
-            "cluster": pa.array(a_cl, pa.int64()),
-            "q": pc.take(qcol, take),
-            "__pc": pa.array(a_cl % parts, pa.int64())})
+            "__pc": pa.array(a % parts, pa.int64())})
 
     def pairs(part: pa.Table) -> pa.Table:
         ids = np.asarray(part["vec_id"], np.int64)
@@ -270,13 +260,8 @@ def semantic_neardup(embeddings, *, id_col: str = "vec_id",
             "id_b": pa.array(np.concatenate(out_b), pa.int64()),
             "dot_q": pa.array(np.concatenate(out_d), pa.int64())})
 
-    qside = embeddings.map_batches(qrows, batch_format="pyarrow")
-    aside = assign.drop_columns(["dist_q"]).map_batches(
-        arow, batch_format="pyarrow")
-    attached = (qside.union(aside).groupby("__p")
-                .map_groups(attach, batch_format="pyarrow"))
-    return (attached.groupby("__pc")
-            .map_groups(pairs, batch_format="pyarrow"))
+    return (embeddings.map_batches(rows, batch_format="pyarrow")
+            .groupby("__pc").map_groups(pairs, batch_format="pyarrow"))
 
 
 def semantic_neardup_sql(k: int = 8, rounds: int = 5, dim: int = 64,
