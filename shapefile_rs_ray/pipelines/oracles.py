@@ -1159,3 +1159,65 @@ def ensure_bmp_golden(n_docs: int) -> None:
     _ensure_scalar_golden(BMP_GOLDEN_PQ, n_docs, _bmp_scalar_row,
                           ("width", "height", "sum_r", "sum_g", "sum_b",
                            "thumb_sum"))
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM score golden (round 4: the CCNet/KenLM quality-scoring role)
+# ---------------------------------------------------------------------------
+
+
+LM_GOLDEN_PQ = os.path.join(ORACLE_DIR, "lm_score.parquet")
+
+
+def ensure_lm_golden(sf_dir: str) -> None:
+    """Independent scalar twin of stages/lm.lm_score: Python re
+    tokenization + collections.Counter counts + dict lookups (no shared
+    numpy lookup machinery). The per-doc float64 prob array is built in
+    the same token order and reduced with np.sum — elementwise-identical
+    arrays reduce bit-identically, so the gate hash compare is exact.
+
+    The golden is CORPUS-dependent (unlike the id-derived wav/bmp
+    payloads), so the fixed path carries the sf tag in its parquet
+    metadata and regenerates whenever a different sf runs (the harness
+    always runs the Ray query — and therefore this ensure — before the
+    oracle)."""
+    path = LM_GOLDEN_PQ
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.exists(path):
+        meta = pq.ParquetFile(path).schema_arrow.metadata or {}
+        if meta.get(b"sf") == tag.encode():
+            return
+    import re as _re
+    from collections import Counter
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    wre = _re.compile(r"[a-z0-9]+")
+    token_lists = [wre.findall(t.lower())
+                   for t in docs["text"].to_pylist()]
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for ws in token_lists:
+        uni.update(ws)
+        bi.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    V = float(len(uni))
+    ids, nbs, lps, avgs = [], [], [], []
+    for did, ws in zip(docs["doc_id"].to_pylist(), token_lists):
+        probs = np.array(
+            [(bi[f"{a} {b}"] + 1.0) / (uni[a] + V)
+             for a, b in zip(ws, ws[1:])], np.float64)
+        nb = len(probs)
+        lp = float(np.sum(np.log(probs))) if nb else 0.0
+        ids.append(did)
+        nbs.append(nb)
+        lps.append(lp)
+        avgs.append(lp / nb if nb else 0.0)
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_bigrams": pa.array(nbs, pa.int64()),
+        "logprob": pa.array(lps, pa.float64()),
+        "avg_logprob": pa.array(avgs, pa.float64())})
+    tbl = tbl.replace_schema_metadata({b"sf": tag.encode()})
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)

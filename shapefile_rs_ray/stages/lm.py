@@ -1,0 +1,167 @@
+"""N-gram language-model quality scoring — the CCNet/KenLM role in a
+curation pipeline: score every document by its average bigram
+log-probability under an add-one-smoothed LM trained on the corpus
+itself (low scores = disfluent/outlier text, the classic perplexity
+bucket filter).
+
+Two passes:
+  1. distributed unigram + bigram counts via the shared Arrow token
+     kernel (vocabulary-sized partials, ONE coarse crc32 shuffle,
+     local reduce — the tfidf/ngram pattern). The count tables kept
+     for scoring are pruned at `min_count` (rare-tail backoff to the
+     unseen probability), so the broadcast stays bounded at any corpus
+     size; the distinct-unigram total V is exact.
+  2. map-side scoring: p(w_i | w_{i-1}) = (c(bigram) + 1) / (c(w_{i-1})
+     + V); per-doc logprob = np.sum(np.log(p)) over the doc-ordered
+     prob array. DETERMINISM CONTRACT: both the engine and the
+     scalar-twin golden build the identical per-doc float64 prob array
+     and reduce it with np.sum (numpy's pairwise summation over equal
+     arrays is bit-stable), so the gate hash compare is exact.
+
+Output: (doc_id, n_bigrams, logprob, avg_logprob); docs with < 2
+tokens emit (0, 0.0, 0.0).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .ngrams import _doc_ngrams
+
+LM_PARTS = 251
+
+
+def _count_partial(texts, n: int, parts: int) -> pa.Table:
+    grams, _ = _doc_ngrams(texts, n)
+    if grams is None:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "__p": pa.array([], pa.int64())})
+    g = np.asarray(grams, dtype=str)
+    uniq, cnt = np.unique(g, return_counts=True)
+    ph = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in uniq),
+                     np.int64, len(uniq)) % parts
+    return pa.table({"gram": pa.array(uniq.tolist(), pa.string()),
+                     "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                     "__p": pa.array(ph, pa.int64())})
+
+
+def _count_reduce(part: pa.Table) -> pa.Table:
+    g = np.asarray(part["gram"], dtype=str)
+    c = np.asarray(part["cnt"], np.int64)
+    uniq, inv = np.unique(g, return_inverse=True)
+    tot = np.bincount(inv, weights=c).astype(np.int64)
+    return pa.table({"gram": pa.array(uniq.tolist(), pa.string()),
+                     "cnt": pa.array(tot, pa.int64())})
+
+
+def _collect_counts(ds, min_count: int):
+    """Driver-bounded (min_count-pruned) sorted count arrays + exact
+    distinct total."""
+    import ray
+    total_distinct = 0
+    grams, cnts = [], []
+    for ref in ds.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        total_distinct += t.num_rows
+        c = np.asarray(t["cnt"], np.int64)
+        keep = c >= min_count
+        if keep.any():
+            grams.append(np.asarray(t["gram"], dtype=str)[keep])
+            cnts.append(c[keep])
+    if grams:
+        g = np.concatenate(grams)
+        c = np.concatenate(cnts)
+        order = np.argsort(g, kind="stable")
+        return g[order], c[order], total_distinct
+    return (np.empty(0, "<U1"), np.empty(0, np.int64), total_distinct)
+
+
+def _lookup(sorted_keys: np.ndarray, sorted_vals: np.ndarray,
+            queries: np.ndarray) -> np.ndarray:
+    if len(sorted_keys) == 0:
+        return np.zeros(len(queries), np.int64)
+    pos = np.searchsorted(sorted_keys, queries)
+    pos_c = np.minimum(pos, len(sorted_keys) - 1)
+    hit = sorted_keys[pos_c] == queries
+    return np.where(hit, sorted_vals[pos_c], 0)
+
+
+def doc_probs(tokens: np.ndarray, uni_k, uni_v, bi_k, bi_v,
+              V: int) -> np.ndarray:
+    """Per-doc float64 prob array in token order — shared by the engine
+    and the scalar-twin golden so the np.sum reduction is bit-equal."""
+    prev = tokens[:-1]
+    bigrams = np.char.add(np.char.add(prev, " "), tokens[1:])
+    cb = _lookup(bi_k, bi_v, bigrams).astype(np.float64)
+    cu = _lookup(uni_k, uni_v, prev).astype(np.float64)
+    return (cb + 1.0) / (cu + float(V))
+
+
+def lm_score(docs, *, id_col: str = "doc_id", text_col: str = "text",
+             min_count: int = 1, parts: int = LM_PARTS):
+    """(doc_id, n_bigrams, logprob, avg_logprob) under the corpus-trained
+    add-one bigram LM."""
+    import ray
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        return _count_partial(batch[text_col], 1, parts)
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        return _count_partial(batch[text_col], 2, parts)
+
+    uni = (docs.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("__p").map_groups(_count_reduce,
+                                      batch_format="pyarrow"))
+    bi = (docs.map_batches(bi_partial, batch_format="pyarrow")
+          .groupby("__p").map_groups(_count_reduce,
+                                     batch_format="pyarrow"))
+    uni_k, uni_v, V = _collect_counts(uni, min_count)
+    bi_k, bi_v, _ = _collect_counts(bi, min_count)
+    model_ref = ray.put((uni_k, uni_v, bi_k, bi_v, V))
+
+    def score(batch: pa.Table) -> pa.Table:
+        uk, uv, bk, bv, vv = ray.get(model_ref)
+        ids = np.asarray(batch[id_col], np.int64)
+        n_rows = batch.num_rows
+        nb = np.zeros(n_rows, np.int64)
+        lp = np.zeros(n_rows, np.float64)
+        toks, owner = _doc_ngrams(batch[text_col], 1)
+        if toks is not None and len(owner) > 1:
+            # whole-batch vectorized bigrams: interior empty tokens can't
+            # occur (consecutive delimiters are one split match), so
+            # adjacency in the n=1 token array IS bigram adjacency
+            t = np.asarray(toks, dtype=str)
+            valid = owner[1:] == owner[:-1]
+            prev_all = t[:-1][valid]
+            big_all = np.char.add(np.char.add(prev_all, " "),
+                                  t[1:][valid])
+            cb = _lookup(bk, bv, big_all).astype(np.float64)
+            cu = _lookup(uk, uv, prev_all).astype(np.float64)
+            logp = np.log((cb + 1.0) / (cu + float(vv)))
+            bowner = owner[:-1][valid]
+            starts = np.searchsorted(bowner, np.arange(n_rows))
+            ends = np.searchsorted(bowner, np.arange(n_rows),
+                                   side="right")
+            for row in range(n_rows):
+                s, e = int(starts[row]), int(ends[row])
+                if e > s:
+                    nb[row] = e - s
+                    # np.sum over the doc's own log slice — the golden
+                    # twin reduces an elementwise-identical array the
+                    # same way (pairwise summation is length-and-order
+                    # deterministic)
+                    lp[row] = np.sum(logp[s:e])
+        avg = np.where(nb > 0, lp / np.maximum(nb, 1), 0.0)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "logprob": pa.array(lp, pa.float64()),
+            "avg_logprob": pa.array(avg, pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -212,6 +212,24 @@ def test_kmeans_embed_deterministic_and_coherent(ray_session, sf_dir):
     assert (a["dist_q"] >= 0).all()
 
 
+def test_lm_score_favors_fluent_text(ray_session):
+    """The corpus-trained bigram LM scores a doc made of corpus-frequent
+    bigrams above a shuffled/outlier doc, and tokenless docs emit
+    zeros."""
+    import ray
+    from shapefile_rs_ray.stages.lm import lm_score
+
+    base = [{"doc_id": i, "text": "the quick brown fox jumps again"}
+            for i in range(20)]
+    base.append({"doc_id": 100, "text": "fox the jumps quick zzz brown"})
+    base.append({"doc_id": 101, "text": "???"})
+    out = (lm_score(ray.data.from_items(base)).to_pandas()
+           .set_index("doc_id"))
+    assert out.loc[101, "n_bigrams"] == 0
+    assert out.loc[101, "logprob"] == 0.0
+    assert out.loc[0, "avg_logprob"] > out.loc[100, "avg_logprob"]
+
+
 def test_semantic_neardup_subset_of_brute(ray_session):
     """Cluster blocking never invents pairs: every semantic_neardup pair
     must appear in the brute all-pairs cosine join at the same
