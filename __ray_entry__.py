@@ -559,6 +559,37 @@ def _lm_score(sf_dir: str):
     return lm_score(docs)
 
 
+def _ppl_buckets(sf_dir: str):
+    """Perplexity-bucket labeling (the CCNet head/middle/tail filter):
+    exact global terciles of the per-doc LM score via the 3-pass
+    distributed selection, then a map-side label. Composes lm_score +
+    exact_double_quantiles."""
+    import numpy as np
+    import pyarrow as pa
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.lm import lm_score
+    from shapefile_rs_ray.stages.relational import exact_double_quantiles
+    oracles.ensure_lm_golden(sf_dir)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    scores = lm_score(docs).materialize()
+    qt = exact_double_quantiles(
+        scores, id_col="doc_id", value_col="avg_logprob",
+        qs=((1, 3, "q33"), (2, 3, "q66"))).take_all()[0]
+    q33, q66 = float(qt["q33"]), float(qt["q66"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["avg_logprob"], np.float64)
+        bucket = np.where(v <= q33, 0, np.where(v <= q66, 1, 2))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "avg_logprob": batch["avg_logprob"],
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64())})
+
+    return scores.select_columns(["doc_id", "avg_logprob"]).map_batches(
+        label, batch_format="pyarrow")
+
+
 def _host_docs(sf_dir: str):
     """Document assembly: per url host, concatenate page texts in
     (warc_ts, page_id) order — the WET -> document reconstruction step —
@@ -1873,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_neardup": _semantic_neardup,
         "host_docs": _host_docs,
         "lm_score": _lm_score,
+        "ppl_buckets": _ppl_buckets,
         # -- new/changed oracles this round --
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
@@ -1881,7 +1913,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simplify_lakes": _simplify_lakes,
         "clip_lakes": _clip_lakes,
         "html_extract": _html_extract,
-        "image_meta": _image_meta,
         "video_frames": _video_frames,
         "events_window": _events_window,
         "events_late": _events_late,
@@ -1923,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (image_meta/video_frames represent that family in-window);
         # the rest are driver-green r2/r3 untouched --
         "audio_frames": _audio_frames,
+        "image_meta": _image_meta,
         "dup_clusters": _dup_clusters,
         "h3_compact": _h3_compact,
         "h3_ring": _h3_ring,
@@ -2230,6 +2262,20 @@ FROM w""",
         "lm_score": (
             "SELECT doc_id, n_bigrams, logprob, avg_logprob "
             f"FROM read_parquet('{oracles.LM_GOLDEN_PQ}')"),
+        "ppl_buckets": f"""
+WITH s AS (SELECT doc_id, avg_logprob
+           FROM read_parquet('{oracles.LM_GOLDEN_PQ}')),
+o AS (SELECT avg_logprob AS v, COUNT(*) AS cnt FROM s GROUP BY 1),
+w AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+             SUM(cnt) OVER () AS n FROM o),
+q AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS q33,
+             MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS q66
+      FROM w)
+SELECT s.doc_id, s.avg_logprob,
+       CAST(CASE WHEN s.avg_logprob <= q.q33 THEN 0
+                 WHEN s.avg_logprob <= q.q66 THEN 1
+                 ELSE 2 END AS BIGINT) AS bucket
+FROM s, q""",
         "host_docs": f"""
 WITH {pages},
 h AS (SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
