@@ -92,17 +92,6 @@ def _lookup(sorted_keys: np.ndarray, sorted_vals: np.ndarray,
     return np.where(hit, sorted_vals[pos_c], 0)
 
 
-def doc_probs(tokens: np.ndarray, uni_k, uni_v, bi_k, bi_v,
-              V: int) -> np.ndarray:
-    """Per-doc float64 prob array in token order — shared by the engine
-    and the scalar-twin golden so the np.sum reduction is bit-equal."""
-    prev = tokens[:-1]
-    bigrams = np.char.add(np.char.add(prev, " "), tokens[1:])
-    cb = _lookup(bi_k, bi_v, bigrams).astype(np.float64)
-    cu = _lookup(uni_k, uni_v, prev).astype(np.float64)
-    return (cb + 1.0) / (cu + float(V))
-
-
 def lm_score(docs, *, id_col: str = "doc_id", text_col: str = "text",
              min_count: int = 1, parts: int = LM_PARTS):
     """(doc_id, n_bigrams, logprob, avg_logprob) under the corpus-trained
