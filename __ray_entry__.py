@@ -517,6 +517,31 @@ def _bmp_decode(sf_dir: str):
                          concurrency=(1, 4)))
 
 
+def _y4m_decode(sf_dir: str):
+    """REAL video demux (not a stub): YUV4MPEG2 payloads parsed per row
+    (codec-free container), 4 evenly-spaced frames sampled with exact
+    timestamps and integer luma sums; golden = byte-offset scalar twin."""
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.multimodal import (Y4mDecodeStage,
+                                                    synth_y4m_bytes)
+    oracles.ensure_y4m_golden(_n_docs(sf_dir))
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "y4m": pa.array([synth_y4m_bytes(d) for d in ids],
+                            pa.binary())})
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    return (docs.map_batches(build, batch_format="pyarrow")
+            .map_batches(Y4mDecodeStage, batch_format="pyarrow",
+                         concurrency=(1, 4)))
+
+
 def _kmeans_embed(sf_dir: str):
     """Distributed integer-exact k-means over the embeddings table
     (semantic-dedup / data-mixing clustering): 5 Lloyd rounds seeded by
@@ -1900,6 +1925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _inverted_index,
         "wav_decode": _wav_decode,
         "bmp_decode": _bmp_decode,
+        "y4m_decode": _y4m_decode,
         "kmeans_embed": _kmeans_embed,
         "semantic_neardup": _semantic_neardup,
         "host_docs": _host_docs,
@@ -1913,7 +1939,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simplify_lakes": _simplify_lakes,
         "clip_lakes": _clip_lakes,
         "html_extract": _html_extract,
-        "video_frames": _video_frames,
         "events_window": _events_window,
         "events_late": _events_late,
         "events_hopping": _events_hopping,
@@ -1955,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the rest are driver-green r2/r3 untouched --
         "audio_frames": _audio_frames,
         "image_meta": _image_meta,
+        "video_frames": _video_frames,
         "dup_clusters": _dup_clusters,
         "h3_compact": _h3_compact,
         "h3_ring": _h3_ring,
@@ -2256,6 +2282,10 @@ FROM w""",
         "bmp_decode": (
             "SELECT g.doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum "
             f"FROM read_parquet('{oracles.BMP_GOLDEN_PQ}') g "
+            "JOIN documents d ON d.doc_id = g.doc_id"),
+        "y4m_decode": (
+            "SELECT g.doc_id, sample, frame, ts_ms, n_frames, luma_sum "
+            f"FROM read_parquet('{oracles.Y4M_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
         "kmeans_embed": _kmeans_sql(),
         "semantic_neardup": _semantic_neardup_sql(),

@@ -1221,3 +1221,57 @@ def ensure_lm_golden(sf_dir: str) -> None:
     tmp = f"{path}.tmp{os.getpid()}"
     pq.write_table(tbl, tmp)
     os.replace(tmp, path)
+
+
+Y4M_GOLDEN_PQ = os.path.join(ORACLE_DIR, "y4m_decode.parquet")
+
+
+def ensure_y4m_golden(n_docs: int, samples: int = 4) -> None:
+    """Independent scalar twin of Y4mDecodeStage over synth_y4m_bytes:
+    byte-offset frame location + Python sum over the raw luma slice (no
+    numpy in the per-frame math)."""
+    if os.path.exists(Y4M_GOLDEN_PQ) and \
+            pq.ParquetFile(Y4M_GOLDEN_PQ).metadata.num_rows >= n_docs:
+        return
+    import ray
+
+    @ray.remote
+    def _chunk(start: int, stop: int) -> pa.Table:
+        from ..stages.multimodal import synth_y4m_bytes
+        rows = {"doc_id": [], "sample": [], "frame": [], "ts_ms": [],
+                "n_frames": [], "luma_sum": []}
+        for did in range(start, stop):
+            p = synth_y4m_bytes(did)
+            nl = p.index(b"\x0a")
+            w = h = 0
+            fn, fd = 25, 1
+            for tok in p[10:nl].split(b" "):
+                if tok[:1] == b"W":
+                    w = int(tok[1:])
+                elif tok[:1] == b"H":
+                    h = int(tok[1:])
+                elif tok[:1] == b"F":
+                    fn, fd = (int(x) for x in tok[1:].split(b":"))
+            fb = w * h + 2 * ((w // 2) * (h // 2))
+            stride = 6 + fb                     # b"FRAME\n" + planes
+            n = (len(p) - (nl + 1)) // stride
+            take = min(samples, n)
+            for j in range(take):
+                fi = (j * n) // take
+                off = nl + 1 + fi * stride + 6
+                rows["doc_id"].append(did)
+                rows["sample"].append(j)
+                rows["frame"].append(fi)
+                rows["ts_ms"].append(fi * 1000 * fd // fn)
+                rows["n_frames"].append(n)
+                rows["luma_sum"].append(sum(p[off:off + w * h]))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    step = 200
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    parts = ray.get([_chunk.remote(s, min(s + step, n_docs))
+                     for s in range(0, n_docs, step)])
+    tmp = f"{Y4M_GOLDEN_PQ}.tmp{os.getpid()}"
+    pq.write_table(pa.concat_tables(parts), tmp)
+    os.replace(tmp, Y4M_GOLDEN_PQ)

@@ -314,6 +314,31 @@ def test_bmp_decode_real_parse():
         _parse_bmp(b"PNG...")
 
 
+def test_y4m_decode_real_demux():
+    """The Y4M stage is a REAL demuxer: geometry/fps from the header,
+    frame sampling with exact timestamps, luma sums from the raw plane;
+    malformed payloads raise."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    from shapefile_rs_ray.stages.multimodal import (Y4mDecodeStage,
+                                                    _parse_y4m,
+                                                    synth_y4m_bytes)
+    p = synth_y4m_bytes(3)
+    w, h, fn, fd, frames = _parse_y4m(p)
+    assert (w, h, fn, len(frames)) == (22, 12, 30, 9)
+    stage = Y4mDecodeStage(samples=4)
+    out = stage(pa.table({"doc_id": pa.array([3], pa.int64()),
+                          "y4m": pa.array([p], pa.binary())}))
+    assert out.num_rows == 4
+    fi = out["frame"][1].as_py()
+    assert out["luma_sum"][1].as_py() == int(
+        frames[fi].astype(np.int64).sum())
+    assert out["ts_ms"][1].as_py() == fi * 1000 * 1 // 30
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        _parse_y4m(b"RIFF....")
+
+
 def test_h3_cell_to_latlng_libh3_centers():
     """VERDICT-r3 #6: cell_to_latlng now computes the CANONICAL libh3
     frame (home descent + derived faceNeighbors overage adjustment) with
