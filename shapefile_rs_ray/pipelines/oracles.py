@@ -1230,9 +1230,13 @@ def ensure_y4m_golden(n_docs: int, samples: int = 4) -> None:
     """Independent scalar twin of Y4mDecodeStage over synth_y4m_bytes:
     byte-offset frame location + Python sum over the raw luma slice (no
     numpy in the per-frame math)."""
-    if os.path.exists(Y4M_GOLDEN_PQ) and \
-            pq.ParquetFile(Y4M_GOLDEN_PQ).metadata.num_rows >= n_docs:
-        return
+    # row count is samples-per-doc dependent — track coverage via an
+    # explicit doc-count metadata tag (a >= num_rows check would wrongly
+    # reuse a small-corpus golden for corpora up to `samples`x larger)
+    if os.path.exists(Y4M_GOLDEN_PQ):
+        meta = pq.ParquetFile(Y4M_GOLDEN_PQ).schema_arrow.metadata or {}
+        if int(meta.get(b"n_docs", b"0")) >= n_docs:
+            return
     import ray
 
     @ray.remote
@@ -1272,6 +1276,8 @@ def ensure_y4m_golden(n_docs: int, samples: int = 4) -> None:
     os.makedirs(ORACLE_DIR, exist_ok=True)
     parts = ray.get([_chunk.remote(s, min(s + step, n_docs))
                      for s in range(0, n_docs, step)])
+    tbl = pa.concat_tables(parts).replace_schema_metadata(
+        {b"n_docs": str(n_docs).encode()})
     tmp = f"{Y4M_GOLDEN_PQ}.tmp{os.getpid()}"
-    pq.write_table(pa.concat_tables(parts), tmp)
+    pq.write_table(tbl, tmp)
     os.replace(tmp, Y4M_GOLDEN_PQ)

@@ -6,9 +6,11 @@ bucket filter).
 
 Two passes:
   1. distributed unigram + bigram counts via the shared Arrow token
-     kernel (vocabulary-sized partials, ONE coarse crc32 shuffle,
-     local reduce — the tfidf/ngram pattern). The count tables kept
-     for scoring are pruned at `min_count` (rare-tail backoff to the
+     kernel, FUSED: one tokenize pass emits both orders' partials
+     (bigrams always contain a space, unigrams never do, so the gram
+     string disambiguates) into ONE coarse crc32 shuffle + local
+     reduce — the tfidf/ngram pattern. The count tables kept for
+     scoring are pruned at `min_count` (rare-tail backoff to the
      unseen probability), so the broadcast stays bounded at any corpus
      size; the distinct-unigram total V is exact.
   2. map-side scoring: p(w_i | w_{i-1}) = (c(bigram) + 1) / (c(w_{i-1})
@@ -58,28 +60,42 @@ def _count_reduce(part: pa.Table) -> pa.Table:
                      "cnt": pa.array(tot, pa.int64())})
 
 
-def _collect_counts(ds, min_count: int):
-    """Driver-bounded (min_count-pruned) sorted count arrays + exact
-    distinct total."""
+def _collect_split_counts(ds, min_count: int):
+    """Driver fold of the fused count table: split unigrams (no space)
+    from bigrams (always a space), prune at min_count, return sorted
+    lookup arrays + the EXACT distinct-unigram total V."""
     import ray
-    total_distinct = 0
-    grams, cnts = [], []
+    V = 0
+    ug, uc, bg, bc = [], [], [], []
     for ref in ds.to_arrow_refs():
         t = ray.get(ref)
         if not t.num_rows:
             continue
-        total_distinct += t.num_rows
+        g = np.asarray(t["gram"], dtype=str)
         c = np.asarray(t["cnt"], np.int64)
+        is_bi = np.char.find(g, " ") >= 0
+        V += int((~is_bi).sum())
         keep = c >= min_count
-        if keep.any():
-            grams.append(np.asarray(t["gram"], dtype=str)[keep])
-            cnts.append(c[keep])
-    if grams:
-        g = np.concatenate(grams)
-        c = np.concatenate(cnts)
+        ku = keep & ~is_bi
+        kb = keep & is_bi
+        if ku.any():
+            ug.append(g[ku])
+            uc.append(c[ku])
+        if kb.any():
+            bg.append(g[kb])
+            bc.append(c[kb])
+
+    def _sorted(gs, cs):
+        if not gs:
+            return np.empty(0, "<U1"), np.empty(0, np.int64)
+        g = np.concatenate(gs)
+        c = np.concatenate(cs)
         order = np.argsort(g, kind="stable")
-        return g[order], c[order], total_distinct
-    return (np.empty(0, "<U1"), np.empty(0, np.int64), total_distinct)
+        return g[order], c[order]
+
+    uk, uv = _sorted(ug, uc)
+    bk, bv = _sorted(bg, bc)
+    return uk, uv, bk, bv, V
 
 
 def _lookup(sorted_keys: np.ndarray, sorted_vals: np.ndarray,
@@ -98,20 +114,18 @@ def lm_score(docs, *, id_col: str = "doc_id", text_col: str = "text",
     add-one bigram LM."""
     import ray
 
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        return _count_partial(batch[text_col], 1, parts)
+    def fused_partial(batch: pa.Table) -> pa.Table:
+        # ONE tokenize pass + ONE shuffle for both orders: bigram grams
+        # always contain a space and unigrams never do ([a-z0-9]+ runs),
+        # so the gram string itself disambiguates the order downstream
+        u = _count_partial(batch[text_col], 1, parts)
+        b = _count_partial(batch[text_col], 2, parts)
+        return pa.concat_tables([u, b])
 
-    def bi_partial(batch: pa.Table) -> pa.Table:
-        return _count_partial(batch[text_col], 2, parts)
-
-    uni = (docs.map_batches(uni_partial, batch_format="pyarrow")
-           .groupby("__p").map_groups(_count_reduce,
-                                      batch_format="pyarrow"))
-    bi = (docs.map_batches(bi_partial, batch_format="pyarrow")
-          .groupby("__p").map_groups(_count_reduce,
-                                     batch_format="pyarrow"))
-    uni_k, uni_v, V = _collect_counts(uni, min_count)
-    bi_k, bi_v, _ = _collect_counts(bi, min_count)
+    counts = (docs.map_batches(fused_partial, batch_format="pyarrow")
+              .groupby("__p").map_groups(_count_reduce,
+                                         batch_format="pyarrow"))
+    uni_k, uni_v, bi_k, bi_v, V = _collect_split_counts(counts, min_count)
     model_ref = ray.put((uni_k, uni_v, bi_k, bi_v, V))
 
     def score(batch: pa.Table) -> pa.Table:
