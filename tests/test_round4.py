@@ -212,6 +212,88 @@ def test_kmeans_embed_deterministic_and_coherent(ray_session, sf_dir):
     assert (a["dist_q"] >= 0).all()
 
 
+def _random_corpus(seed: int, n_docs: int):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(n_docs):
+        n = int(rng.integers(0, 14))
+        texts.append(" ".join(rng.choice(vocab, n)))
+    return texts
+
+
+def test_jaccard_join_equals_brute_force_on_random_corpora(ray_session):
+    """The PPJoin prefix filter is LOSSLESS: on randomized corpora the
+    distributed similarity join must emit exactly the brute-force pair
+    set with exact jac values."""
+    import numpy as np
+    import ray
+    from shapefile_rs_ray.functions.hashing import text_shingles
+    from shapefile_rs_ray.stages.dedup import jaccard_similarity_join
+
+    for seed in (3, 11, 29):
+        texts = _random_corpus(seed, 40)
+        ds = ray.data.from_items(
+            [{"page_id": i, "text": t} for i, t in enumerate(texts)]
+        ).repartition(5)
+        got = jaccard_similarity_join(ds, threshold=0.5).to_pandas()
+        got_set = {(int(r["id_a"]), int(r["id_b"])): float(r["jac"])
+                   for _, r in got.iterrows()}
+        # brute force over min-id representatives of distinct texts
+        reps: dict[str, int] = {}
+        for i, t in enumerate(texts):
+            reps.setdefault(t, i)
+        uniq = sorted(reps.items(), key=lambda kv: kv[1])
+        want = {}
+        for a in range(len(uniq)):
+            for b in range(a + 1, len(uniq)):
+                sa = set(text_shingles(uniq[a][0]))
+                sb = set(text_shingles(uniq[b][0]))
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 1.0
+                if j >= 0.5:
+                    ia, ib = sorted((uniq[a][1], uniq[b][1]))
+                    want[(ia, ib)] = j
+        assert got_set == want, f"seed {seed}"
+
+
+def test_chunk_dedup_equals_brute_force_on_random_corpora(ray_session):
+    """chunk_dedup is exact: per-doc (n_chunks, n_kept) must equal a
+    brute-force first-occurrence scan at any partitioning."""
+    import re
+    import ray
+    from shapefile_rs_ray.stages.dedup import chunk_dedup
+
+    wre = re.compile(r"[a-z0-9]+")
+    for seed in (5, 17):
+        texts = _random_corpus(seed, 30)
+        # force cross-doc duplicate chunks
+        texts = [t + " a b c d e f g h" if i % 3 == 0 else t
+                 for i, t in enumerate(texts)]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        ).repartition(4)
+        got = (chunk_dedup(ds, chunk_words=4).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        seen: set[str] = set()
+        want = []
+        for i, t in enumerate(texts):
+            ws = wre.findall(t.lower())
+            nc = len(ws) // 4
+            nk = 0
+            for ci in range(nc):
+                chunk = " ".join(ws[ci * 4:(ci + 1) * 4])
+                if chunk not in seen:
+                    seen.add(chunk)
+                    nk += 1
+            want.append((i, nc, nk))
+        assert [tuple(r) for r in
+                got[["doc_id", "n_chunks", "n_kept"]].to_numpy()] == want, \
+            f"seed {seed}"
+
+
 def test_lm_score_favors_fluent_text(ray_session):
     """The corpus-trained bigram LM scores a doc made of corpus-frequent
     bigrams above a shuffled/outlier doc, and tokenless docs emit
