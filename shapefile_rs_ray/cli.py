@@ -90,7 +90,6 @@ def main(argv=None):
             import __ray_entry__ as entry_mod
             fn = entry_mod.queries()[args.name]
             res = fn(args.sf)
-            import pandas as pd
             import pyarrow as pa
             if isinstance(res, ray.data.Dataset):
                 res = res.materialize()   # one execution for count + head

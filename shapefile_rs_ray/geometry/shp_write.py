@@ -25,13 +25,12 @@ lets the Ray datasink write partitions append-only.
 from __future__ import annotations
 
 import struct
-from typing import Optional
 
 import numpy as np
 
 from .shp import (
-    HEADER_SIZE, MULTIPATCH, NO_DATA, ShapeTable, ShpHeader, has_m, has_z,
-    is_multipart, _MULTIPOINT_KIND, _POINT_KIND,
+    HEADER_SIZE, MULTIPATCH, ShapeTable, has_m, has_z,
+    _MULTIPOINT_KIND, _POINT_KIND,
 )
 
 F64_MAX = np.finfo(np.float64).max

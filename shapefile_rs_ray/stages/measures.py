@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 Q = 1048576.0  # 2^20
 

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def dp_keep_mask(x: np.ndarray, y: np.ndarray, eps: float) -> np.ndarray:

@@ -32,7 +32,6 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .ngrams import _doc_ngrams
 
