@@ -1471,6 +1471,91 @@ def _tpch_q3(sf_dir: str):
                        id_col="l_orderkey", keep_cols=("o_orderdate_us",))
 
 
+Q10_START = "1997-01-01"
+Q10_END = "1997-04-01"
+
+
+def _tpch_q10(sf_dir: str):
+    """TPC-H-Q10-flavor: returned-item revenue per customer, top 20.
+    Scale plan: the returned-lineitem fact shuffle-joins the
+    quarter-filtered orders fact on orderkey; integer-cents revenue
+    reduces per custkey through coarse hash partitions; the map-side
+    global top-20 runs BEFORE any dimension attach, so customer/nation
+    names join onto exactly 20 rows driver-side (at 100 TB the name
+    attach is a 20-key point lookup, never a customer-table shuffle)."""
+    import os
+    import ray
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.relational import (grouped_intsum,
+                                                    parts_for,
+                                                    shuffle_join)
+    from shapefile_rs_ray.stages.windows import global_topk
+
+    s_us = np.datetime64(Q10_START).astype("datetime64[us]").astype(np.int64)
+    e_us = np.datetime64(Q10_END).astype("datetime64[us]").astype(np.int64)
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        odate = np.asarray(b["o_orderdate"].cast(pa.int64()))
+        keep = (odate >= s_us) & (odate < e_us)
+        return pa.table({
+            "l_orderkey": pc.filter(b["o_orderkey"], pa.array(keep)),
+            "o_custkey": pc.filter(b["o_custkey"], pa.array(keep))})
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(prep_orders, batch_format="pyarrow"))
+
+    def prep_lineitem(b: pa.Table) -> pa.Table:
+        keep = np.asarray(pc.equal(b["l_returnflag"], "R"), bool)
+        price = np.asarray(b["l_extendedprice"], np.float64)[keep]
+        disc = np.asarray(b["l_discount"], np.float64)[keep]
+        rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+               * (100 - np.floor(disc * 100.0 + 0.5).astype(np.int64)))
+        return pa.table({
+            "l_orderkey": pc.filter(b["l_orderkey"], pa.array(keep)),
+            "rev": pa.array(rev, pa.int64())})
+
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+        .map_batches(prep_lineitem, batch_format="pyarrow"))
+    jp = parts_for(pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows)
+    joined = shuffle_join(li, orders, key="l_orderkey",
+                          right_cols=("o_custkey",), parts=jp)
+
+    def rekey(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["o_custkey"], "rev": b["rev"]})
+
+    agg = grouped_intsum(joined.map_batches(rekey, batch_format="pyarrow"),
+                         group_col="o_custkey", sum_col="rev")
+
+    def to_float(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "revenue": pa.array(np.asarray(b["rev"], np.int64)
+                                .astype(np.float64), pa.float64())})
+
+    top = global_topk(agg.map_batches(to_float, batch_format="pyarrow"),
+                      k=20, value_col="revenue", id_col="o_custkey",
+                      keep_cols=()).to_pandas()
+
+    # dimension attach on exactly 20 rows (driver-side point lookup)
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name",
+                                  "c_nationkey"]).to_pandas()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (top.rename(columns={"o_custkey": "c_custkey"})
+           .merge(cust, on="c_custkey", how="left")
+           .merge(nat, left_on="c_nationkey", right_on="n_nationkey",
+                  how="left"))
+    return out[["c_custkey", "c_name", "n_name", "revenue"]]
+
+
 def _tpch_q5(sf_dir: str):
     """TPC-H-Q5-flavor: 5-table join chain (lineitem x orders x customer x
     supplier x nation x region) -> per-nation revenue where customer and
@@ -1981,6 +2066,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames": _audio_frames,
         "image_meta": _image_meta,
         "video_frames": _video_frames,
+        "tpch_q10": _tpch_q10,       # NEW round 4, beyond the window:
+                                     # locally gate-verified; driver
+                                     # candidate for the round-5 window
         "dup_clusters": _dup_clusters,
         "h3_compact": _h3_compact,
         "h3_ring": _h3_ring,
@@ -2423,6 +2511,21 @@ g AS (SELECT l_orderkey, CAST(SUM(rev) AS BIGINT) AS revenue,
       FROM j GROUP BY l_orderkey)
 SELECT l_orderkey, o_orderdate_us, CAST(revenue AS DOUBLE) AS revenue
 FROM g ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "tpch_q10": f"""
+WITH l AS (SELECT l_orderkey,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+           FROM lineitem WHERE l_returnflag = 'R'),
+o AS (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{Q10_START}'
+        AND o_orderdate < TIMESTAMP '{Q10_END}'),
+a AS (SELECT o.o_custkey, CAST(SUM(l.rev) AS BIGINT) AS r
+      FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+t AS (SELECT o_custkey, r FROM a ORDER BY r DESC, o_custkey LIMIT 20)
+SELECT t.o_custkey AS c_custkey, c.c_name, n.n_name,
+       CAST(t.r AS DOUBLE) AS revenue
+FROM t JOIN customer c ON c.c_custkey = t.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey""",
         "events_late": """
 WITH e AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
