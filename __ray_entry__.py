@@ -517,6 +517,33 @@ def _bmp_decode(sf_dir: str):
                          concurrency=(1, 4)))
 
 
+def _png_decode(sf_dir: str):
+    """REAL compressed-image decode (not a stub): PNG payloads — zlib
+    IDAT inflate + per-scanline defilter across all five spec filter
+    types — parsed to pixels by the vectorized decoder; channel sums +
+    8x8 thumbnail sum vs the pure-Python spec-transliteration scalar
+    twin golden."""
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.multimodal import (PngDecodeStage,
+                                                    synth_png_bytes)
+    oracles.ensure_png_golden(_n_docs(sf_dir))
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "png": pa.array([synth_png_bytes(d) for d in ids],
+                            pa.binary())})
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    return (docs.map_batches(build, batch_format="pyarrow")
+            .map_batches(PngDecodeStage, batch_format="pyarrow",
+                         concurrency=(1, 4)))
+
+
 def _y4m_decode(sf_dir: str):
     """REAL video demux (not a stub): YUV4MPEG2 payloads parsed per row
     (codec-free container), 4 evenly-spaced frames sampled with exact
@@ -2370,6 +2397,10 @@ FROM w""",
         "bmp_decode": (
             "SELECT g.doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum "
             f"FROM read_parquet('{oracles.BMP_GOLDEN_PQ}') g "
+            "JOIN documents d ON d.doc_id = g.doc_id"),
+        "png_decode": (
+            "SELECT g.doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum "
+            f"FROM read_parquet('{oracles.PNG_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
         "y4m_decode": (
             "SELECT g.doc_id, sample, frame, ts_ms, n_frames, luma_sum "

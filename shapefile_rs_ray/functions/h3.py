@@ -47,6 +47,14 @@ from __future__ import annotations
 
 import numpy as np
 
+# Implementation tag stamped into every /tmp H3 oracle golden's parquet
+# metadata (pipelines/oracles.py). BUMP THIS whenever encode_scalar,
+# grid_disk_scalar, or cell_to_latlng semantics change — a stale golden
+# from an older implementation must regenerate, not silently mix old
+# floats with new engine output (round-4 rewrote cell_to_latlng in place
+# and relied on /tmp being clean; this tag closes that hole).
+IMPL_TAG = "h3-r5-canonical-inverse-v1"
+
 # ---------------------------------------------------------------- constants
 # public H3 faceijk.c constants (geo radians); geometrically validated
 # by scripts/derive_h3_tables.py

@@ -24,6 +24,56 @@ _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _make_crc32_table() -> np.ndarray:
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> 1), t >> 1)
+    return t
+
+
+_CRC32_TABLE = _make_crc32_table()
+
+
+def crc32_str(arr) -> np.ndarray:
+    """Vectorized zlib.crc32 over an array of strings (int64 results,
+    bit-identical to `zlib.crc32(s.encode("utf-8"))` — pytest-asserted).
+
+    The hot path views the fixed-width numpy unicode buffer as a
+    (n, maxlen) uint32 codepoint matrix and folds the crc table over
+    byte POSITIONS (maxlen iterations of n-wide vector ops) instead of
+    over strings — the per-distinct-key Python loop this replaces was
+    the measured kernel cost of the tfidf df pass. Rows containing
+    non-ASCII codepoints (multi-byte UTF-8) fall back to zlib per row.
+    numpy fixed-width strings cannot hold embedded NULs, so nonzero
+    count == length (same contract as every tokenizer here)."""
+    a = np.asarray(arr, dtype=str)
+    n = len(a)
+    if n == 0:
+        return np.empty(0, np.int64)
+    maxlen = a.dtype.itemsize // 4
+    if maxlen == 0:                       # all-empty-string array
+        return np.zeros(n, np.int64)
+    cp = np.ascontiguousarray(a).view(np.uint32).reshape(n, maxlen)
+    lens = np.count_nonzero(cp, axis=1)
+    # length-descending order: at position j exactly the first
+    # `n_active` rows still have bytes, so each iteration runs only
+    # prefix-wide (no masks, no np.where over finished rows)
+    order = np.argsort(-lens, kind="stable")
+    cps = cp[order]
+    lens_s = lens[order]
+    crc = np.full(n, 0xFFFFFFFF, np.uint32)
+    for j in range(int(lens_s[0]) if n else 0):
+        m = int(np.searchsorted(-lens_s, -j, side="left"))  # rows len > j
+        c = crc[:m]
+        crc[:m] = _CRC32_TABLE[(c ^ cps[:m, j]) & np.uint32(0xFF)] ^ (c >> 8)
+    out = np.empty(n, np.int64)
+    out[order] = (crc ^ np.uint32(0xFFFFFFFF)).astype(np.int64)
+    non_ascii = np.nonzero((cp >= 128).any(axis=1))[0]
+    for i in non_ascii:
+        out[i] = zlib.crc32(str(a[i]).encode("utf-8"))
+    return out
+
+
 def sha256_hex(texts: list[str]) -> list[str]:
     """Per-document sha256 (lineage invariant: byte-identical text per url)."""
     return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
@@ -52,8 +102,10 @@ def content_digest128(texts: list[str]) -> np.ndarray:
 
 
 def _shingle_crcs(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
-    """All word-k-shingle crc32s of all docs, flat + (n_docs+1,) offsets."""
-    crcs: list[int] = []
+    """All word-k-shingle crc32s of all docs, flat + (n_docs+1,) offsets.
+    Shingle strings collect per doc (Python — the join is inherently
+    string work) but hash in ONE vectorized crc32_str call per batch."""
+    shingles: list[str] = []
     offsets = np.zeros(len(texts) + 1, np.int64)
     for i, t in enumerate(texts):
         words = _WORD_RE.findall(t.lower())
@@ -61,9 +113,12 @@ def _shingle_crcs(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
             sh = [" ".join(words[j:j + k]) for j in range(len(words) - k + 1)]
         else:
             sh = [" ".join(words)] if words else [""]
-        crcs.extend(zlib.crc32(s.encode("utf-8")) for s in set(sh))
-        offsets[i + 1] = len(crcs)
-    return np.asarray(crcs, np.uint64), offsets
+        shingles.extend(set(sh))
+        offsets[i + 1] = len(shingles)
+    if not shingles:
+        return np.empty(0, np.uint64), offsets
+    return crc32_str(np.asarray(shingles, dtype=str)).astype(np.uint64), \
+        offsets
 
 
 class MinHasher:
@@ -165,16 +220,16 @@ def shingle_hash64(texts: list[str], k: int = 3
 def simhash64(texts: list[str], chunk: int = 200_000) -> np.ndarray:
     """64-bit SimHash over word unigram crc32-derived 64-bit hashes
     (crc folded through splitmix-style mixing to fill 64 bits)."""
-    crcs: list[int] = []
+    toks: list[str] = []
     offsets = np.zeros(len(texts) + 1, np.int64)
-    crc32 = zlib.crc32
     for i, t in enumerate(texts):
-        crcs.extend(crc32(w.encode("utf-8"))
-                    for w in _WORD_RE.findall(t.lower()))
-        offsets[i + 1] = len(crcs)
+        toks.extend(_WORD_RE.findall(t.lower()))
+        offsets[i + 1] = len(toks)
+    crcs = (crc32_str(np.asarray(toks, dtype=str)).astype(np.uint64)
+            if toks else np.empty(0, np.uint64))
     # splitmix64 mix to spread the 32-bit crcs over 64 bits — vectorized
     # over the whole flat token array (uint64 wraparound intentional)
-    flat = splitmix64(np.asarray(crcs, np.uint64))
+    flat = splitmix64(crcs)
     n = len(texts)
     acc = np.zeros((n, 64), np.int64)
     shifts = np.arange(64, dtype=np.uint64)

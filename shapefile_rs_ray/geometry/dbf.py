@@ -275,7 +275,10 @@ def write_dbf_with_memo(table: pa.Table, encoding: str = "utf-8",
       count and the 0x03 version byte);
     - float columns named in `currency_cols` (and decimal columns) become
       'Y' Currency fields: LE i64 of round(value * 10^4), the layout the
-      reader decodes;
+      reader decodes. LOSSY NULLS: the fixed i64 layout has no blank
+      representation, so a null currency value writes as integer 0 and
+      reads back 0.0 — indistinguishable from a legitimate zero.
+      Pre-filter or sentinel-encode nulls if the distinction matters;
     - timestamps stay 'T' (LE i32 julian day + LE i32 ms-of-day).
 
     The .dbf version byte is 0x83 (III + memo) when a memo field exists.

@@ -154,6 +154,25 @@ def ensure_dp_golden(eps: float = DP_EPS) -> None:
     os.replace(tmp, DP_GOLDEN_PQ)
 
 
+def _h3_golden_current(path: str) -> bool:
+    """True iff the golden exists AND was stamped by the CURRENT H3
+    implementation (functions/h3.IMPL_TAG in the parquet metadata).
+    Without the stamp a stale /tmp golden from an older inverse would
+    silently mix old center floats with new engine output (ADVICE r4)."""
+    if not os.path.exists(path):
+        return False
+    from ..functions import h3 as h3_mod
+    meta = pq.read_schema(path).metadata or {}
+    return meta.get(b"h3_impl") == h3_mod.IMPL_TAG.encode()
+
+
+def _h3_stamp(tbl: pa.Table) -> pa.Table:
+    from ..functions import h3 as h3_mod
+    md = dict(tbl.schema.metadata or {})
+    md[b"h3_impl"] = h3_mod.IMPL_TAG.encode()
+    return tbl.replace_schema_metadata(md)
+
+
 def ensure_h3_golden(n_pages: int) -> None:
     """Idempotently write the H3 oracle golden: (page_id, h3_r4..h3_r9 hex)
     for every page id < n_pages, computed by the SCALAR encoder
@@ -163,7 +182,7 @@ def ensure_h3_golden(n_pages: int) -> None:
     encodes are slow, so the generation fans out over Ray tasks (Ray is
     already up when queries() callables run); regenerates only when an
     existing golden covers fewer pages."""
-    if os.path.exists(H3_GOLDEN_PQ) and \
+    if _h3_golden_current(H3_GOLDEN_PQ) and \
             pq.ParquetFile(H3_GOLDEN_PQ).metadata.num_rows >= n_pages:
         return
     import ray
@@ -185,7 +204,7 @@ def ensure_h3_golden(n_pages: int) -> None:
     parts = ray.get([_chunk.remote(s, min(s + step, n_pages))
                      for s in range(0, n_pages, step)])
     tmp = H3_GOLDEN_PQ + ".tmp"
-    pq.write_table(pa.concat_tables(parts), tmp)
+    pq.write_table(_h3_stamp(pa.concat_tables(parts)), tmp)
     os.replace(tmp, H3_GOLDEN_PQ)
 
 
@@ -195,7 +214,7 @@ def ensure_h3_ring_golden(n_pages: int) -> None:
     ring twin (functions/h3.grid_disk_scalar — independent control flow
     from the vectorized grid traversal). Ray-task fan-out, idempotent."""
     need = (n_pages + H3_RING_STEP - 1) // H3_RING_STEP
-    if os.path.exists(H3_RING_GOLDEN_PQ):
+    if _h3_golden_current(H3_RING_GOLDEN_PQ):
         import duckdb
         have = duckdb.sql(
             f"SELECT COUNT(DISTINCT page_id) FROM "
@@ -223,7 +242,7 @@ def ensure_h3_ring_golden(n_pages: int) -> None:
     parts = ray.get([_chunk.remote(s, min(s + step, need))
                      for s in range(0, need, step)])
     tmp = H3_RING_GOLDEN_PQ + ".tmp"
-    pq.write_table(pa.concat_tables(parts), tmp)
+    pq.write_table(_h3_stamp(pa.concat_tables(parts)), tmp)
     os.replace(tmp, H3_RING_GOLDEN_PQ)
 
 
@@ -234,7 +253,7 @@ def ensure_h3_polyfill_centers() -> None:
     round-trip pytest-asserted); the center-in-polygon DECISION is then
     recomputed fully in SQL by the same ray-cast expression the engine
     uses, so the oracle independently checks the PIP decision."""
-    if os.path.exists(H3_CENTERS_PQ):
+    if _h3_golden_current(H3_CENTERS_PQ):
         return
     from ..functions import h3 as h3_mod
     os.makedirs(ORACLE_DIR, exist_ok=True)
@@ -247,7 +266,7 @@ def ensure_h3_polyfill_centers() -> None:
                     "clat": pa.array(clat, pa.float64()),
                     "clng": pa.array(clng, pa.float64())})
     tmp = H3_CENTERS_PQ + ".tmp"
-    pq.write_table(tbl, tmp)
+    pq.write_table(_h3_stamp(tbl), tmp)
     os.replace(tmp, H3_CENTERS_PQ)
 
 
@@ -293,7 +312,7 @@ def ensure_h3_compact_centers() -> None:
     verified inverse. Only the center coordinates are golden — candidate
     selection, the center-in-polygon decision, and the full multi-level
     compaction are recomputed in SQL."""
-    if os.path.exists(H3_COMPACT_CENTERS_PQ):
+    if _h3_golden_current(H3_COMPACT_CENTERS_PQ):
         return
     from ..functions import h3 as h3_mod
     os.makedirs(ORACLE_DIR, exist_ok=True)
@@ -307,7 +326,7 @@ def ensure_h3_compact_centers() -> None:
                     "clat": pa.array(clat, pa.float64()),
                     "clng": pa.array(clng, pa.float64())})
     tmp = H3_COMPACT_CENTERS_PQ + ".tmp"
-    pq.write_table(tbl, tmp)
+    pq.write_table(_h3_stamp(tbl), tmp)
     os.replace(tmp, H3_COMPACT_CENTERS_PQ)
 
 
@@ -1126,6 +1145,87 @@ def _bmp_scalar_row(doc_id: int) -> tuple:
     return w, h, sums[0], sums[1], sums[2], thumb
 
 
+PNG_GOLDEN_PQ = os.path.join(ORACLE_DIR, "png_decode.parquet")
+
+
+def _png_scalar_row(doc_id: int) -> tuple:
+    """Independent scalar twin of PngDecodeStage over synth_png_bytes:
+    struct-module chunk walk, zlib inflate, then a PURE-PYTHON per-byte
+    scanline defilter (spec pseudocode transliterated: Recon(x) =
+    Filt(x) + predictor, mod 256) — no numpy, no shared control flow
+    with the vectorized production decoder."""
+    import struct
+    import zlib
+    from ..stages.multimodal import PngDecodeStage, synth_png_bytes
+    p = synth_png_bytes(doc_id)
+    assert p[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w, h = 8, b"", 0, 0
+    while pos + 8 <= len(p):
+        ln = struct.unpack(">I", p[pos:pos + 4])[0]
+        typ = p[pos + 4:pos + 8]
+        body = p[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+            assert body[8:13] == bytes([8, 2, 0, 0, 0])
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 3
+
+    def paeth(a: int, b: int, c: int) -> int:
+        pp = a + b - c
+        da, db, dc = abs(pp - a), abs(pp - b), abs(pp - c)
+        if da <= db and da <= dc:
+            return a
+        if db <= dc:
+            return b
+        return c
+
+    prior = [0] * stride
+    pixels = []
+    off = 0
+    for _yy in range(h):
+        ft = raw[off]
+        off += 1
+        rec = [0] * stride
+        for xx in range(stride):
+            rv = raw[off + xx]
+            left = rec[xx - 3] if xx >= 3 else 0
+            up = prior[xx]
+            ul = prior[xx - 3] if xx >= 3 else 0
+            if ft == 0:
+                v = rv
+            elif ft == 1:
+                v = (rv + left) & 0xFF
+            elif ft == 2:
+                v = (rv + up) & 0xFF
+            elif ft == 3:
+                v = (rv + (left + up) // 2) & 0xFF
+            else:
+                v = (rv + paeth(left, up, ul)) & 0xFF
+            rec[xx] = v
+        off += stride
+        pixels.append(rec)
+        prior = rec
+    sums = [0, 0, 0]
+    for row in pixels:
+        for xx in range(0, stride, 3):
+            sums[0] += row[xx]
+            sums[1] += row[xx + 1]
+            sums[2] += row[xx + 2]
+    t = PngDecodeStage.THUMB
+    thumb = 0
+    for yi in range(t):
+        for xi in range(t):
+            row = pixels[(yi * h) // t]
+            xx = ((xi * w) // t) * 3
+            thumb += row[xx] + row[xx + 1] + row[xx + 2]
+    return w, h, sums[0], sums[1], sums[2], thumb
+
+
 def _ensure_scalar_golden(path: str, n_docs: int, row_fn, names) -> None:
     if os.path.exists(path) and \
             pq.ParquetFile(path).metadata.num_rows >= n_docs:
@@ -1157,6 +1257,12 @@ def ensure_wav_golden(n_docs: int) -> None:
 
 def ensure_bmp_golden(n_docs: int) -> None:
     _ensure_scalar_golden(BMP_GOLDEN_PQ, n_docs, _bmp_scalar_row,
+                          ("width", "height", "sum_r", "sum_g", "sum_b",
+                           "thumb_sum"))
+
+
+def ensure_png_golden(n_docs: int) -> None:
+    _ensure_scalar_golden(PNG_GOLDEN_PQ, n_docs, _png_scalar_row,
                           ("width", "height", "sum_r", "sum_g", "sum_b",
                            "thumb_sum"))
 

@@ -34,6 +34,17 @@ def _quantize(M: np.ndarray) -> np.ndarray:
                     * QUANT_SCALE).astype(np.int64)
 
 
+def _list_matrix(col: pa.ChunkedArray | pa.Array, dtype) -> np.ndarray:
+    """Zero-copy (n, dim) matrix from an Arrow list<float/int> column:
+    combine_chunks + flatten instead of to_pylist + np.stack (the latter
+    is a per-row Python loop — the scale killer in every embedding
+    stage). Assumes rectangular lists (embedding columns are)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    flat = np.asarray(arr.flatten(), dtype)
+    return flat.reshape(n, len(flat) // max(n, 1))
+
+
 def _assign(Q: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(n, d) int x (k, d) int -> (cluster argmin, int distance); ties to
     the lowest cluster index (np.argmin's contract)."""
@@ -54,17 +65,28 @@ def kmeans_centroids(embeddings, *, id_col: str = "vec_id",
 
     def quant(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col], np.int64)
-        M = np.stack([np.asarray(v, np.float64)
-                      for v in batch[vec_col].to_pylist()])
-        Q = _quantize(M)
+        Q = _quantize(_list_matrix(batch[vec_col], np.float64))
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
             "q": pa.array(list(Q), pa.list_(pa.int64()))})
 
     qds = embeddings.map_batches(quant, batch_format="pyarrow").materialize()
 
-    seeds = qds.sort("vec_id").limit(k).take_all()
-    C = np.stack([np.asarray(r["q"], np.int64) for r in seeds])
+    # Seeds = the k smallest vec_ids. Map-side per-block min-k partials +
+    # a tiny driver merge (the global_topk pattern) — never a Dataset.sort
+    # (an AllToAll exchange of the whole quantized corpus for k rows).
+    def local_mink(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"], np.int64)
+        order = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(order))
+
+    merged = pa.concat_tables(
+        t for t in (ray.get(r) for r in qds.map_batches(
+            local_mink, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows)
+    sids = np.asarray(merged["vec_id"], np.int64)
+    C = _list_matrix(merged["q"], np.int64)[np.argsort(sids,
+                                                       kind="stable")[:k]]
     dim = C.shape[1]
 
     for _ in range(rounds):
@@ -72,8 +94,7 @@ def kmeans_centroids(embeddings, *, id_col: str = "vec_id",
 
         def partials(batch: pa.Table, _cref=cref) -> pa.Table:
             Cc = ray.get(_cref)
-            Q = np.stack([np.asarray(v, np.int64)
-                          for v in batch["q"].to_pylist()])
+            Q = _list_matrix(batch["q"], np.int64)
             a, _ = _assign(Q, Cc)
             sums = np.zeros((k, dim), np.int64)
             np.add.at(sums, a, Q)
@@ -91,8 +112,7 @@ def kmeans_centroids(embeddings, *, id_col: str = "vec_id",
             if t.num_rows:
                 cl = np.asarray(t["cluster"], np.int64)
                 cnt[cl] += np.asarray(t["n"], np.int64)
-                sums[cl] += np.stack([np.asarray(v, np.int64)
-                                      for v in t["s"].to_pylist()])
+                sums[cl] += _list_matrix(t["s"], np.int64)
         nonempty = cnt > 0
         C = C.copy()
         C[nonempty] = sums[nonempty] // cnt[nonempty, None]
@@ -114,8 +134,7 @@ def kmeans_embed(embeddings, *, id_col: str = "vec_id",
 
     def final_assign(batch: pa.Table) -> pa.Table:
         Cc = ray.get(cref)
-        Q = np.stack([np.asarray(v, np.int64)
-                      for v in batch["q"].to_pylist()])
+        Q = _list_matrix(batch["q"], np.int64)
         a, d = _assign(Q, Cc)
         return pa.table({
             "vec_id": batch["vec_id"],
@@ -178,6 +197,37 @@ WHERE rn = 1""")
 
 COS_SCALE = 1048576.0            # 2^20, the ann consistency quantization
 
+# Peak cells of one gram block: 64M int64 cells ≈ 512 MB. The m×m gram of
+# a cluster AT the 100k cap would be 80 GB — the block bound is what makes
+# cluster_cap a WORK bound instead of a memory bomb.
+GRAM_BLOCK_CELLS = 64 * 1024 * 1024
+
+
+def _cluster_pairs(cid: np.ndarray, CQ: np.ndarray, thr_num: int,
+                   thr_den: int, block_cells: int = GRAM_BLOCK_CELLS):
+    """Near-dup pairs within ONE cluster (cid ascending, CQ row-aligned).
+    The gram matrix is computed in ROW BLOCKS of ~block_cells cells so
+    peak memory is block×m, never m×m; emission order (global row-major
+    upper triangle) and every arithmetic op are identical to the
+    monolithic CQ @ CQ.T formulation, so outputs are bit-equal."""
+    m = len(cid)
+    na = np.einsum("ij,ij->i", CQ, CQ).astype(np.float64)  # == diag(G)
+    bs = max(1, block_cells // max(m, 1))
+    out_a, out_b, out_d = [], [], []
+    for s in range(0, m, bs):
+        Gb = CQ[s:s + bs] @ CQ.T                # (<=bs, m) int64
+        d = Gb.astype(np.float64)
+        ok = (Gb > 0) & (((d * d) * float(thr_den))
+                         >= (float(thr_num)
+                             * (na[s:s + bs, None] * na[None, :])))
+        ia, ib = np.nonzero(ok)
+        keep = ib > ia + s                      # strict upper triangle
+        ia, ib = ia[keep], ib[keep]
+        out_a.append(cid[ia + s])
+        out_b.append(cid[ib])
+        out_d.append(Gb[ia, ib])
+    return out_a, out_b, out_d
+
 
 def semantic_neardup(embeddings, *, id_col: str = "vec_id",
                      vec_col: str = "embedding", k: int = 8,
@@ -200,7 +250,9 @@ def semantic_neardup(embeddings, *, id_col: str = "vec_id",
     pairs that k-means separated — same as every blocked semantic dedup;
     the oracle applies the identical blocking, so the gate checks the
     implementation, not recall. Clusters past `cluster_cap` members
-    fail loudly (the within-cluster verify is O(m^2)).
+    fail loudly: the within-cluster verify is O(m^2) WORK. Memory is
+    never m^2 — the gram is computed in row blocks of
+    GRAM_BLOCK_CELLS cells (~512 MB peak) whatever the cluster size.
 
     Scale shape: the final assignment happens MAP-SIDE against the
     broadcast centroids in the same pass that quantizes the cosine
@@ -215,8 +267,7 @@ def semantic_neardup(embeddings, *, id_col: str = "vec_id",
     def rows(batch: pa.Table) -> pa.Table:
         Cc = ray.get(cref)
         ids = np.asarray(batch[id_col], np.int64)
-        M = np.stack([np.asarray(v, np.float64)
-                      for v in batch[vec_col].to_pylist()])
+        M = _list_matrix(batch[vec_col], np.float64)
         a, _d = _assign(_quantize(M), Cc)
         Q = np.floor(M * COS_SCALE).astype(np.int64)
         return pa.table({
@@ -228,8 +279,7 @@ def semantic_neardup(embeddings, *, id_col: str = "vec_id",
     def pairs(part: pa.Table) -> pa.Table:
         ids = np.asarray(part["vec_id"], np.int64)
         cl = np.asarray(part["cluster"], np.int64)
-        Q = np.stack([np.asarray(v, np.int64)
-                      for v in part["q"].to_pylist()])
+        Q = _list_matrix(part["q"], np.int64)
         out_a, out_b, out_d = [], [], []
         for c in np.unique(cl):
             m = cl == c
@@ -238,20 +288,15 @@ def semantic_neardup(embeddings, *, id_col: str = "vec_id",
                     f"semantic_neardup: cluster {int(c)} holds "
                     f"{int(m.sum())} members (> cluster_cap="
                     f"{cluster_cap}); the within-cluster verify is "
-                    f"O(m^2) — raise k or the cap knowingly")
+                    f"O(m^2) WORK (memory stays block-bounded) — "
+                    f"raise k or the cap knowingly")
             cid = ids[m]
             o = np.argsort(cid, kind="stable")
-            cid = cid[o]
-            CQ = Q[m][o]
-            G = CQ @ CQ.T                      # int64 gram matrix
-            na = np.diag(G).astype(np.float64)
-            d = G.astype(np.float64)
-            ok = (G > 0) & (((d * d) * float(thr_den))
-                            >= (float(thr_num) * (na[:, None] * na[None, :])))
-            ia, ib = np.nonzero(np.triu(ok, k=1))
-            out_a.append(cid[ia])
-            out_b.append(cid[ib])
-            out_d.append(G[ia, ib])
+            pa_, pb_, pd_ = _cluster_pairs(cid[o], Q[m][o],
+                                           thr_num, thr_den)
+            out_a.extend(pa_)
+            out_b.extend(pb_)
+            out_d.extend(pd_)
         if not out_a:
             z = pa.array([], pa.int64())
             return pa.table({"id_a": z, "id_b": z, "dot_q": z})

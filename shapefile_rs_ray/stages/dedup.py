@@ -126,7 +126,7 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
                       text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, jaccard_threshold: float = 0.8,
                       max_driver_candidates: int = 2_000_000,
-                      concurrency=(1, 4)):
+                      concurrency=(1, 4), checkpoint_dir: str | None = None):
     """Near-duplicate pairs (id_a < id_b, exact word-3-shingle Jaccard >=
     threshold) among LSH candidates. Returns Dataset(id_a, id_b).
 
@@ -277,8 +277,22 @@ def minhash_lsh_pairs(pages, *, id_col: str = "page_id",
 
     exploded = pages.map_batches(signatures, batch_format="pyarrow")
     mixed = (exploded.map_batches(add_part, batch_format="pyarrow")
-             .groupby("__p").map_groups(detect, batch_format="pyarrow")
-             ).materialize()   # pairs/candidates/member ids — ints only
+             .groupby("__p").map_groups(detect, batch_format="pyarrow"))
+    # pairs/candidates/member ids — ints only, O(corpus) rows consumed by
+    # THREE downstream branches. Checkpoint to parquet when a directory is
+    # given (at 10^12 docs these rows belong on disk, not pinned in the
+    # object store); default to an object-store materialize (spillable)
+    # for gate-scale runs where the parquet round-trip is pure overhead.
+    if checkpoint_dir is not None:
+        import os
+        import tempfile
+        import ray
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        ckpt = tempfile.mkdtemp(prefix="minhash_mixed_", dir=checkpoint_dir)
+        mixed.write_parquet(ckpt)          # fresh subdir: no stale files
+        mixed = ray.data.read_parquet(ckpt)
+    else:
+        mixed = mixed.materialize()
 
     def rename_pair(batch: pa.Table) -> pa.Table:
         return pa.table({"id_a": batch["a"], "id_b": batch["b"]})

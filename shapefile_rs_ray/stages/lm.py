@@ -26,11 +26,11 @@ tokens emit (0, 0.0, 0.0).
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
 
+from ..functions.hashing import crc32_str
 from .ngrams import _doc_ngrams
 
 LM_PARTS = 251
@@ -44,8 +44,7 @@ def _count_partial(texts, n: int, parts: int) -> pa.Table:
                          "__p": pa.array([], pa.int64())})
     g = np.asarray(grams, dtype=str)
     uniq, cnt = np.unique(g, return_counts=True)
-    ph = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in uniq),
-                     np.int64, len(uniq)) % parts
+    ph = crc32_str(uniq) % parts
     return pa.table({"gram": pa.array(uniq.tolist(), pa.string()),
                      "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
                      "__p": pa.array(ph, pa.int64())})

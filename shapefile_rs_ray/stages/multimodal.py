@@ -426,6 +426,211 @@ class Y4mDecodeStage:
         })
 
 
+# ---------------------------------------------------------------------------
+# PNG (round 5): a REAL compressed-format decoder — stdlib zlib inflate +
+# per-scanline defilter (None/Sub/Up/Average/Paeth), no imaging library.
+# This retires one of the "compressed formats are stubs" gaps: the famous
+# CC-scale image format is now genuinely parsed from bytes to pixels.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG spec PaethPredictor(left, above, upper-left)."""
+    p = a + b - c
+    pa_ = abs(p - a)
+    pb_ = abs(p - b)
+    pc_ = abs(p - c)
+    if pa_ <= pb_ and pa_ <= pc_:
+        return a
+    if pb_ <= pc_:
+        return b
+    return c
+
+
+def _parse_png(payload: bytes) -> np.ndarray:
+    """PNG (8-bit RGB, colour type 2, non-interlaced) -> (h, w, 3) uint8.
+
+    Real decode: chunk walk with length/type framing, multi-IDAT concat,
+    zlib inflate, then scanline defiltering. Filters 0 (None) / 2 (Up)
+    reconstruct with whole-row vector ops; 1 (Sub) is an exact per-lane
+    uint8 cumulative sum (recon[x] = Σ raw ≤ x within the byte lane, mod
+    256 — the prefix dependency vectorizes); 3/4 (Average/Paeth) keep the
+    spec's sequential-in-x reconstruction (per-pixel, vector over lanes).
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln                      # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG layout depth={depth} colour={ctype} "
+            f"comp={comp} filter={filt} interlace={interlace}")
+    import zlib
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad inflated scanline length")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    prior = np.zeros(stride, np.uint8)
+    bpp = 3
+    for y in range(h):
+        ft = int(ftypes[y])
+        r = data[y]
+        if ft == 0:
+            rec = r.copy()
+        elif ft == 1:                       # Sub: per-lane cumsum mod 256
+            rec = r.reshape(-1, bpp).cumsum(axis=0, dtype=np.uint64)
+            rec = (rec % 256).astype(np.uint8).reshape(stride)
+        elif ft == 2:                       # Up
+            rec = r + prior                 # uint8 wraparound == mod 256
+        elif ft == 3:                       # Average
+            rec = np.empty(stride, np.uint8)
+            left = np.zeros(bpp, np.uint16)
+            for x in range(0, stride, bpp):
+                px = (r[x:x + bpp]
+                      + ((left + prior[x:x + bpp]) >> 1)).astype(np.uint8)
+                rec[x:x + bpp] = px
+                left = px.astype(np.uint16)
+        elif ft == 4:                       # Paeth
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(r[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prior = rec
+    return out.reshape(h, w, 3)
+
+
+class PngDecodeStage:
+    """REAL compressed-image decode: PNG bytes -> pixels via chunk walk +
+    zlib inflate + scanline defilter, then the same integer stats as
+    BmpDecodeStage — (key, width, height, sum_r, sum_g, sum_b, thumb_sum)
+    with the 8x8 nearest-neighbor thumbnail kernel.
+
+    Scale: one inflate + O(pixels) defilter per payload inside the actor
+    pool; compressed rows are small so default (whole-block) batches are
+    right. The reference's decode discipline (tests/read_tests.rs golden
+    exactness) is matched by the byte-offset scalar twin golden."""
+
+    THUMB = 8
+
+    def __init__(self, bytes_col: str = "png", key_col: str = "doc_id"):
+        self.bytes_col = bytes_col
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.bytes_col].to_pylist()
+        n = len(payloads)
+        wid = np.empty(n, np.int64)
+        hei = np.empty(n, np.int64)
+        sums = np.empty((n, 3), np.int64)
+        th = np.empty(n, np.int64)
+        t = self.THUMB
+        for i, p in enumerate(payloads):
+            px = _parse_png(p)
+            hh, ww = px.shape[0], px.shape[1]
+            wid[i], hei[i] = ww, hh
+            sums[i] = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            yi = (np.arange(t, dtype=np.int64) * hh) // t
+            xi = (np.arange(t, dtype=np.int64) * ww) // t
+            th[i] = int(px[yi][:, xi].astype(np.int64).sum())
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "width": pa.array(wid, pa.int64()),
+            "height": pa.array(hei, pa.int64()),
+            "sum_r": pa.array(sums[:, 0], pa.int64()),
+            "sum_g": pa.array(sums[:, 1], pa.int64()),
+            "sum_b": pa.array(sums[:, 2], pa.int64()),
+            "thumb_sum": pa.array(th, pa.int64()),
+        })
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import zlib
+    return (len(body).to_bytes(4, "big") + typ + body
+            + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def synth_png_bytes(doc_id: int) -> bytes:
+    """Deterministic RGB PNG keyed by doc id: w = 14 + id%19,
+    h = 10 + id%15, pixel (x, y, c) = (x*(id%5+2) + y*(id%9+2) + c*53
+    + id) % 256. Scanline y uses filter (y + id) % 5, so every payload
+    exercises None/Sub/Up/Average/Paeth; the compressed stream splits
+    into two IDAT chunks to exercise multi-IDAT concat."""
+    import zlib
+    w = 14 + doc_id % 19
+    h = 10 + doc_id % 15
+    a, b = doc_id % 5 + 2, doc_id % 9 + 2
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    rgb = ((x * a + y * b + c * 53 + doc_id) % 256).astype(np.uint8)
+    stride = w * 3
+    flat = rgb.reshape(h, stride)
+    bpp = 3
+    lines = []
+    prior = np.zeros(stride, np.uint8)
+    for yy in range(h):
+        row = flat[yy]
+        ft = (yy + doc_id) % 5
+        if ft == 0:
+            f = row.copy()
+        elif ft == 1:
+            f = row.copy()
+            f[bpp:] = row[bpp:] - row[:-bpp]
+        elif ft == 2:
+            f = row - prior
+        elif ft == 3:
+            left = np.zeros(stride, np.uint16)
+            left[bpp:] = row[:-bpp]
+            f = row - ((left + prior) >> 1).astype(np.uint8)
+        else:
+            f = np.empty(stride, np.uint8)
+            for xx in range(stride):
+                aa = int(row[xx - bpp]) if xx >= bpp else 0
+                bb = int(prior[xx])
+                cc = int(prior[xx - bpp]) if xx >= bpp else 0
+                f[xx] = (int(row[xx]) - _paeth(aa, bb, cc)) & 0xFF
+        lines.append(bytes([ft]) + f.tobytes())
+        prior = row
+    comp = zlib.compress(b"".join(lines), 6)
+    half = max(1, len(comp) // 2)
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", comp[:half])
+            + _png_chunk(b"IDAT", comp[half:])
+            + _png_chunk(b"IEND", b""))
+
+
 def synth_y4m_bytes(doc_id: int) -> bytes:
     """Deterministic tiny clip keyed by doc id: 6+id%5 frames of
     (16+2*(id%5)) x (12+2*(id%3)) 4:2:0 video at F24:1 or F30:1; luma

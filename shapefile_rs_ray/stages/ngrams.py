@@ -21,11 +21,12 @@ DuckDB twin is regexp_extract_all(lower(text), '[a-z0-9]+').
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..functions.hashing import crc32_str
 
 GRAM_PARTS = 251
 
@@ -82,8 +83,7 @@ def ngram_topk(docs, *, text_col: str = "text", n: int = 2, k: int = 100,
         vc = pc.value_counts(grams)
         uniq = vc.field("values")
         cnt = pc.cast(vc.field("counts"), pa.int64())
-        ph = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in
-                          uniq.to_pylist()), np.int64, len(uniq)) % parts
+        ph = crc32_str(uniq) % parts
         return pa.table({"gram": uniq, "cnt": cnt,
                          "__p": pa.array(ph, pa.int64())})
 

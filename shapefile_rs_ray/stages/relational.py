@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import crc32_str
+
 
 def _match_ranges(lo: np.ndarray, counts: np.ndarray):
     """Vectorized expansion of per-probe [lo, lo+count) right-row ranges:
@@ -563,14 +565,11 @@ def shuffle_join_str(left, right, *, key: str, right_cols: tuple[str, ...],
     (left emits unmatched and null-key left rows once with null
     right_cols; inner drops them; right-side null keys always drop).
     The per-batch crc32 loop runs over DISTINCT keys only."""
-    import zlib
-
     assert how in ("inner", "left")
 
     def _crc_parts(strs: np.ndarray) -> np.ndarray:
         uniq, inv = np.unique(strs, return_inverse=True)
-        ph = np.array([zlib.crc32(s.encode("utf-8")) for s in uniq],
-                      np.int64) % parts
+        ph = crc32_str(uniq) % parts
         return ph[inv]
 
     def tag(side: int, keep: tuple[str, ...]):

@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import crc32_str
+
 # RE2 syntax, identical semantics in Arrow and DuckDB (both link RE2)
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PHONE_RE = r"\b5[0-9]{2}-[0-9]{4}\b"
@@ -110,7 +112,6 @@ def assemble_host_docs(pages, *, url_col: str = "url",
     + run-boundary concat. Text moves once — the unavoidable motion of
     a grouping concat."""
     import hashlib
-    import zlib
 
     def rows(batch: pa.Table) -> pa.Table:
         # non-matching urls -> host '' (the oracle's regexp_extract
@@ -118,8 +119,7 @@ def assemble_host_docs(pages, *, url_col: str = "url",
         host = pc.fill_null(pc.struct_field(
             pc.extract_regex(batch[url_col], r"https://(?P<h>[^/]+)/"),
             "h"), "")
-        ph = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in
-                          host.to_pylist()), np.int64, batch.num_rows) % parts
+        ph = crc32_str(host) % parts
         return pa.table({
             "host": host,
             "ts": pc.cast(batch[ts_col], pa.int64()),   # timestamp -> us

@@ -28,11 +28,10 @@ by (score desc, term asc) with byte-wise ASCII term order (tokens are
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
+from ..functions.hashing import crc32_str
 from .ngrams import _doc_ngrams
 
 TERM_PARTS = 251
@@ -63,8 +62,7 @@ def _batch_doc_term_tf(batch: pa.Table, id_col: str, text_col: str):
 
 
 def _term_part(terms: np.ndarray, parts: int) -> np.ndarray:
-    return np.fromiter((zlib.crc32(s.encode("utf-8")) for s in terms),
-                       np.int64, len(terms)) % parts
+    return crc32_str(terms) % parts
 
 
 def _topk_table(ids, terms, tf, df, k: int) -> pa.Table:

@@ -1,0 +1,252 @@
+"""Round-5 regressions: kmeans seeding without a Sort exchange, the
+block-bounded semantic-neardup gram, vectorized crc32, and the minhash
+parquet checkpoint."""
+
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# kmeans: seed pick must not plan an AllToAll Sort of the corpus
+# ---------------------------------------------------------------------------
+
+def test_kmeans_plan_has_no_sort_operator(ray_session, sf_dir):
+    import ray
+    from shapefile_rs_ray.stages.cluster import kmeans_embed
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_embed(emb, k=4, rounds=2).materialize()
+    assert out.count() > 0
+    assert "Sort" not in out.stats()
+
+
+def test_kmeans_seed_merge_equals_sorted_head(ray_session):
+    """Map-side min-k seeding must pick exactly the k smallest vec_ids
+    whatever the block layout."""
+    import ray
+    from shapefile_rs_ray.stages.cluster import kmeans_centroids, _quantize
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(200).astype(np.int64)
+    M = rng.random((200, 4))
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(M), pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).repartition(13)
+    C, _ = kmeans_centroids(ds, k=5, rounds=0)
+    order = np.argsort(ids)[:5]
+    expect = _quantize(M[order])
+    np.testing.assert_array_equal(C, expect)
+
+
+# ---------------------------------------------------------------------------
+# semantic neardup: blockwise gram == monolithic, memory block-bounded
+# ---------------------------------------------------------------------------
+
+def _brute_pairs(cid, CQ, thr_num, thr_den):
+    G = CQ @ CQ.T
+    na = np.diag(G).astype(np.float64)
+    d = G.astype(np.float64)
+    ok = (G > 0) & (((d * d) * float(thr_den))
+                    >= (float(thr_num) * (na[:, None] * na[None, :])))
+    ia, ib = np.nonzero(np.triu(ok, k=1))
+    return cid[ia], cid[ib], G[ia, ib]
+
+
+@pytest.mark.parametrize("block_cells", [1, 37, 1000, 1 << 30])
+def test_cluster_pairs_blockwise_matches_monolithic(block_cells):
+    from shapefile_rs_ray.stages.cluster import _cluster_pairs
+    rng = np.random.default_rng(11)
+    m = 173
+    CQ = rng.integers(-(1 << 18), 1 << 18, (m, 8), dtype=np.int64)
+    # plant exact duplicates so near-dup pairs actually exist
+    CQ[40] = CQ[7]
+    CQ[99] = CQ[7]
+    cid = np.arange(1000, 1000 + m, dtype=np.int64)
+    oa, ob, od = _cluster_pairs(cid, CQ, 81, 100, block_cells=block_cells)
+    ga, gb, gd = (np.concatenate(x) if x else np.array([], np.int64)
+                  for x in (oa, ob, od))
+    ba, bb, bd = _brute_pairs(cid, CQ, 81, 100)
+    assert len(ba) >= 2
+    np.testing.assert_array_equal(ga, ba)
+    np.testing.assert_array_equal(gb, bb)
+    np.testing.assert_array_equal(gd, bd)
+
+
+def test_cluster_pairs_memory_is_block_bounded():
+    """A 30k-member cluster (monolithic gram + float copy would be
+    ~15 GB) must complete within a few GB peak RSS. Runs in a
+    subprocess so maxrss reflects THIS computation, not the suite."""
+    script = textwrap.dedent("""
+        import resource, numpy as np
+        from shapefile_rs_ray.stages.cluster import _cluster_pairs
+        rng = np.random.default_rng(3)
+        m = 30_000
+        CQ = rng.integers(1, 1 << 18, (m, 8), dtype=np.int64)
+        cid = np.arange(m, dtype=np.int64)
+        oa, ob, od = _cluster_pairs(cid, CQ, 9999, 10000)
+        n = sum(len(a) for a in oa)
+        peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        print(n, peak)
+        assert peak < 4_500_000, f"peak {peak} KB exceeds 4.5 GB"
+    """)
+    res = subprocess.run([sys.executable, "-c", script], cwd="/root/repo",
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+
+
+# ---------------------------------------------------------------------------
+# zero-copy list matrix
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# PNG decode (real compressed-format decoder)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_filters():
+    """Decode(encode(x)) == x for many ids; every payload cycles all five
+    spec filter types, so a filter bug in either direction breaks this."""
+    from shapefile_rs_ray.stages.multimodal import (_parse_png,
+                                                    synth_png_bytes)
+    for d in list(range(40)) + [137, 999, 12345]:
+        px = _parse_png(synth_png_bytes(d))
+        w, h = 14 + d % 19, 10 + d % 15
+        a, b = d % 5 + 2, d % 9 + 2
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        exp = ((x * a + y * b + c * 53 + d) % 256).astype(np.uint8)
+        np.testing.assert_array_equal(px, exp)
+
+
+def test_png_paeth_matches_spec_pseudocode():
+    """PaethPredictor against the literal spec decision table: return a
+    when pa<=pb and pa<=pc, else b when pb<=pc, else c."""
+    from shapefile_rs_ray.stages.multimodal import _paeth
+    for a in range(0, 256, 17):
+        for b in range(0, 256, 23):
+            for c in range(0, 256, 29):
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                exp = (a if pa_ <= pb_ and pa_ <= pc_
+                       else b if pb_ <= pc_ else c)
+                assert _paeth(a, b, c) == exp
+
+
+def test_png_handcrafted_filtered_scanlines():
+    """Pin the DECODER to the PNG spec with hand-derived filtered bytes
+    for a 2x2 RGB image (not via our own encoder): row0 filter Sub, row1
+    filter Paeth, reconstruction computed by hand below."""
+    import zlib
+    from shapefile_rs_ray.stages.multimodal import _parse_png, _png_chunk
+    # target pixels: row0 = (10,20,30),(13,24,35); row1 = (50,60,70),(51,62,73)
+    # row0 Sub:   f = 10,20,30, then (13-10, 24-20, 35-30) = 3,4,5
+    # row1 Paeth: x<3 -> pred = paeth(0, up, 0) = up (pb==|a+b-c-b|=|a-c|=0)
+    #   f = 50-10, 60-20, 70-30 = 40,40,40
+    #   x>=3: pred = paeth(left=row1[x-3], up=row0[x], ul=row0[x-3])
+    #   p = 50+13-10=53 -> da=3, db=40, dc=43 -> left(50): f = 51-50 = 1
+    #   p = 62? left=62? compute: left=62? no — lanes: g: left=60,up=24,ul=20
+    #   p=64 -> da=4, db=40, dc=44 -> left(60): f = 62-60 = 2
+    #   b: left=70,up=35,ul=30, p=75 -> da=5,db=40,dc=45 -> left: 73-70=3
+    raw = bytes([1, 10, 20, 30, 3, 4, 5,
+                 4, 40, 40, 40, 1, 2, 3])
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") \
+        + bytes([8, 2, 0, 0, 0])
+    payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+    px = _parse_png(payload)
+    np.testing.assert_array_equal(
+        px, np.array([[[10, 20, 30], [13, 24, 35]],
+                      [[50, 60, 70], [51, 62, 73]]], np.uint8))
+
+
+def test_png_scalar_twin_matches_stage():
+    from shapefile_rs_ray.pipelines.oracles import _png_scalar_row
+    from shapefile_rs_ray.stages.multimodal import PngDecodeStage, \
+        synth_png_bytes
+    stage = PngDecodeStage()
+    ids = list(range(25)) + [888]
+    batch = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "png": pa.array([synth_png_bytes(d) for d in ids], pa.binary())})
+    out = stage(batch).to_pydict()
+    for i, d in enumerate(ids):
+        exp = _png_scalar_row(d)
+        got = (out["width"][i], out["height"][i], out["sum_r"][i],
+               out["sum_g"][i], out["sum_b"][i], out["thumb_sum"][i])
+        assert got == exp, d
+
+
+def test_png_rejects_garbage():
+    from shapefile_rs_ray.stages.multimodal import _parse_png
+    with pytest.raises(ValueError):
+        _parse_png(b"not a png at all")
+    with pytest.raises(ValueError):
+        _parse_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+
+
+# ---------------------------------------------------------------------------
+# minhash parquet checkpoint
+# ---------------------------------------------------------------------------
+
+def test_minhash_checkpoint_matches_materialize(ray_session, tmp_path):
+    import ray
+    from shapefile_rs_ray.stages.dedup import minhash_lsh_pairs
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(60):
+        base = " ".join(rng.choice(words, 30))
+        texts.append(base)
+        if i % 4 == 0:
+            texts.append(base)                       # exact clone
+    t = pa.table({"page_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(7)
+
+    def run(**kw):
+        out = minhash_lsh_pairs(ds, **kw).to_pandas()
+        return sorted(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+
+    a = run()
+    b = run(checkpoint_dir=str(tmp_path))
+    assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# vectorized crc32
+# ---------------------------------------------------------------------------
+
+def test_crc32_str_matches_zlib():
+    import random
+    import string
+    import zlib
+    from shapefile_rs_ray.functions.hashing import crc32_str
+    rng = random.Random(42)
+    cases = ["", "a", "hello world", "x" * 300, "héllo", "日本語テスト",
+             "mixed日本x", "0", " ", "a b c d e f g"]
+    cases += ["".join(rng.choices(string.printable.replace("\x00", ""),
+                                  k=rng.randint(0, 100))) for _ in range(400)]
+    got = crc32_str(np.asarray(cases, dtype=str))
+    exp = [zlib.crc32(c.encode("utf-8")) for c in cases]
+    assert got.tolist() == exp
+    # pyarrow string arrays work directly too
+    got2 = crc32_str(pa.array(cases, pa.string()))
+    assert got2.tolist() == exp
+    assert crc32_str(np.asarray([], dtype=str)).shape == (0,)
+    assert crc32_str(np.asarray(["", ""], dtype=str)).tolist() == [0, 0]
+
+
+def test_list_matrix_matches_stack():
+    from shapefile_rs_ray.stages.cluster import _list_matrix
+    rng = np.random.default_rng(5)
+    M = rng.random((57, 16))
+    col = pa.chunked_array([pa.array(list(M[:20]), pa.list_(pa.float64())),
+                            pa.array(list(M[20:]), pa.list_(pa.float64()))])
+    got = _list_matrix(col, np.float64)
+    np.testing.assert_array_equal(got, M)
+    empty = pa.array([], pa.list_(pa.int64()))
+    assert _list_matrix(empty, np.int64).shape[0] == 0
