@@ -11,6 +11,7 @@ engine's numpy kernel uses (geometry/pip.py), so agreement is bit-level.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -1143,6 +1144,87 @@ def _bmp_scalar_row(doc_id: int) -> tuple:
         for xi in range(t):
             thumb += sum(px((xi * w) // t, (yi * h) // t))
     return w, h, sums[0], sums[1], sums[2], thumb
+
+
+WKB_GOLDEN_PQ = os.path.join(ORACLE_DIR, "wkb_export.parquet")
+
+
+def ensure_wkb_golden() -> None:
+    """wkb_export golden: per-ring rows (geom_id, poly_idx, ring_idx,
+    n_pts, sxq, syq, wkb_len, wkb_crc) computed by a PURE-PYTHON twin —
+    struct.pack WKB assembly over the lakes vertex golden with scalar
+    shoelace role classification, scalar ring closure, and the same
+    Outer-starts/Inner-attaches grouping — no numpy, no shared code with
+    geometry/wkb.py. wkb_crc matches only if the twin's byte stream is
+    IDENTICAL to the engine's."""
+    if os.path.exists(WKB_GOLDEN_PQ):
+        return
+    import struct
+    import zlib
+    ensure_lakes_vertices()
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    vt = pq.read_table(LAKES_VERTICES_PQ)
+    gids = vt["geom_id"].to_pylist()
+    parts = vt["part_idx"].to_pylist()
+    xs = vt["x"].to_pylist()
+    ys = vt["y"].to_pylist()
+    # group vertices -> (geom, part) rings, file order (golden is ordered)
+    rings: dict[int, list[list[tuple]]] = {}
+    for g, p, x, y in zip(gids, parts, xs, ys):
+        rp = rings.setdefault(g, [])
+        if p == len(rp):
+            rp.append([])
+        rp[p].append((x, y))
+    rows = {k: [] for k in ("geom_id", "poly_idx", "ring_idx", "n_pts",
+                            "sxq", "syq", "wkb_len", "wkb_crc")}
+    for g in sorted(rings):
+        polys: list[list[list[tuple]]] = []
+        cur: list[list[tuple]] | None = None
+        for ring in rings[g]:
+            # scalar shoelace twin of shp.ring_winding_is_inner
+            area = 0.0
+            for i in range(len(ring) - 1):
+                area += (ring[i + 1][0] - ring[i][0]) \
+                    * (ring[i + 1][1] + ring[i][1])
+            inner = (area / 2.0) < 0.0 and len(ring) >= 2
+            if ring and ring[0] != ring[-1]:
+                ring = ring + [ring[0]]    # scalar close_ring
+            if not inner:
+                if cur is not None:
+                    polys.append(cur)
+                cur = [ring]
+            else:
+                if cur is None:
+                    continue               # non-strict orphan skip
+                cur.append(ring)
+        if cur is not None:
+            polys.append(cur)
+        wkb = b"\x01" + struct.pack("<II", 6, len(polys))
+        for rs in polys:
+            wkb += b"\x01" + struct.pack("<II", 3, len(rs))
+            for ring in rs:
+                wkb += struct.pack("<I", len(ring))
+                for (x, y) in ring:
+                    wkb += struct.pack("<dd", x, y)
+        ln, crc = len(wkb), zlib.crc32(wkb)
+        for pi, rs in enumerate(polys):
+            for ri, ring in enumerate(rs):
+                sxq = syq = 0
+                for (x, y) in ring:
+                    sxq += int(math.floor(x * 1048576.0))
+                    syq += int(math.floor(y * 1048576.0))
+                rows["geom_id"].append(g)
+                rows["poly_idx"].append(pi)
+                rows["ring_idx"].append(ri)
+                rows["n_pts"].append(len(ring))
+                rows["sxq"].append(sxq)
+                rows["syq"].append(syq)
+                rows["wkb_len"].append(ln)
+                rows["wkb_crc"].append(crc)
+    tbl = pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+    tmp = WKB_GOLDEN_PQ + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, WKB_GOLDEN_PQ)
 
 
 PNG_GOLDEN_PQ = os.path.join(ORACLE_DIR, "png_decode.parquet")

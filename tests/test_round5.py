@@ -189,6 +189,80 @@ def test_png_rejects_garbage():
 
 
 # ---------------------------------------------------------------------------
+# WKB export (geo-interop surface)
+# ---------------------------------------------------------------------------
+
+LAKES = "/root/reference/tests/data/ne_10m_lakes_north_america.shp"
+
+
+def test_wkb_lakes_roundtrip_bit_equal():
+    """Export lakes -> parse with the independent scalar parser ->
+    vertices bit-equal to the decoded (grouped, closed) rings, for every
+    one of the 1162 shapes (VERDICT r4 item 7's done-criterion)."""
+    import pyarrow.compute as pc
+    from shapefile_rs_ray.geometry.rings import close_ring
+    from shapefile_rs_ray.geometry.schema import explode_xy
+    from shapefile_rs_ray.geometry.wkb import parse_wkb, wkb_from_geometry
+    from shapefile_rs_ray.sources.shapefile import read_shapefile_table
+    t = read_shapefile_table(LAKES, with_attrs=False)
+    out = wkb_from_geometry(t)
+    ex = explode_xy(t)
+    roles = np.asarray(pc.list_flatten(t["part_roles"].combine_chunks()),
+                       np.int8)
+    po, pcm = ex["part_off"], ex["pt_cum"]
+    checked = 0
+    for i, w in enumerate(out["wkb"].to_pylist()):
+        assert w is not None
+        gt, polys = parse_wkb(w)
+        assert gt == 6                     # MultiPolygon
+        exp, cur = [], None
+        for p in range(int(po[i]), int(po[i + 1])):
+            s, e = int(pcm[p]), int(pcm[p + 1])
+            ring = close_ring(np.column_stack([ex["x"][s:e],
+                                               ex["y"][s:e]]))
+            if roles[p] == 0:
+                if cur is not None:
+                    exp.append(cur)
+                cur = [ring]
+            elif cur is not None:
+                cur.append(ring)
+        if cur is not None:
+            exp.append(cur)
+        assert len(polys) == len(exp)
+        for gp, ge in zip(polys, exp):
+            assert len(gp) == len(ge)
+            for rp, re_ in zip(gp, ge):
+                np.testing.assert_array_equal(np.array(rp), re_)
+        checked += 1
+    assert checked == 1162
+
+
+def test_wkb_point_line_multipoint_kinds(data_dir):
+    from shapefile_rs_ray.geometry.wkb import parse_wkb, wkb_from_geometry
+    from shapefile_rs_ray.sources.shapefile import read_shapefile_table
+    t = read_shapefile_table(f"{data_dir}/point.shp", with_attrs=False)
+    gt, pt = parse_wkb(wkb_from_geometry(t)["wkb"][0].as_py())
+    assert gt == 1 and len(pt) == 2
+    t = read_shapefile_table(f"{data_dir}/line.shp", with_attrs=False)
+    gt, lines = parse_wkb(wkb_from_geometry(t)["wkb"][0].as_py())
+    assert gt == 5 and all(len(ln) >= 2 for ln in lines)
+    t = read_shapefile_table(f"{data_dir}/multipoint.shp", with_attrs=False)
+    gt, pts = parse_wkb(wkb_from_geometry(t)["wkb"][0].as_py())
+    assert gt == 4 and len(pts) >= 1
+
+
+def test_wkb_parser_rejects_malformed():
+    from shapefile_rs_ray.geometry.wkb import parse_wkb
+    with pytest.raises(ValueError):
+        parse_wkb(b"\x00\x00\x00\x00\x06" + b"\x00" * 4)  # big-endian
+    with pytest.raises(ValueError):
+        parse_wkb(b"\x01\x99\x00\x00\x00")                 # unknown type
+    good = b"\x01\x01\x00\x00\x00" + b"\x00" * 16
+    with pytest.raises(ValueError):
+        parse_wkb(good + b"\xff")                          # trailing bytes
+
+
+# ---------------------------------------------------------------------------
 # minhash parquet checkpoint
 # ---------------------------------------------------------------------------
 
