@@ -34,6 +34,13 @@ SCALING_REPL = int(os.environ.get("GRAFT_SCALING_REPL", "2000"))
 # Override with GRAFT_SCALING_CPUS="8,32" to reproduce the capped pair.
 SCALING_CPUS = tuple(int(x) for x in os.environ.get(
     "GRAFT_SCALING_CPUS", "4,16").split(","))
+# which query the --scaling harness measures (second/third-pipeline
+# scaling evidence: minhash_pairs, tfidf_pages, chunk_dedup also accept
+# compute-dominating inputs via GRAFT_SCALING_REPL_SMALL)
+SCALING_QUERY = os.environ.get("GRAFT_SCALING_QUERY", "pip_broadcast")
+# page multiplier for the repl-20 family (minhash/simhash/tfidf/chunk/png)
+REPL_SMALL = int(os.environ.get("GRAFT_REPL_SMALL", "20"))
+SCALING_REPL_SMALL = int(os.environ.get("GRAFT_SCALING_REPL_SMALL", "400"))
 LAKES = "/root/reference/tests/data/ne_10m_lakes_north_america.shp"
 
 
@@ -216,14 +223,14 @@ def run_queries() -> tuple[dict, dict]:
     def q_minhash():
         # near-dup at the natural repl=20 (pair count is quadratic in the
         # clone factor; the bench repl would explode pairs, not work)
-        ds = read_webpages(SF_DIR, repl=20, with_html=False)
+        ds = read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
         return minhash_lsh_pairs(ds, concurrency=conc).count()
 
     timed("minhash_pairs", q_minhash)
 
     def q_simhash():
         from shapefile_rs_ray.stages.dedup import simhash_pairs
-        ds = read_webpages(SF_DIR, repl=20, with_html=False)
+        ds = read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
         return simhash_pairs(ds).count()
 
     timed("simhash_pairs", q_simhash)
@@ -255,7 +262,7 @@ def run_queries() -> tuple[dict, dict]:
         # round-4 rewrite: shared Arrow token kernel + vectorized top-k
         # (broadcast df path at this vocabulary size)
         from shapefile_rs_ray.stages.tfidf import tfidf_top_terms
-        ds = read_webpages(SF_DIR, repl=20, with_html=False)
+        ds = read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
         return tfidf_top_terms(ds, id_col="page_id", text_col="text",
                                k=3).count()
 
@@ -264,10 +271,58 @@ def run_queries() -> tuple[dict, dict]:
     def q_chunk_dedup():
         # round-4 C4-style chunk dedup accounting over the page corpus
         from shapefile_rs_ray.stages.dedup import chunk_dedup
-        ds = read_webpages(SF_DIR, repl=20, with_html=False)
+        ds = read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
         return chunk_dedup(ds, id_col="page_id").count()
 
     timed("chunk_dedup", q_chunk_dedup)
+
+    def q_png_decode():
+        # round-5 REAL compressed-image path: synthesize + fully decode
+        # (zlib inflate + 5-filter defilter + channel/thumbnail stats)
+        # one PNG per page id over repl=REPL_SMALL pages
+        import pyarrow as pa
+        from shapefile_rs_ray.stages.multimodal import (PngDecodeStage,
+                                                        synth_png_bytes)
+
+        def build(b):
+            ids = b["page_id"].to_pylist()
+            return pa.table({
+                "doc_id": b["page_id"],
+                "png": pa.array([synth_png_bytes(d) for d in ids],
+                                pa.binary())})
+
+        ds = read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
+        return (ds.select_columns(["page_id"])
+                .map_batches(build, batch_format="pyarrow")
+                .map_batches(PngDecodeStage, batch_format="pyarrow",
+                             concurrency=conc).count())
+
+    timed("png_decode", q_png_decode)
+
+    def q_jpeg_decode():
+        # round-5 baseline-JPEG path: synthesize (DCT+Huffman encode) and
+        # fully decode (entropy decode + integer IDCT + colour) per page;
+        # repl=10 keeps the suite entry ~comparable to the others (the
+        # per-image codec cost is ~2.5 ms round-trip)
+        import pyarrow as pa
+        from shapefile_rs_ray.stages.jpeg import (JpegDecodeStage,
+                                                  synth_jpeg_bytes)
+
+        def build(b):
+            ids = b["page_id"].to_pylist()
+            return pa.table({
+                "doc_id": b["page_id"],
+                "jpg": pa.array([synth_jpeg_bytes(d) for d in ids],
+                                pa.binary())})
+
+        ds = read_webpages(SF_DIR, repl=max(1, REPL_SMALL // 2),
+                           with_html=False)
+        return (ds.select_columns(["page_id"])
+                .map_batches(build, batch_format="pyarrow")
+                .map_batches(JpegDecodeStage, batch_format="pyarrow",
+                             concurrency=conc).count())
+
+    timed("jpeg_decode", q_jpeg_decode)
 
     ray.shutdown()
     extra["query_samples"] = samples
@@ -282,10 +337,13 @@ def main():
         # replication so the 8-cpu run is genuinely compute-bound
         results = {}
         lo, hi = SCALING_CPUS
+        only = (SCALING_QUERY if SCALING_QUERY != "pip_broadcast"
+                else "pip_broadcast,token_stats")
         for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_ONLY="pip_broadcast,token_stats",
+                       GRAFT_ONLY=only,
                        GRAFT_REPL=str(SCALING_REPL),
+                       GRAFT_REPL_SMALL=str(SCALING_REPL_SMALL),
                        # median-of-3 per config: single scaling samples on
                        # this shared-host VM measured 0.646/0.819/0.94 for
                        # IDENTICAL code — one noisy 4-cpu sample aliases
@@ -297,12 +355,13 @@ def main():
             out = subprocess.run([sys.executable, __file__], env=env,
                                  capture_output=True, text=True, check=True)
             results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
-        t_lo = results[lo]["queries"]["pip_broadcast"]
-        t_hi = results[hi]["queries"]["pip_broadcast"]
+        t_lo = results[lo]["queries"][SCALING_QUERY]
+        t_hi = results[hi]["queries"][SCALING_QUERY]
         n = results[hi].get("n_pages", 0)
         eff = (t_lo / t_hi) / (hi / lo)
         print(json.dumps({
-            "metric": f"pip-join scaling efficiency ({lo} vs {hi} cpus)",
+            "metric": f"{SCALING_QUERY} scaling efficiency "
+                      f"({lo} vs {hi} cpus)",
             "cpus": [lo, hi],
             f"sec_{lo}cpu": t_lo, f"sec_{hi}cpu": t_hi,
             f"pages_per_sec_{lo}cpu": round(n / t_lo, 1) if n else None,

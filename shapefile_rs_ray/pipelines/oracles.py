@@ -1349,6 +1349,204 @@ def ensure_png_golden(n_docs: int) -> None:
                            "thumb_sum"))
 
 
+JPEG_GOLDEN_PQ = os.path.join(ORACLE_DIR, "jpeg_decode.parquet")
+
+
+def _jpeg_scalar_row(doc_id: int) -> tuple:
+    """Independent scalar twin of JpegDecodeStage over synth_jpeg_bytes:
+    pure-Python marker walk, bit-by-bit Huffman decode, per-coefficient
+    dequantize/de-zigzag, triple-loop integer IDCT over a basis matrix
+    re-derived from math.cos, and the fixed-point colour ints — no
+    numpy, no shared control flow with the vectorized decoder. The
+    integer-IDCT determinism contract (order-free int64 dot products)
+    is what makes this twin bit-exact."""
+    import math
+    from ..stages.jpeg import JpegDecodeStage, synth_jpeg_bytes
+    p = synth_jpeg_bytes(doc_id)
+    assert p[:2] == b"\xff\xd8"
+    zig = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+           12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+           35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+           58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    h = w = 0
+    comps: list[tuple[int, int]] = []       # (id, tq)
+    scan: list[tuple[int, int, int]] = []
+    data = b""
+    while pos + 4 <= len(p):
+        assert p[pos] == 0xFF
+        marker = p[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = (p[pos + 2] << 8) | p[pos + 3]
+        body = p[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                tq = body[off] & 15
+                nat = [0] * 64
+                for i in range(64):
+                    nat[zig[i]] = body[off + 1 + i]
+                quant[tq] = nat
+                off += 65
+        elif marker == 0xC0:
+            h = (body[1] << 8) | body[2]
+            w = (body[3] << 8) | body[4]
+            nc = body[5]
+            for c in range(nc):
+                comps.append((body[6 + 3 * c], body[8 + 3 * c]))
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17:off + 17 + nv])
+                table = {}
+                code, k = 0, 0
+                for lnn in range(1, 17):
+                    for _ in range(bits[lnn - 1]):
+                        table[(lnn, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                (hdc if tc_th >> 4 == 0 else hac)[tc_th & 15] = table
+                off += 17 + nv
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                idx = next(i for i, (q, _) in enumerate(comps) if q == cid)
+                scan.append((idx, tabs >> 4, tabs & 15))
+            raw = bytearray()
+            q = pos + 2 + ln
+            while q < len(p):
+                bb = p[q]
+                if bb == 0xFF:
+                    if q + 1 < len(p) and p[q + 1] == 0x00:
+                        raw.append(0xFF)
+                        q += 2
+                        continue
+                    break
+                raw.append(bb)
+                q += 1
+            data = bytes(raw)
+            break
+        pos += 2 + ln
+
+    bitpos = 0
+
+    def bit() -> int:
+        nonlocal bitpos
+        byte = data[bitpos >> 3]
+        v = (byte >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return v
+
+    def huff(table: dict) -> int:
+        code = 0
+        for lnn in range(1, 17):
+            code = (code << 1) | bit()
+            if (lnn, code) in table:
+                return table[(lnn, code)]
+        raise ValueError("bad huffman code")
+
+    def receive_extend(s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | bit()
+        return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    h8, w8 = (h + 7) & ~7, (w + 7) & ~7
+    n_mcu = (h8 // 8) * (w8 // 8)
+    coefs = [[[0] * 64 for _ in range(n_mcu)] for _ in comps]
+    pred = [0] * len(comps)
+    for m in range(n_mcu):
+        for ci, tdc, tac in scan:
+            row = coefs[ci][m]
+            s = huff(hdc[tdc])
+            pred[ci] += receive_extend(s) if s else 0
+            row[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = huff(hac[tac])
+                if rs == 0:
+                    break
+                run, s = rs >> 4, rs & 15
+                if s == 0:
+                    k += 16
+                    continue
+                k += run
+                row[k] = receive_extend(s)
+                k += 1
+
+    # basis matrix re-derived independently
+    B = [[0] * 64 for _ in range(64)]
+    for yy in range(8):
+        for xx in range(8):
+            for v in range(8):
+                for u in range(8):
+                    cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+                    cv = 1.0 / math.sqrt(2.0) if v == 0 else 1.0
+                    val = (cu * cv / 4.0
+                           * math.cos((2 * xx + 1) * u * math.pi / 16.0)
+                           * math.cos((2 * yy + 1) * v * math.pi / 16.0))
+                    B[yy * 8 + xx][v * 8 + u] = round(val * (1 << 20))
+
+    bx = w8 // 8
+    planes = []
+    for ci, (_, tq) in enumerate(comps):
+        qt = quant[tq]
+        plane = [[0] * w8 for _ in range(h8)]
+        for m in range(n_mcu):
+            deq = [0] * 64
+            for i in range(64):
+                deq[zig[i]] = coefs[ci][m][i] * qt[zig[i]]
+            my, mx = divmod(m, bx)
+            for pp in range(64):
+                acc = 0
+                Bp = B[pp]
+                for k in range(64):
+                    acc += Bp[k] * deq[k]
+                px = ((acc + (1 << 19)) >> 20) + 128
+                px = 0 if px < 0 else 255 if px > 255 else px
+                plane[my * 8 + pp // 8][mx * 8 + pp % 8] = px
+        planes.append(plane)
+
+    def rgb_at(xx: int, yy: int) -> tuple:
+        Y = planes[0][yy][xx]
+        cb = planes[1][yy][xx] - 128
+        cr = planes[2][yy][xx] - 128
+        r = Y + ((91881 * cr + 32768) >> 16)
+        g = Y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+        b = Y + ((116130 * cb + 32768) >> 16)
+        clip = (lambda t: 0 if t < 0 else 255 if t > 255 else t)
+        return clip(r), clip(g), clip(b)
+
+    sums = [0, 0, 0]
+    for yy in range(h):
+        for xx in range(w):
+            r, g, b = rgb_at(xx, yy)
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+    t = JpegDecodeStage.THUMB
+    thumb = 0
+    for yi in range(t):
+        for xi in range(t):
+            thumb += sum(rgb_at((xi * w) // t, (yi * h) // t))
+    return w, h, sums[0], sums[1], sums[2], thumb
+
+
+def ensure_jpeg_golden(n_docs: int) -> None:
+    _ensure_scalar_golden(JPEG_GOLDEN_PQ, n_docs, _jpeg_scalar_row,
+                          ("width", "height", "sum_r", "sum_g", "sum_b",
+                           "thumb_sum"))
+
+
 # ---------------------------------------------------------------------------
 # bigram-LM score golden (round 4: the CCNet/KenLM quality-scoring role)
 # ---------------------------------------------------------------------------

@@ -1,13 +1,16 @@
-"""Multimodal-column stages: opaque binary payloads (html/image/audio)
-processed by actor-pool map_batches with typed metadata outputs.
+"""Multimodal-column stages: opaque binary payloads (html/image/audio/
+video) processed by actor-pool map_batches with typed metadata outputs.
 
-The image/audio decoders themselves are STUBS (the sandbox has no
-imaging/audio libraries): `decode=strict` raises NotImplementedError the way
-the real stage would surface a missing codec, while the default
-deterministic fake derives metadata purely from the bytes so the Ray-side
-plumbing — schema, batch sizing for wide binary rows, actor signature,
-output layout — is real and tested end-to-end. Swapping in PIL/libsndfile
-is a one-method change.
+REAL decoders (no imaging/audio library needed, all scalar-twin
+goldened at the gate): WAV (RIFF PCM), BMP 24bpp, PNG (zlib inflate +
+5-filter scanline defilter, stages here), baseline JPEG (Huffman +
+integer IDCT, stages/jpeg.py), Y4M (YUV4MPEG2 demux).
+`ImageDecodeStub` sniffs those formats and decodes them genuinely; only
+unrecognized formats fall back to the deterministic fake (or raise in
+`strict` mode the way a missing codec would). The remaining stub-only
+formats are the patent-heavy compressed ones (MP3/H.264/...) — the
+Ray-side plumbing (schema, batch sizing for wide binary rows, actor
+signature, output layout) is identical and tested end-to-end either way.
 
 `extract_html_text` is NOT a stub: it really parses the html bytes with RE2
 kernels (strip tags, entity-free corpus) and is oracle-checked against
@@ -60,10 +63,23 @@ class ImageDecodeStub:
         self.codec = None  # real impl: PIL.Image loaded here, once per actor
 
     def _decode(self, payload: bytes) -> tuple[int, int, int]:
+        # REAL formats first (round 5): PNG / baseline JPEG / BMP payloads
+        # decode genuinely; only unknown formats hit the stub fallback
+        if payload[:8] == _PNG_SIG:
+            px = _parse_png(payload)
+            return px.shape[1], px.shape[0], px.shape[2]
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import parse_jpeg
+            px = parse_jpeg(payload)
+            return px.shape[1], px.shape[0], px.shape[2]
+        if payload[:2] == b"BM":
+            px = _parse_bmp(payload)
+            return px.shape[1], px.shape[0], px.shape[2]
         if self.strict:
             raise NotImplementedError(
-                "image decode requires an imaging library not present in "
-                "this environment; deterministic fake used by default")
+                "unrecognized image format; real decoders exist for "
+                "PNG/JPEG-baseline/BMP — others need an imaging library "
+                "not present in this environment")
         d = hashlib.sha256(payload).digest()
         return (64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 4)
 

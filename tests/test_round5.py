@@ -189,6 +189,58 @@ def test_png_rejects_garbage():
 
 
 # ---------------------------------------------------------------------------
+# H3 canonical inverse: full res-0..15 pin (VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+
+def _ulp_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """IEEE-754 ulp distance (monotone int mapping handles sign cross)."""
+    ai = np.asarray(a).view(np.int64)
+    bi = np.asarray(b).view(np.int64)
+    ai = np.where(ai < 0, np.int64(-(2**63) + 1) - ai - 1, ai)
+    bi = np.where(bi < 0, np.int64(-(2**63) + 1) - bi - 1, bi)
+    return np.abs(ai - bi)
+
+
+def test_h3_canonical_inverse_full_res_sweep():
+    """cell_to_latlng must re-encode to the input cell for EVERY
+    resolution 0..15 (the r4 test sampled 5 resolutions; this is the
+    full sweep the verdict asked for). The canonical path must verify
+    without the multi-frame fallback ever firing."""
+    from shapefile_rs_ray.functions import h3
+    rng = np.random.default_rng(23)
+    n = 300
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lng = rng.uniform(-180.0, 180.0, n)
+    for res in range(16):
+        cells = np.unique(h3.encode_vec(lat, lng, res))
+        clat, clng = h3.cell_to_latlng(cells)
+        re = h3.encode_vec(clat, clng, res)
+        assert np.array_equal(re, cells), f"res {res}"
+
+
+def test_h3_published_centers_ulp_bound():
+    """Measured, asserted deviation vs the published libh3 doc centers:
+    latitude bit-exact (0 ulp), longitude within 3 ulps. The lng
+    residual is pinned as platform-libm noise: the unprojection
+    replicates libh3's _hex2dToGeo + _geoAzDistanceRads op order
+    literally (sequential /sqrt7, posAngle adds, clamped asin/atan2
+    composition), lat — which shares every op except the final
+    sinlng/coslng/atan2 — agrees on all 64 bits, and round 4 ruled out
+    any single-constant ulp perturbation explaining both residuals."""
+    from shapefile_rs_ray.functions import h3
+    golden = [
+        (0x85283473fffffff, 37.34579337536848, -121.97637597255124),
+        (0x8928308280fffff, 37.77670234943567, -122.41845932318311),
+    ]
+    cells = np.array([g[0] for g in golden], np.int64)
+    lat, lng = h3.cell_to_latlng(cells)
+    glat = np.array([g[1] for g in golden])
+    glng = np.array([g[2] for g in golden])
+    assert _ulp_dist(lat, glat).max() == 0
+    assert _ulp_dist(lng, glng).max() <= 3
+
+
+# ---------------------------------------------------------------------------
 # WKB export (geo-interop surface)
 # ---------------------------------------------------------------------------
 
@@ -260,6 +312,83 @@ def test_wkb_parser_rejects_malformed():
     good = b"\x01\x01\x00\x00\x00" + b"\x00" * 16
     with pytest.raises(ValueError):
         parse_wkb(good + b"\xff")                          # trailing bytes
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline codec (real compressed-format decoder #2)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_constant_image_reconstructs_exactly():
+    """A constant-colour image has only DC energy: the full pipeline
+    (colour fwd -> DCT -> quant -> Huffman -> decode) must reproduce it
+    exactly (DC quantization of 8*(v-128)/16 is exact for even v-128)."""
+    from shapefile_rs_ray.stages.jpeg import encode_jpeg_rgb, parse_jpeg
+    img = np.full((16, 24, 3), 160, np.uint8)
+    out = parse_jpeg(encode_jpeg_rgb(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_jpeg_unit_quant_roundtrip_random(monkeypatch):
+    """With all-ones quantization tables, random images must round-trip
+    within the fixed-point envelope (float-DCT encode rounding + integer
+    IDCT): exercises DC prediction, ZRL, EOB, byte stuffing on dense
+    random coefficients."""
+    from shapefile_rs_ray.stages import jpeg
+    monkeypatch.setattr(jpeg, "QUANT_LUMA", np.ones(64, np.int64))
+    monkeypatch.setattr(jpeg, "QUANT_CHROMA", np.ones(64, np.int64))
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        payload = jpeg.encode_jpeg_rgb(img)
+        out = jpeg.parse_jpeg(payload)
+        y, cb, cr = jpeg.rgb_to_ycbcr_int(img)
+        ref = jpeg.ycbcr_to_rgb_int(y.astype(np.int64),
+                                    cb.astype(np.int64),
+                                    cr.astype(np.int64))
+        assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 3
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """At least one synthesized payload must contain a stuffed FF00 in
+    its entropy segment, and still decode (unstuffing exercised)."""
+    from shapefile_rs_ray.stages.jpeg import parse_jpeg, synth_jpeg_bytes
+    stuffed = 0
+    for d in range(40):
+        p = synth_jpeg_bytes(d)
+        sos = p.index(b"\xff\xda")
+        if b"\xff\x00" in p[sos:-2]:
+            stuffed += 1
+        parse_jpeg(p)
+    assert stuffed > 0
+
+
+def test_jpeg_scalar_twin_matches_stage():
+    from shapefile_rs_ray.pipelines.oracles import _jpeg_scalar_row
+    from shapefile_rs_ray.stages.jpeg import (JpegDecodeStage,
+                                              synth_jpeg_bytes)
+    stage = JpegDecodeStage()
+    ids = list(range(12)) + [777]
+    batch = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "jpg": pa.array([synth_jpeg_bytes(d) for d in ids], pa.binary())})
+    out = stage(batch).to_pydict()
+    for i, d in enumerate(ids):
+        exp = _jpeg_scalar_row(d)
+        got = (out["width"][i], out["height"][i], out["sum_r"][i],
+               out["sum_g"][i], out["sum_b"][i], out["thumb_sum"][i])
+        assert got == exp, d
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    from shapefile_rs_ray.stages.jpeg import parse_jpeg
+    with pytest.raises(ValueError):
+        parse_jpeg(b"not a jpeg")
+    # SOI + SOF2 (progressive) header must be rejected, not mis-decoded
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big")
+            + bytes([8, 0, 16, 0, 16, 1]) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="baseline"):
+        parse_jpeg(sof2)
 
 
 # ---------------------------------------------------------------------------
