@@ -291,8 +291,11 @@ def run_queries() -> tuple[dict, dict]:
                 "png": pa.array([synth_png_bytes(d) for d in ids],
                                 pa.binary())})
 
+        # the id column is tiny: repartition it to conc*4 blocks so the
+        # synth+decode stages actually fan out (the repl-20 read yields
+        # too few blocks to feed a 31-actor pool)
         ds = read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
-        return (ds.select_columns(["page_id"])
+        return (ds.select_columns(["page_id"]).repartition(conc * 4)
                 .map_batches(build, batch_format="pyarrow")
                 .map_batches(PngDecodeStage, batch_format="pyarrow",
                              concurrency=conc).count())
@@ -317,7 +320,7 @@ def run_queries() -> tuple[dict, dict]:
 
         ds = read_webpages(SF_DIR, repl=max(1, REPL_SMALL // 2),
                            with_html=False)
-        return (ds.select_columns(["page_id"])
+        return (ds.select_columns(["page_id"]).repartition(conc * 4)
                 .map_batches(build, batch_format="pyarrow")
                 .map_batches(JpegDecodeStage, batch_format="pyarrow",
                              concurrency=conc).count())

@@ -54,7 +54,11 @@ def read_webpages(sf_dir: str, repl: int = synth.REPL, with_html: bool = True):
     """
     ds = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
     fn = functools.partial(synth.webpage_batch, repl=repl)
-    batch = max(32, 32768 // max(repl, 1))
+    # ~4k pages per output block: small enough that a 5k-doc corpus at
+    # repl=20 still fans out to ~25 blocks (32k-row blocks measured 4-task
+    # serialization of every repl-20 consumer — tfidf/minhash/chunk dedup),
+    # large enough that per-block overhead stays negligible
+    batch = max(8, 4096 // max(repl, 1))
     ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=batch)
     if not with_html:
         ds = ds.select_columns(
