@@ -53,7 +53,7 @@ import numpy as np
 # from an older implementation must regenerate, not silently mix old
 # floats with new engine output (round-4 rewrote cell_to_latlng in place
 # and relied on /tmp being clean; this tag closes that hole).
-IMPL_TAG = "h3-r5-canonical-inverse-v1"
+IMPL_TAG = "h3-r5-canonical-inverse-v2"
 
 # ---------------------------------------------------------------- constants
 # public H3 faceijk.c constants (geo radians); geometrically validated
@@ -1188,8 +1188,10 @@ def _geo_az_distance_rads(lat1: float, lng1: float, az: float,
     if abs(lat2 + _M_PI_2) < _H3_EPSILON:
         return -_M_PI_2, 0.0
     sinlng = math.sin(az) * math.sin(distance) / math.cos(lat2)
+    # libh3 divides SEQUENTIALLY (/cos(lat1)/cos(lat2)), not by the
+    # product — (a/b)/c and a/(b*c) differ in the last ulp
     coslng = ((math.cos(distance) - math.sin(lat1) * math.sin(lat2))
-              / (math.cos(lat1) * math.cos(lat2)))
+              / math.cos(lat1) / math.cos(lat2))
     sinlng = min(1.0, max(-1.0, sinlng))
     coslng = min(1.0, max(-1.0, coslng))
     return lat2, _constrain_lng(lng1 + math.atan2(sinlng, coslng))
@@ -1214,7 +1216,10 @@ def _face_ijk_to_geo_exact(face: int, i: int, j: int, k: int,
     r = math.atan(r * RES0_U_GNOMONIC)
     if res % 2 == 1:
         theta = _pos_angle(theta + M_AP7_ROT_RADS)
-    az = _pos_angle(float(AZ0[face]) - _pos_angle(theta))
+    # libh3 subtracts the RAW theta (_posAngle only wraps the result):
+    # an inner _posAngle(theta) on a negative Class-II theta adds 2*pi
+    # before the subtraction, which is not exact in float64
+    az = _pos_angle(float(AZ0[face]) - theta)
     return _geo_az_distance_rads(lat1, lng1, az, r)
 
 
