@@ -440,6 +440,100 @@ def _gopher_quality(sf_dir: str):
     return gopher_quality(docs)
 
 
+def _url_canon(sf_dir: str):
+    """Canonical-URL dedup: each quad of page ids shares one base URL
+    served under deterministically-messy variants (scheme/host case,
+    :443 port, utm_*/gclid tracking params, scrambled param order,
+    fragments); the GENERIC canonicalizer (stages/urls.py) must
+    collapse them to (canon_url, n_pages, min_page). The oracle derives
+    the canonical form directly from the variant math — fully
+    independent of the engine's parser."""
+    from shapefile_rs_ray.functions import synth
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.urls import url_dedup
+
+    def messy(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["page_id"], np.int64)
+        q = ids // 4
+        h = q % synth.N_HOSTS
+        v = ids % 6
+        urls = []
+        for i, qq, hh, vv in zip(ids.tolist(), q.tolist(), h.tolist(),
+                                 v.tolist()):
+            base = f"https://h{hh}.example/p/{qq}"
+            if vv == 1:
+                u = f"HTTPS://H{hh}.EXAMPLE/p/{qq}"
+            elif vv == 2:
+                u = f"https://h{hh}.example:443/p/{qq}"
+            elif vv == 3:
+                u = base + f"?utm_source=feed&gclid=g{i}"
+            elif vv == 4:
+                u = base + f"?b={i % 7}&utm_campaign=x&a={i % 5}"
+            elif vv == 5:
+                u = base + f"#sec{i % 3}"
+            else:
+                u = base
+            urls.append(u)
+        return pa.table({"page_id": batch["page_id"],
+                         "url": pa.array(urls, pa.string())})
+
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id"])
+             .map_batches(messy, batch_format="pyarrow"))
+    return url_dedup(pages)
+
+
+def _blocklist_hosts(sf_dir: str):
+    """Domain-blocklist gate + per-host accounting: drop every page
+    whose host sits on the blocklist (h0, h9, h18, ... — every 9th
+    synthetic host), then count surviving pages per host via the
+    coarse-partition reduce (no per-distinct-key groupby)."""
+    from shapefile_rs_ray.functions import hashing, synth
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.urls import host_blocklist_filter
+
+    blocked = tuple(f"h{k}.example" for k in range(0, synth.N_HOSTS, 9))
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id", "url"]))
+    kept = host_blocklist_filter(pages, blocked_suffixes=blocked)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        got = pc.extract_regex(batch["url"], r"^https?://(?P<h>[^/]+)/")
+        host = np.asarray(pc.struct_field(got, "h"), dtype=str)
+        u, inv = np.unique(host, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({
+            "host": pa.array(u.tolist(), pa.string()),
+            "n_pages": pa.array(cnt, pa.int64()),
+            "__p": pa.array(hashing.crc32_str(u) % 61, pa.int64())})
+
+    def merge(part: pa.Table) -> pa.Table:
+        host = np.asarray(part["host"], dtype=str)
+        cnt = np.asarray(part["n_pages"], np.int64)
+        u, inv = np.unique(host, return_inverse=True)
+        return pa.table({
+            "host": pa.array(u.tolist(), pa.string()),
+            "n_pages": pa.array(np.bincount(inv, weights=cnt)
+                                .astype(np.int64), pa.int64())})
+
+    return (kept.map_batches(partial, batch_format="pyarrow")
+            .groupby("__p").map_groups(merge, batch_format="pyarrow"))
+
+
+def _substring_dedup(sf_dir: str):
+    """Exact substring dedup (the Lee-et-al suffix-array role): every
+    40-char substring occurring >= 2 times corpus-wide is duplicated
+    text; merged maximal intervals per doc -> (doc_id, n_dup_intervals,
+    dup_chars). Two ints-only prime-modulus shuffles; the oracle groups
+    by the SUBSTRING ITSELF (no hashing), so a rolling-hash collision
+    in the engine would fail the gate."""
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.dedup import substring_dedup
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return substring_dedup(docs, L=40)
+
+
 def _chunk_dedup(sf_dir: str):
     """C4-style cross-document chunk dedup accounting: global
     first-occurrence wins over 8-token chunks, (doc_id, n_chunks,
@@ -2075,6 +2169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # surface; the remainder (all driver-green in earlier rounds) follows.
     return {
         # -- NEW operators round 5 (must sit in the gate window) --
+        "substring_dedup": _substring_dedup,
+        "url_canon": _url_canon,
+        "blocklist_hosts": _blocklist_hosts,
         "png_decode": _png_decode,
         "jpeg_decode": _jpeg_decode,
         "wkb_export": _wkb_export,
@@ -2517,6 +2614,61 @@ SELECT d.doc_id,
                   AND di.max_word_cnt * 5 > a.n_words
                  THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
 FROM d LEFT JOIN a USING (doc_id) LEFT JOIN di USING (doc_id)""",
+        "url_canon": f"""
+WITH ids AS (SELECT doc_id * {synth.REPL} + r AS page_id
+             FROM documents
+             CROSS JOIN (SELECT CAST(range AS BIGINT) AS r
+                         FROM range(0, {synth.REPL}))),
+c AS (SELECT page_id,
+             'https://h' || CAST((page_id // 4) % {synth.N_HOSTS}
+                                 AS VARCHAR)
+              || '.example/p/' || CAST(page_id // 4 AS VARCHAR)
+              || CASE WHEN page_id % 6 = 4
+                 THEN '?a=' || CAST(page_id % 5 AS VARCHAR)
+                      || '&b=' || CAST(page_id % 7 AS VARCHAR)
+                 ELSE '' END AS canon_url
+      FROM ids)
+SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       MIN(page_id) AS min_page
+FROM c GROUP BY canon_url""",
+        "blocklist_hosts": f"""
+WITH ids AS (SELECT doc_id * {synth.REPL} + r AS page_id
+             FROM documents
+             CROSS JOIN (SELECT CAST(range AS BIGINT) AS r
+                         FROM range(0, {synth.REPL})))
+SELECT 'h' || CAST(page_id % {synth.N_HOSTS} AS VARCHAR)
+       || '.example' AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM ids WHERE (page_id % {synth.N_HOSTS}) % 9 <> 0
+GROUP BY host""",
+        "substring_dedup": """
+WITH p AS (SELECT doc_id, text,
+                  unnest(generate_series(1, length(text) - 39)) AS pos
+           FROM documents),
+s AS (SELECT doc_id, pos, substr(text, pos, 40) AS gram FROM p),
+dup AS (SELECT gram FROM s GROUP BY gram HAVING COUNT(*) >= 2),
+m AS (SELECT s.doc_id, s.pos, s.pos + 40 AS e
+      FROM s JOIN dup USING (gram)),
+f AS (SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) THEN 1 ELSE 0 END AS isl
+      FROM m),
+i AS (SELECT doc_id, pos, e,
+             SUM(isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl_id
+      FROM f),
+pi AS (SELECT doc_id, isl_id, MIN(pos) AS s0, MAX(e) AS e0
+       FROM i GROUP BY 1, 2),
+a AS (SELECT doc_id, COUNT(*) AS n_dup_intervals,
+             SUM(e0 - s0) AS dup_chars
+      FROM pi GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_dup_intervals, 0) AS BIGINT) AS n_dup_intervals,
+       CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars
+FROM documents d LEFT JOIN a USING (doc_id)""",
         "chunk_dedup": """
 WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
            FROM documents),

@@ -1046,3 +1046,147 @@ def jaccard_similarity_join(pages, *, id_col: str = "page_id",
             "jac": batch["jac"]})
 
     return confirmed.map_batches(rep_pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (the suffix-array / "Deduplicating Training Data
+# Makes Language Models Better" role)
+# ---------------------------------------------------------------------------
+
+_SUB_BASE = np.uint64(1099511628211)   # FNV-1a 64-bit prime, odd
+
+
+def _rolling_hashes(texts: list[str], L: int
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All length-`L` codepoint-window polynomial hashes of a batch of
+    docs: returns (hash uint64, owner row index, pos within doc) for
+    every window fully inside one doc.  One utf-32 decode of the
+    concatenated batch, then L shifted vector multiply-adds (mod 2^64
+    by uint64 wraparound) — no per-window Python.  Equal substrings
+    hash equal by construction; distinct substrings collide with
+    probability ~2^-64 per pair (the documented false-duplicate rate;
+    the oracle groups by the substring itself, so a collision would
+    surface as a gate mismatch — never observed)."""
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    starts = np.cumsum(lens) - lens
+    n = len(cp)
+    if n < L:
+        z = np.empty(0, np.int64)
+        return np.empty(0, np.uint64), z, z
+    nh = n - L + 1
+    h = np.zeros(nh, np.uint64)
+    c = cp.astype(np.uint64)
+    for j in range(L):
+        h = h * _SUB_BASE + c[j:nh + j]
+    f = np.arange(nh, dtype=np.int64)
+    owner = np.searchsorted(starts, f, side="right") - 1
+    pos = f - starts[owner]
+    valid = pos + L <= lens[owner]
+    return h[valid], owner[valid], pos[valid]
+
+
+def substring_dedup(docs, *, id_col: str = "doc_id",
+                    text_col: str = "text", L: int = 40,
+                    parts: int = PAIR_PARTS,
+                    dparts: int = _CHUNK_DPARTS):
+    """Exact duplicated-substring accounting, the distributed form of
+    the suffix-array dedup in "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2021): a substring of >= `L`
+    characters that occurs >= 2 times anywhere in the corpus (any doc,
+    any offset, self-repeats included) is duplicated text.  Every
+    length-L window whose content occurs elsewhere is marked, marked
+    windows are merged into maximal per-doc intervals (adjacent or
+    overlapping windows coalesce), and the result is one row per doc:
+    (doc_id, n_dup_intervals, dup_chars).
+
+    Distributed shape (two coarse prime-modulus shuffles, ints only —
+    text never leaves the scan stage):
+      1. map: rolling 64-bit polynomial hash of every window ->
+         (h, doc, pos, __p = h % parts);  marker rows (doc, -1) ride
+         the same scan so docs with no duplicate still report zeros.
+      2. groupby __p: sort by h, keep positions of hashes seen >= 2
+         times -> (doc, pos, __dp = doc % dparts).
+      3. groupby __dp: per-doc island merge, fully vectorized — rows
+         lexsorted by (doc-rank, pos), per-doc running max of window
+         ends via one cumulative max over rank*T + end (T bounds the
+         doc length, ranks are partition-local so the product stays
+         far from int64), a window opens a new island iff its start
+         exceeds every earlier end.
+
+    At 10^12 docs the hash stream is O(total chars) rows of 4 int64s:
+    large but shuffle-friendly (sorted ints), and the per-partition
+    state is one np.lexsort — no driver materialization anywhere."""
+
+    def markers(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        return pa.table({
+            "doc": pa.array(ids, pa.int64()),
+            "pos": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+            "__dp": pa.array(ids % dparts, pa.int64())})
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        texts = ["" if t is None else t
+                 for t in batch[text_col].to_pylist()]
+        h, owner, pos = _rolling_hashes(texts, L)
+        return pa.table({
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "doc": pa.array(ids[owner], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "__p": pa.array(h.view(np.int64) % parts, pa.int64())})
+
+    def dup_positions(part: pa.Table) -> pa.Table:
+        h = np.asarray(part["h"], np.int64)
+        doc = np.asarray(part["doc"], np.int64)
+        pos = np.asarray(part["pos"], np.int64)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        same_prev = np.zeros(len(hs), bool)
+        same_prev[1:] = hs[1:] == hs[:-1]
+        dup_sorted = same_prev.copy()
+        dup_sorted[:-1] |= same_prev[1:]
+        keep = order[dup_sorted]
+        return pa.table({
+            "doc": pa.array(doc[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int64()),
+            "__dp": pa.array(doc[keep] % dparts, pa.int64())})
+
+    def per_doc(part: pa.Table) -> pa.Table:
+        doc = np.asarray(part["doc"], np.int64)
+        pos = np.asarray(part["pos"], np.int64)
+        u, rank = np.unique(doc, return_inverse=True)
+        m = pos >= 0
+        n_int = np.zeros(len(u), np.int64)
+        n_chars = np.zeros(len(u), np.int64)
+        if m.any():
+            r, p = rank[m], pos[m]
+            o = np.lexsort((p, r))
+            r, p = r[o], p[o]
+            e = p + L
+            T = int(e.max()) + 1
+            g_end = np.maximum.accumulate(r * T + e)
+            new_isl = np.ones(len(r), bool)
+            new_isl[1:] = (r[1:] * T + p[1:]) > g_end[:-1]
+            isl = np.cumsum(new_isl) - 1
+            isl_start = p[new_isl]
+            # ends ascend within an island (pos sorted), so the last
+            # row of each island carries its maximal end
+            last = np.ones(len(r), bool)
+            last[:-1] = new_isl[1:]
+            isl_end = e[last]
+            isl_doc = r[new_isl]
+            np.add.at(n_int, isl_doc, 1)
+            np.add.at(n_chars, isl_doc, isl_end - isl_start)
+        return pa.table({
+            "doc_id": pa.array(u, pa.int64()),
+            "n_dup_intervals": pa.array(n_int, pa.int64()),
+            "dup_chars": pa.array(n_chars, pa.int64())})
+
+    marked = (docs.map_batches(windows, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(dup_positions, batch_format="pyarrow"))
+    mk = docs.map_batches(markers, batch_format="pyarrow")
+    return (mk.union(marked).groupby("__dp")
+            .map_groups(per_doc, batch_format="pyarrow"))

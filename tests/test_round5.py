@@ -529,3 +529,81 @@ def test_list_matrix_matches_stack():
     np.testing.assert_array_equal(got, M)
     empty = pa.array([], pa.list_(pa.int64()))
     assert _list_matrix(empty, np.int64).shape[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (suffix-array role)
+# ---------------------------------------------------------------------------
+
+
+def _brute_substring_dedup(docs, L):
+    from collections import Counter
+    cnt = Counter()
+    for t in docs:
+        for i in range(len(t) - L + 1):
+            cnt[t[i:i + L]] += 1
+    out = {}
+    for di, t in enumerate(docs):
+        ivs = []
+        for p in range(len(t) - L + 1):
+            if cnt[t[p:p + L]] >= 2:
+                if ivs and p <= ivs[-1][1]:
+                    ivs[-1][1] = max(ivs[-1][1], p + L)
+                else:
+                    ivs.append([p, p + L])
+        out[di] = (len(ivs), sum(b - a for a, b in ivs))
+    return out
+
+
+def test_rolling_hashes_equal_substrings_collide_only_on_equality():
+    """Equal windows hash equal; a random corpus has no spurious hash
+    duplicates (collision rate ~2^-64)."""
+    from shapefile_rs_ray.stages.dedup import _rolling_hashes
+    rng = np.random.default_rng(3)
+    docs = ["".join(chr(int(c)) for c in rng.integers(97, 123, 200))
+            for _ in range(20)]
+    docs[7] = docs[3]                       # one exact clone
+    h, owner, pos = _rolling_hashes(docs, 25)
+    subs = {}
+    for hv, ow, p in zip(h.tolist(), owner.tolist(), pos.tolist()):
+        s = docs[ow][p:p + 25]
+        assert subs.setdefault(hv, s) == s   # hash -> unique substring
+    # clone windows hashed equal
+    m3 = h[owner == 3]
+    m7 = h[owner == 7]
+    assert np.array_equal(m3, m7)
+
+
+def test_substring_dedup_matches_brute_force(ray_session):
+    """End-to-end Dataset operator vs the O(n^2) scalar twin on a
+    corpus with planted boilerplate, self-repeats, unicode and
+    shorter-than-L docs."""
+    import ray.data
+    from shapefile_rs_ray.stages.dedup import substring_dedup
+    rng = np.random.default_rng(7)
+
+    def rand_text(n):
+        return "".join(chr(int(c)) for c in rng.integers(97, 123, n))
+
+    boiler = rand_text(120)
+    docs = []
+    for i in range(60):
+        t = rand_text(int(rng.integers(10, 300)))
+        if i % 3 == 0:
+            cut = int(rng.integers(0, len(t)))
+            t = t[:cut] + boiler + t[cut:]
+        if i % 7 == 0:
+            t = t + t[:60]
+        if i % 11 == 0:
+            t = "ü世界" + t       # multi-byte codepoints
+        docs.append(t)
+    L = 40
+    want = _brute_substring_dedup(docs, L)
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    ).repartition(7)
+    got = substring_dedup(ds, L=L).to_pandas().set_index("doc_id")
+    assert len(got) == len(docs)
+    for di, (ni, nc) in want.items():
+        row = got.loc[di]
+        assert (int(row.n_dup_intervals), int(row.dup_chars)) == (ni, nc), di
