@@ -276,6 +276,15 @@ def run_queries() -> tuple[dict, dict]:
 
     timed("chunk_dedup", q_chunk_dedup)
 
+    def q_substring_dedup():
+        # round-5 suffix-array-role dedup: rolling-hash every 40-char
+        # window of 100k pages, two ints-only shuffles, interval merge
+        from shapefile_rs_ray.stages.dedup import substring_dedup
+        ds = read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
+        return substring_dedup(ds, id_col="page_id", L=40).count()
+
+    timed("substring_dedup", q_substring_dedup)
+
     def q_png_decode():
         # round-5 REAL compressed-image path: synthesize + fully decode
         # (zlib inflate + 5-filter defilter + channel/thumbnail stats)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -88,6 +89,7 @@ class PartitionWriter:
                 h.update(b"\x01")
             text_sha = h.hexdigest()
 
+        t0 = time.monotonic()
         tmp = os.path.join(pdir, ".data.parquet.tmp")
         pq.write_table(group, tmp)
         os.replace(tmp, os.path.join(pdir, "data.parquet"))
@@ -95,6 +97,10 @@ class PartitionWriter:
             "part": part, "rows": group.num_rows,
             "key_min": int(keys.min()), "key_max": int(keys.max()),
             "text_sha256": text_sha, "status": "done",
+            # per-partition metrics (rows above, plus volume + timing;
+            # read_manifests() aggregates these into the job report)
+            "bytes": int(group.nbytes),
+            "write_s": round(time.monotonic() - t0, 4),
         }
         mtmp = os.path.join(pdir, ".manifest.json.tmp")
         with open(mtmp, "w") as f:
@@ -147,3 +153,19 @@ def read_manifests(out_dir: str) -> list[dict]:
                 with open(os.path.join(d, f)) as fh:
                     out.append(json.load(fh))
     return out
+
+
+def job_metrics(out_dir: str) -> dict:
+    """Aggregate the per-partition manifests into one job report:
+    partitions, rows, bytes, write seconds, key coverage — the
+    driver-side summary for a resumable run (cheap: reads only the
+    _done marker files, never the data)."""
+    ms = read_manifests(out_dir)
+    return {
+        "partitions": len(ms),
+        "rows": sum(m.get("rows", 0) for m in ms),
+        "bytes": sum(m.get("bytes", 0) for m in ms),
+        "write_s": round(sum(m.get("write_s", 0.0) for m in ms), 4),
+        "key_min": min((m["key_min"] for m in ms), default=None),
+        "key_max": max((m["key_max"] for m in ms), default=None),
+    }

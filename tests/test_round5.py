@@ -607,3 +607,21 @@ def test_substring_dedup_matches_brute_force(ray_session):
     for di, (ni, nc) in want.items():
         row = got.loc[di]
         assert (int(row.n_dup_intervals), int(row.dup_chars)) == (ni, nc), di
+
+
+def test_job_metrics_aggregates_manifests(ray_session, tmp_path):
+    """write_partitioned manifests now carry per-partition metrics
+    (bytes, write_s); job_metrics sums them into the job report."""
+    import ray.data
+    from shapefile_rs_ray.state.lineage import job_metrics, \
+        write_partitioned
+    ds = ray.data.from_items(
+        [{"page_id": i, "url": f"u{i}", "text": f"t{i}"}
+         for i in range(100)])
+    write_partitioned(ds, str(tmp_path), partition_size=32).materialize()
+    m = job_metrics(str(tmp_path))
+    assert m["partitions"] == 4
+    assert m["rows"] == 100
+    assert m["bytes"] > 0
+    assert m["write_s"] >= 0
+    assert (m["key_min"], m["key_max"]) == (0, 99)
