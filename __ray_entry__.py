@@ -499,6 +499,7 @@ def _blocklist_hosts(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        from shapefile_rs_ray.stages.urls import URL_PARTS
         got = pc.extract_regex(batch["url"], r"^https?://(?P<h>[^/]+)/")
         host = np.asarray(pc.struct_field(got, "h"), dtype=str)
         u, inv = np.unique(host, return_inverse=True)
@@ -506,7 +507,8 @@ def _blocklist_hosts(sf_dir: str):
         return pa.table({
             "host": pa.array(u.tolist(), pa.string()),
             "n_pages": pa.array(cnt, pa.int64()),
-            "__p": pa.array(hashing.crc32_str(u) % 61, pa.int64())})
+            "__p": pa.array(hashing.crc32_str(u) % URL_PARTS,
+                            pa.int64())})
 
     def merge(part: pa.Table) -> pa.Table:
         host = np.asarray(part["host"], dtype=str)
@@ -2230,12 +2232,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": _tpch_q3,
         "asof_join": _asof_join,
         "session_windows": _session_windows,
+        # ---- end of the 50-entry driver gate window ----
+        # everything below is driver-green from earlier rounds and
+        # UNCHANGED this round (top_events/exact_dedup/pip_join rotated
+        # out to make room for the three round-5 additions)
         "top_events": _top_events,
         "exact_dedup": _exact_dedup,
         "pip_join": _pip_join,
-        # ---- end of the 50-entry driver gate window ----
-        # everything below is driver-green from earlier rounds and
-        # UNCHANGED this round
         "decode_lakes": _decode_lakes,
         "audio_frames": _audio_frames,
         "image_meta": _image_meta,

@@ -44,21 +44,31 @@ def read_documents(sf_dir: str, columns=None, num_blocks: int | None = None):
     return ds.materialize()
 
 
+@functools.lru_cache(maxsize=16)
+def _doc_count(sf_dir: str) -> int:
+    """Row count from the parquet FOOTER (no data read, cached)."""
+    import pyarrow.parquet as pq
+    return pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
 def read_webpages(sf_dir: str, repl: int = synth.REPL, with_html: bool = True):
     """documents.parquet -> streaming web-page Dataset (repl pages/doc).
 
-    The synthesis batch size scales inversely with the expansion factor so
-    output blocks stay ~32k rows regardless of `repl` — a fixed input batch
-    would emit multi-hundred-MB blocks AND collapse the stage to a handful
-    of tasks (documents is small), serializing the whole pipeline.
+    Synthesis batch sizing balances two measured failure modes:
+    - blocks over ~32k pages serialize downstream fused stages into a
+      handful of tasks AND regress nothing (big blocks are cheapest per
+      row) — but a SMALL corpus x small repl then collapses to <=4
+      blocks (measured 2x on the repl-20 consumers);
+    - blocks under ~8k pages at high repl regress the heavy consumers
+      ~2x (bigram_counts 2.2 s -> 5.4 s at 4k-row blocks, measured).
+    So: at most 32k pages per block, and at least ~16 blocks for the
+    corpus (footer row count, no data read).
     """
     ds = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
     fn = functools.partial(synth.webpage_batch, repl=repl)
-    # ~4k pages per output block: small enough that a 5k-doc corpus at
-    # repl=20 still fans out to ~25 blocks (32k-row blocks measured 4-task
-    # serialization of every repl-20 consumer — tfidf/minhash/chunk dedup),
-    # large enough that per-block overhead stays negligible
-    batch = max(8, 4096 // max(repl, 1))
+    batch = max(8, min(32768 // max(repl, 1),
+                       -(-_doc_count(sf_dir) // 16)))
     ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=batch)
     if not with_html:
         ds = ds.select_columns(

@@ -1102,52 +1102,58 @@ def substring_dedup(docs, *, id_col: str = "doc_id",
     (doc_id, n_dup_intervals, dup_chars).
 
     Distributed shape (two coarse prime-modulus shuffles, ints only —
-    text never leaves the scan stage):
+    text never leaves the scan stage, and the input is scanned ONCE):
       1. map: rolling 64-bit polynomial hash of every window ->
-         (h, doc, pos, __p = h % parts);  marker rows (doc, -1) ride
-         the same scan so docs with no duplicate still report zeros.
+         (h, doc, pos, __p = h % parts); one marker row per doc
+         (pos = -1, keyed doc % parts) rides the SAME scan/table so
+         docs with no duplicate still report zeros without a second
+         upstream execution.
       2. groupby __p: sort by h, keep positions of hashes seen >= 2
-         times -> (doc, pos, __dp = doc % dparts).
+         times; marker rows pass straight through ->
+         (doc, pos, __dp = doc % dparts).
       3. groupby __dp: per-doc island merge, fully vectorized — rows
-         lexsorted by (doc-rank, pos), per-doc running max of window
-         ends via one cumulative max over rank*T + end (T bounds the
-         doc length, ranks are partition-local so the product stays
-         far from int64), a window opens a new island iff its start
-         exceeds every earlier end.
+         lexsorted by (doc-rank, pos); all intervals have equal length
+         L, so window ends are monotone within a doc and the running
+         max of earlier ends is simply the previous row's end: a
+         window opens a new island iff the doc changes or its start
+         exceeds the previous end (overflow-free — no rank*T
+         encoding).
 
     At 10^12 docs the hash stream is O(total chars) rows of 4 int64s:
     large but shuffle-friendly (sorted ints), and the per-partition
     state is one np.lexsort — no driver materialization anywhere."""
-
-    def markers(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col], np.int64)
-        return pa.table({
-            "doc": pa.array(ids, pa.int64()),
-            "pos": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
-            "__dp": pa.array(ids % dparts, pa.int64())})
 
     def windows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col], np.int64)
         texts = ["" if t is None else t
                  for t in batch[text_col].to_pylist()]
         h, owner, pos = _rolling_hashes(texts, L)
+        hi = h.view(np.int64)
         return pa.table({
-            "h": pa.array(h.view(np.int64), pa.int64()),
-            "doc": pa.array(ids[owner], pa.int64()),
-            "pos": pa.array(pos, pa.int64()),
-            "__p": pa.array(h.view(np.int64) % parts, pa.int64())})
+            "h": pa.array(np.concatenate([hi, np.zeros(len(ids),
+                                                       np.int64)]),
+                          pa.int64()),
+            "doc": pa.array(np.concatenate([ids[owner], ids]),
+                            pa.int64()),
+            "pos": pa.array(np.concatenate(
+                [pos, np.full(len(ids), -1, np.int64)]), pa.int64()),
+            "__p": pa.array(np.concatenate([hi % parts, ids % parts]),
+                            pa.int64())})
 
     def dup_positions(part: pa.Table) -> pa.Table:
         h = np.asarray(part["h"], np.int64)
         doc = np.asarray(part["doc"], np.int64)
         pos = np.asarray(part["pos"], np.int64)
-        order = np.argsort(h, kind="stable")
-        hs = h[order]
+        real = pos >= 0
+        # markers (pos == -1) bypass the count; windows sort by hash
+        w = np.nonzero(real)[0]
+        hs_order = w[np.argsort(h[w], kind="stable")]
+        hs = h[hs_order]
         same_prev = np.zeros(len(hs), bool)
         same_prev[1:] = hs[1:] == hs[:-1]
         dup_sorted = same_prev.copy()
         dup_sorted[:-1] |= same_prev[1:]
-        keep = order[dup_sorted]
+        keep = np.concatenate([hs_order[dup_sorted], np.nonzero(~real)[0]])
         return pa.table({
             "doc": pa.array(doc[keep], pa.int64()),
             "pos": pa.array(pos[keep], pa.int64()),
@@ -1165,28 +1171,23 @@ def substring_dedup(docs, *, id_col: str = "doc_id",
             o = np.lexsort((p, r))
             r, p = r[o], p[o]
             e = p + L
-            T = int(e.max()) + 1
-            g_end = np.maximum.accumulate(r * T + e)
             new_isl = np.ones(len(r), bool)
-            new_isl[1:] = (r[1:] * T + p[1:]) > g_end[:-1]
-            isl = np.cumsum(new_isl) - 1
-            isl_start = p[new_isl]
-            # ends ascend within an island (pos sorted), so the last
-            # row of each island carries its maximal end
+            # equal-length intervals: within a doc, e ascends with p,
+            # so the previous row's end IS the running max of all
+            # earlier ends — no encoding, no overflow
+            new_isl[1:] = (r[1:] != r[:-1]) | (p[1:] > e[:-1])
             last = np.ones(len(r), bool)
             last[:-1] = new_isl[1:]
-            isl_end = e[last]
             isl_doc = r[new_isl]
             np.add.at(n_int, isl_doc, 1)
-            np.add.at(n_chars, isl_doc, isl_end - isl_start)
+            np.add.at(n_chars, isl_doc, e[last] - p[new_isl])
         return pa.table({
-            "doc_id": pa.array(u, pa.int64()),
+            id_col: pa.array(u, pa.int64()),
             "n_dup_intervals": pa.array(n_int, pa.int64()),
             "dup_chars": pa.array(n_chars, pa.int64())})
 
-    marked = (docs.map_batches(windows, batch_format="pyarrow")
-              .groupby("__p")
-              .map_groups(dup_positions, batch_format="pyarrow"))
-    mk = docs.map_batches(markers, batch_format="pyarrow")
-    return (mk.union(marked).groupby("__dp")
+    return (docs.map_batches(windows, batch_format="pyarrow")
+            .groupby("__p")
+            .map_groups(dup_positions, batch_format="pyarrow")
+            .groupby("__dp")
             .map_groups(per_doc, batch_format="pyarrow"))

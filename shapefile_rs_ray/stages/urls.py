@@ -71,37 +71,42 @@ def canonicalize_batch(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
     - fragment dropped;
     - tracking params (utm_*, gclid, fbclid, msclkid, ref) dropped;
     - remaining query params sorted bytewise;
-    rows that don't parse as scheme://authority... pass through
-    unchanged (the conservative choice — never destroy an unknown
-    shape)."""
+    rows that don't parse as scheme://authority... (nulls included)
+    pass through unchanged (the conservative choice — never destroy an
+    unknown shape).  Assembly is vectorized (np.char kernels over the
+    whole batch); only the rare default-port rows pay a per-row
+    slice."""
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
     got = pc.extract_regex(urls, _URL_RE)
-    ok = pc.is_valid(got)
+    ok = np.asarray(pc.fill_null(pc.is_valid(got), False))
     scheme = pc.utf8_lower(pc.struct_field(got, "scheme"))
     auth = pc.utf8_lower(pc.struct_field(got, "auth"))
     path = pc.struct_field(got, "path")
     query = pc.struct_field(got, "query")
 
-    # default-port strip (the port is digits after the LAST ':')
+    # default-port strip: the :443/:80 rows are rare — only they pay a
+    # python slice; everything else stays in numpy
     a = np.asarray(pc.fill_null(auth, ""), dtype=str)
     s = np.asarray(pc.fill_null(scheme, ""), dtype=str)
     https443 = (s == "https") & np.char.endswith(a, ":443")
     http80 = (s == "http") & np.char.endswith(a, ":80")
-    host = [h[:-4] if h4 else (h[:-3] if h8 else h)
-            for h, h4, h8 in zip(a.tolist(), https443.tolist(),
-                                 http80.tolist())]
+    porty = np.nonzero(https443 | http80)[0]
+    if porty.size:
+        a = a.astype(object)
+        for i in porty.tolist():
+            a[i] = a[i][:-4] if https443[i] else a[i][:-3]
+        a = a.astype(str)
 
-    p = ["/" if v in (None, "") else v
-         for v in pc.fill_null(path, "").to_pylist()]
-    q = _canon_params(query)
+    p = np.asarray(pc.fill_null(path, ""), dtype=str)
+    p = np.where(p == "", "/", p)
+    q = np.asarray(_canon_params(query), dtype=str)
+    qpref = np.where(q == "", "", np.char.add("?", q))
 
-    canon = [f"{sc}://{ho}{pa_}" + (f"?{qu}" if qu else "")
-             for sc, ho, pa_, qu in zip(s.tolist(), host, p, q)]
-    raw = urls.to_pylist()
-    okl = ok.to_pylist()
-    return pa.array([c if o else (r if r is not None else "")
-                     for c, r, o in zip(canon, raw, okl)], pa.string())
+    canon = np.char.add(np.char.add(np.char.add(
+        np.char.add(s, "://"), a), p), qpref)
+    out = pa.array(canon.tolist(), pa.string())
+    return pc.if_else(pa.array(ok), out, urls)
 
 
 def canonicalize_urls(pages, *, url_col: str = "url",
