@@ -440,6 +440,68 @@ def _gopher_quality(sf_dir: str):
     return gopher_quality(docs)
 
 
+def _doc_rank(sf_dir: str):
+    """Integer fixed-point PageRank over the synthetic doc link graph:
+    each doc's pages r=0..repl-1 link to ((src*31 + r*17 + 7) % n_docs),
+    except the first 5 pages which link to hub doc (src % 97) — a
+    skewed in-degree distribution so ranks genuinely separate (a
+    uniform graph converges to uniform rank and oracles nothing).
+    3 rounds of the deterministic int64 recurrence; the oracle replays
+    the rounds in SQL with BIGINT floor division — bit-identical at
+    any parallelism."""
+    from shapefile_rs_ray.functions import synth
+    from shapefile_rs_ray.sources.webpages import (_doc_count,
+                                                   read_documents,
+                                                   read_webpages)
+    from shapefile_rs_ray.stages.graph import CC_PARTS, pagerank
+
+    n = _doc_count(sf_dir)
+    repl = synth.REPL
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["page_id"], np.int64)
+        src = ids // repl
+        r = ids % repl
+        dst = np.where(r < 5, src % 97,
+                       (src * 31 + r * 17 + 7) % n)
+        key = src * n + dst          # n_docs <= ~1e9 packs into int64
+        u, inv = np.unique(key, return_inverse=True)
+        w = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "src": pa.array(u // n, pa.int64()),
+            "dst": pa.array(u % n, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+            "__p": pa.array((u // n) % CC_PARTS, pa.int64())})
+
+    def edge_reduce(part: pa.Table) -> pa.Table:
+        src = np.asarray(part["src"], np.int64)
+        dst = np.asarray(part["dst"], np.int64)
+        w = np.asarray(part["w"], np.int64)
+        key = src * n + dst
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "src": pa.array(u // n, pa.int64()),
+            "dst": pa.array(u % n, pa.int64()),
+            "w": pa.array(np.bincount(inv, weights=w)
+                          .astype(np.int64), pa.int64())})
+
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id"]))
+    edges = (pages.map_batches(edge_partial, batch_format="pyarrow")
+             .groupby("__p").map_groups(edge_reduce,
+                                        batch_format="pyarrow"))
+    nodes = read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        lambda b: pa.table({"node": b["doc_id"]}),
+        batch_format="pyarrow")
+    # parts/n_blocks are pure partitioning knobs (results are order-free
+    # integer sums — bit-identical at any setting); small values keep
+    # the per-round fixed overhead low at gate scale
+    s = pagerank(edges, nodes, rounds=3, parts=61, n_blocks=8)
+    return s.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "rank": b["s"]}),
+        batch_format="pyarrow")
+
+
 def _url_canon(sf_dir: str):
     """Canonical-URL dedup: each quad of page ids shares one base URL
     served under deterministically-messy variants (scheme/host case,
@@ -2174,6 +2236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _substring_dedup,
         "url_canon": _url_canon,
         "blocklist_hosts": _blocklist_hosts,
+        "doc_rank": _doc_rank,
         "png_decode": _png_decode,
         "jpeg_decode": _jpeg_decode,
         "wkb_export": _wkb_export,
@@ -2231,11 +2294,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": _tpch_q5,
         "tpch_q3": _tpch_q3,
         "asof_join": _asof_join,
-        "session_windows": _session_windows,
         # ---- end of the 50-entry driver gate window ----
         # everything below is driver-green from earlier rounds and
-        # UNCHANGED this round (top_events/exact_dedup/pip_join rotated
-        # out to make room for the three round-5 additions)
+        # UNCHANGED this round (session_windows/top_events/exact_dedup/
+        # pip_join rotated out to make room for the four round-5
+        # additions)
+        "session_windows": _session_windows,
         "top_events": _top_events,
         "exact_dedup": _exact_dedup,
         "pip_join": _pip_join,
@@ -2294,6 +2358,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
+
+def _doc_rank_sql(rounds: int = 3) -> str:
+    """Chained-CTE replay of the integer PageRank rounds (the kmeans
+    round-replay pattern): BIGINT floor `//` everywhere, SUM goes
+    HUGEINT in DuckDB and floors back exactly."""
+    from shapefile_rs_ray.functions import synth
+    from shapefile_rs_ray.stages.graph import PR_BASE, PR_SCALE
+    repl = synth.REPL
+    ctes = [f"""nn AS (SELECT COUNT(*) AS n FROM documents),
+p AS (SELECT doc_id * {repl} + r AS page_id FROM documents
+      CROSS JOIN (SELECT CAST(range AS BIGINT) AS r
+                  FROM range(0, {repl}))),
+l AS (SELECT (page_id // {repl}) AS src,
+             CASE WHEN page_id % {repl} < 5
+                  THEN (page_id // {repl}) % 97
+                  ELSE ((page_id // {repl}) * 31
+                        + (page_id % {repl}) * 17 + 7) % nn.n
+             END AS dst
+      FROM p, nn),
+e AS (SELECT src, dst, COUNT(*) AS w FROM l GROUP BY 1, 2),
+o AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+s0 AS (SELECT doc_id AS node, CAST({PR_SCALE} AS BIGINT) AS s
+       FROM documents)"""]
+    for k in range(rounds):
+        ctes.append(f"""s{k + 1} AS (
+  SELECT n0.node,
+         CAST({PR_BASE} AS BIGINT)
+         + CAST((85 * COALESCE(c.t, 0)) // 100 AS BIGINT) AS s
+  FROM s{k} n0 LEFT JOIN (
+    SELECT e.dst AS node, SUM((e.w * sk.s) // o.outw) AS t
+    FROM e JOIN s{k} sk ON sk.node = e.src JOIN o ON o.src = e.src
+    GROUP BY e.dst) c ON c.node = n0.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, s AS rank FROM s{rounds}")
+
 
 def oracle_sql() -> dict[str, str]:
     from shapefile_rs_ray.functions import synth
@@ -2617,6 +2716,7 @@ SELECT d.doc_id,
                   AND di.max_word_cnt * 5 > a.n_words
                  THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
 FROM d LEFT JOIN a USING (doc_id) LEFT JOIN di USING (doc_id)""",
+        "doc_rank": _doc_rank_sql(),
         "url_canon": f"""
 WITH ids AS (SELECT doc_id * {synth.REPL} + r AS page_id
              FROM documents

@@ -24,54 +24,28 @@ _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _make_crc32_table() -> np.ndarray:
-    t = np.arange(256, dtype=np.uint32)
-    for _ in range(8):
-        t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> 1), t >> 1)
-    return t
-
-
-_CRC32_TABLE = _make_crc32_table()
-
-
 def crc32_str(arr) -> np.ndarray:
-    """Vectorized zlib.crc32 over an array of strings (int64 results,
+    """zlib.crc32 over an array/list of strings (int64 results,
     bit-identical to `zlib.crc32(s.encode("utf-8"))` — pytest-asserted).
 
-    The hot path views the fixed-width numpy unicode buffer as a
-    (n, maxlen) uint32 codepoint matrix and folds the crc table over
-    byte POSITIONS (maxlen iterations of n-wide vector ops) instead of
-    over strings — the per-distinct-key Python loop this replaces was
-    the measured kernel cost of the tfidf df pass. Rows containing
-    non-ASCII codepoints (multi-byte UTF-8) fall back to zlib per row.
-    numpy fixed-width strings cannot hold embedded NULs, so nonzero
-    count == length (same contract as every tokenizer here)."""
-    a = np.asarray(arr, dtype=str)
-    n = len(a)
-    if n == 0:
-        return np.empty(0, np.int64)
-    maxlen = a.dtype.itemsize // 4
-    if maxlen == 0:                       # all-empty-string array
-        return np.zeros(n, np.int64)
-    cp = np.ascontiguousarray(a).view(np.uint32).reshape(n, maxlen)
-    lens = np.count_nonzero(cp, axis=1)
-    # length-descending order: at position j exactly the first
-    # `n_active` rows still have bytes, so each iteration runs only
-    # prefix-wide (no masks, no np.where over finished rows)
-    order = np.argsort(-lens, kind="stable")
-    cps = cp[order]
-    lens_s = lens[order]
-    crc = np.full(n, 0xFFFFFFFF, np.uint32)
-    for j in range(int(lens_s[0]) if n else 0):
-        m = int(np.searchsorted(-lens_s, -j, side="left"))  # rows len > j
-        c = crc[:m]
-        crc[:m] = _CRC32_TABLE[(c ^ cps[:m, j]) & np.uint32(0xFF)] ^ (c >> 8)
-    out = np.empty(n, np.int64)
-    out[order] = (crc ^ np.uint32(0xFFFFFFFF)).astype(np.int64)
-    non_ascii = np.nonzero((cp >= 128).any(axis=1))[0]
-    for i in non_ascii:
-        out[i] = zlib.crc32(str(a[i]).encode("utf-8"))
-    return out
+    One C zlib call per string is the measured fastest form on every
+    workload here: 0.06 s vs 0.18 s for 172k distinct terms against a
+    numpy codepoint-matrix position walk, and 4-7x on dense short-token
+    streams (the matrix walk's (n, maxlen) allocation + argsort
+    overwhelm its per-position vectorization — it regressed
+    simhash_pairs 3x before this was measured). `tolist()` first:
+    iterating numpy unicode scalars pays a per-element conversion that
+    doubles the loop."""
+    if isinstance(arr, np.ndarray):
+        lst = arr.tolist()
+    elif isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        lst = arr.to_pylist()
+    else:
+        lst = arr if isinstance(arr, list) else np.asarray(
+            arr, dtype=str).tolist()
+    crc32 = zlib.crc32
+    return np.fromiter((crc32(s.encode("utf-8")) for s in lst),
+                       np.int64, len(lst))
 
 
 def sha256_hex(texts: list[str]) -> list[str]:
@@ -101,6 +75,21 @@ def content_digest128(texts: list[str]) -> np.ndarray:
     return out.view(np.int64)
 
 
+def _unique_texts(texts: list[str]) -> tuple[list[str], np.ndarray]:
+    """(distinct texts in first-seen order, inverse indices) — batch-
+    level memoization for signature kernels: exact clones (page
+    replication, boilerplate) are signed once and scattered back."""
+    uniq_idx: dict[str, int] = {}
+    inv = np.empty(len(texts), np.int64)
+    utexts: list[str] = []
+    for i, t in enumerate(texts):
+        j = uniq_idx.setdefault(t, len(utexts))
+        if j == len(utexts):
+            utexts.append(t)
+        inv[i] = j
+    return utexts, inv
+
+
 def _shingle_crcs(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
     """All word-k-shingle crc32s of all docs, flat + (n_docs+1,) offsets.
     Shingle strings collect per doc (Python — the join is inherently
@@ -117,8 +106,7 @@ def _shingle_crcs(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
         offsets[i + 1] = len(shingles)
     if not shingles:
         return np.empty(0, np.uint64), offsets
-    return crc32_str(np.asarray(shingles, dtype=str)).astype(np.uint64), \
-        offsets
+    return crc32_str(shingles).astype(np.uint64), offsets
 
 
 class MinHasher:
@@ -138,6 +126,9 @@ class MinHasher:
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         """(n_docs, num_perm) uint64 signatures."""
+        utexts, inv = _unique_texts(texts)
+        if len(utexts) < len(texts):
+            return self.signatures(utexts)[inv]
         crcs, off = _shingle_crcs(texts, self.k)
         n = len(texts)
         sig = np.empty((n, self.num_perm), np.uint64)
@@ -202,6 +193,16 @@ def shingle_hash64(texts: list[str], k: int = 3
     (crc32 -> splitmix64): flat uint64 array + (n_docs+1,) offsets.
     Ascending hash order IS the global total order the prefix filter
     prefixes are taken in."""
+    utexts, inv = _unique_texts(texts)
+    if len(utexts) < len(texts):
+        mixed_u, off_u = shingle_hash64(utexts, k)
+        counts = np.diff(off_u)[inv]
+        new_off = np.zeros(len(texts) + 1, np.int64)
+        np.cumsum(counts, out=new_off[1:])
+        take = np.concatenate(
+            [np.arange(off_u[j], off_u[j + 1]) for j in inv.tolist()]
+        ) if len(texts) else np.empty(0, np.int64)
+        return mixed_u[take], new_off
     crcs, off = _shingle_crcs(texts, k)
     mixed = splitmix64(crcs)
     n = len(texts)
@@ -217,15 +218,26 @@ def shingle_hash64(texts: list[str], k: int = 3
     return mixed, new_off
 
 
-def simhash64(texts: list[str], chunk: int = 200_000) -> np.ndarray:
+def simhash64(texts: list[str], chunk: int = 32_768) -> np.ndarray:
     """64-bit SimHash over word unigram crc32-derived 64-bit hashes
-    (crc folded through splitmix-style mixing to fill 64 bits)."""
+    (crc folded through splitmix-style mixing to fill 64 bits).
+
+    Two measured bandwidth optimizations (the bits/contrib matrices are
+    memory-bandwidth-bound — 16 concurrent workers ran 5.3x slower than
+    one until these landed, while a pure-CPU burn scaled 10x):
+    - exact-duplicate texts in the batch (page replication, boilerplate
+      clones) are signed ONCE and scattered back;
+    - the chunk is sized to keep bits+contrib (~4 MB) cache-resident
+      instead of streaming 26 MB per pass."""
+    utexts, inv = _unique_texts(texts)
+    if len(utexts) < len(texts):
+        return simhash64(utexts, chunk)[inv]
     toks: list[str] = []
     offsets = np.zeros(len(texts) + 1, np.int64)
     for i, t in enumerate(texts):
         toks.extend(_WORD_RE.findall(t.lower()))
         offsets[i + 1] = len(toks)
-    crcs = (crc32_str(np.asarray(toks, dtype=str)).astype(np.uint64)
+    crcs = (crc32_str(toks).astype(np.uint64)
             if toks else np.empty(0, np.uint64))
     # splitmix64 mix to spread the 32-bit crcs over 64 bits — vectorized
     # over the whole flat token array (uint64 wraparound intentional)

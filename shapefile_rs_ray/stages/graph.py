@@ -211,3 +211,209 @@ def min_label_components(pairs, *, a_col: str = "id_a", b_col: str = "id_b",
     raise RuntimeError(
         f"min_label_components: no fixpoint after {max_rounds} rounds "
         "(pathological contraction — raise max_rounds)")
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point PageRank (iterative loop, oracle-replayable)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1 << 40        # per-node initial mass; keep N * PR_SCALE < 2^62
+PR_BASE = (15 * PR_SCALE) // 100
+
+
+def pagerank(edges, nodes, *, src_col: str = "src", dst_col: str = "dst",
+             w_col: str = "w", rounds: int = 3, parts: int = CC_PARTS,
+             n_blocks: int = 32):
+    """Deterministic integer PageRank (damping 0.85) over a weighted
+    edge Dataset: rank'_i = (15*SCALE)//100 + (85 * T_i) // 100 with
+    T_i = sum over inbound edges of (w * rank_src) // outw_src — every
+    op is int64 floor arithmetic, so contributions sum ORDER-FREE and
+    the result is bit-identical at any parallelism (the same
+    replayability contract as the integer k-means: the oracle re-runs
+    the rounds in SQL with BIGINT `//`).
+
+    Distributed shape per round: ONE tag-union co-partition exchange
+    joins scores to edges by src (coarse prime modulus, vectorized
+    searchsorted lookup + local np.add.at aggregation by dst), one
+    coarse reduce sums contributions per dst, one tag-union exchange
+    attaches them back to the node set (absent -> base mass). Loop
+    state re-materializes at a constant block count each round (the
+    geometric-blocks trap). Scale note: T_i < total mass = N * SCALE;
+    shrink PR_SCALE for node counts beyond ~4e6 to stay inside int64.
+
+    edges must be DISTINCT (src, dst) rows with integer weight w;
+    nodes is Dataset(node) of every rank-carrying id (docs with no
+    inbound links still emit base mass). Dangling nodes (no outbound)
+    simply leak their mass each round — the standard simplification;
+    the synthetic doc graph has none."""
+
+    def _tag(key: np.ndarray, extra: dict, kind: int):
+        n = len(key)
+        cols = {"key": pa.array(key, pa.int64())}
+        for name, v in extra.items():
+            cols[name] = pa.array(v, pa.int64())
+        cols["kind"] = pa.array(np.full(n, kind, np.int64), pa.int64())
+        cols["__p"] = pa.array(key % parts, pa.int64())
+        return pa.table(cols)
+
+    # loop-invariant: per-src out-weight attached to every edge
+    def out_partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch[src_col], np.int64)
+        w = np.asarray(batch[w_col], np.int64)
+        u, inv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "src": pa.array(u, pa.int64()),
+            "outw": pa.array(np.bincount(inv, weights=w)
+                             .astype(np.int64), pa.int64()),
+            "__p": pa.array(u % parts, pa.int64())})
+
+    def out_reduce(part: pa.Table) -> pa.Table:
+        src = np.asarray(part["src"], np.int64)
+        ow = np.asarray(part["outw"], np.int64)
+        u, inv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "src": pa.array(u, pa.int64()),
+            "outw": pa.array(np.bincount(inv, weights=ow)
+                             .astype(np.int64), pa.int64())})
+
+    outw = (edges.map_batches(out_partial, batch_format="pyarrow")
+            .groupby("__p").map_groups(out_reduce,
+                                       batch_format="pyarrow"))
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch[src_col], np.int64)
+        return _tag(src,
+                    {"dst": np.asarray(batch[dst_col], np.int64),
+                     "w": np.asarray(batch[w_col], np.int64),
+                     "v": np.zeros(len(src), np.int64)}, 0)
+
+    def outw_rows(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"], np.int64)
+        z = np.zeros(len(src), np.int64)
+        return _tag(src,
+                    {"dst": z, "w": z,
+                     "v": np.asarray(batch["outw"], np.int64)}, 1)
+
+    def attach_outw(part: pa.Table) -> pa.Table:
+        kind = np.asarray(part["kind"], np.int64)
+        key = np.asarray(part["key"], np.int64)
+        em = kind == 0
+        osrc = key[~em]
+        oval = np.asarray(part["v"], np.int64)[~em]
+        o = np.argsort(osrc)
+        osrc, oval = osrc[o], oval[o]
+        src = key[em]
+        idx = np.searchsorted(osrc, src)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(np.asarray(part["dst"], np.int64)[em],
+                            pa.int64()),
+            "w": pa.array(np.asarray(part["w"], np.int64)[em],
+                          pa.int64()),
+            "outw": pa.array(oval[idx], pa.int64())})
+
+    edges_o = (edges.map_batches(edge_rows, batch_format="pyarrow")
+               .union(outw.map_batches(outw_rows, batch_format="pyarrow"))
+               .groupby("__p")
+               .map_groups(attach_outw, batch_format="pyarrow")
+               .repartition(n_blocks).materialize())
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch["node"], np.int64)
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "s": pa.array(np.full(len(node), PR_SCALE, np.int64),
+                          pa.int64())})
+
+    nodes = nodes.materialize()
+    scores = (nodes.map_batches(init_scores, batch_format="pyarrow")
+              .repartition(n_blocks).materialize())
+
+    def eo_rows(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"], np.int64)
+        return _tag(src,
+                    {"a": np.asarray(batch["dst"], np.int64),
+                     "b": np.asarray(batch["w"], np.int64),
+                     "c": np.asarray(batch["outw"], np.int64)}, 0)
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch["node"], np.int64)
+        z = np.zeros(len(node), np.int64)
+        return _tag(node,
+                    {"a": z, "b": z,
+                     "c": np.asarray(batch["s"], np.int64)}, 1)
+
+    def contribs(part: pa.Table) -> pa.Table:
+        kind = np.asarray(part["kind"], np.int64)
+        key = np.asarray(part["key"], np.int64)
+        em = kind == 0
+        snode = key[~em]
+        sval = np.asarray(part["c"], np.int64)[~em]
+        o = np.argsort(snode)
+        snode, sval = snode[o], sval[o]
+        src = key[em]
+        dst = np.asarray(part["a"], np.int64)[em]
+        w = np.asarray(part["b"], np.int64)[em]
+        ow = np.asarray(part["c"], np.int64)[em]
+        s = sval[np.searchsorted(snode, src)]
+        t = (w * s) // ow
+        u, inv = np.unique(dst, return_inverse=True)
+        tt = np.zeros(len(u), np.int64)
+        np.add.at(tt, inv, t)
+        return pa.table({
+            "node": pa.array(u, pa.int64()),
+            "t": pa.array(tt, pa.int64()),
+            "__p2": pa.array(u % parts, pa.int64())})
+
+    def sum_t(part: pa.Table) -> pa.Table:
+        node = np.asarray(part["node"], np.int64)
+        t = np.asarray(part["t"], np.int64)
+        u, inv = np.unique(node, return_inverse=True)
+        return pa.table({
+            "node": pa.array(u, pa.int64()),
+            "t": pa.array(np.bincount(inv, weights=t).astype(np.int64),
+                          pa.int64())})
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch["node"], np.int64)
+        return _tag(node,
+                    {"t": np.zeros(len(node), np.int64)}, 0)
+
+    def t_rows(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch["node"], np.int64)
+        return _tag(node,
+                    {"t": np.asarray(batch["t"], np.int64)}, 1)
+
+    def new_scores(part: pa.Table) -> pa.Table:
+        kind = np.asarray(part["kind"], np.int64)
+        key = np.asarray(part["key"], np.int64)
+        t = np.asarray(part["t"], np.int64)
+        node = key[kind == 0]
+        cn = key[kind == 1]
+        ct = t[kind == 1]
+        o = np.argsort(cn)
+        cn, ct = cn[o], ct[o]
+        idx = np.searchsorted(cn, node)
+        hit = (idx < len(cn))
+        idx2 = np.minimum(idx, max(len(cn) - 1, 0))
+        hit &= (cn[idx2] == node) if len(cn) else False
+        tv = np.where(hit, ct[idx2] if len(cn) else 0, 0)
+        s = PR_BASE + (85 * tv) // 100
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    for _ in range(rounds):
+        t_ds = (edges_o.map_batches(eo_rows, batch_format="pyarrow")
+                .union(scores.map_batches(score_rows,
+                                          batch_format="pyarrow"))
+                .groupby("__p")
+                .map_groups(contribs, batch_format="pyarrow")
+                .groupby("__p2")
+                .map_groups(sum_t, batch_format="pyarrow"))
+        scores = (nodes.map_batches(node_rows, batch_format="pyarrow")
+                  .union(t_ds.map_batches(t_rows,
+                                          batch_format="pyarrow"))
+                  .groupby("__p")
+                  .map_groups(new_scores, batch_format="pyarrow")
+                  .repartition(n_blocks).materialize())
+    return scores

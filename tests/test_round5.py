@@ -625,3 +625,47 @@ def test_job_metrics_aggregates_manifests(ray_session, tmp_path):
     assert m["bytes"] > 0
     assert m["write_s"] >= 0
     assert (m["key_min"], m["key_max"]) == (0, 99)
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_matches_scalar_twin(ray_session):
+    """Distributed integer PageRank == a dict-based scalar replay of the
+    same floor-arithmetic recurrence, on a random weighted digraph with
+    hubs, at awkward block layouts."""
+    import ray.data
+    from shapefile_rs_ray.stages.graph import PR_BASE, PR_SCALE, pagerank
+
+    rng = np.random.default_rng(13)
+    n = 120
+    srcs, dsts = [], []
+    for s in range(n):
+        for _ in range(int(rng.integers(1, 6))):
+            d = int(rng.integers(0, 10)) if rng.random() < 0.4 \
+                else int(rng.integers(0, n))
+            srcs.append(s)
+            dsts.append(d)
+    import collections
+    wmap = collections.Counter(zip(srcs, dsts))
+    edges = [{"src": a, "dst": b, "w": w} for (a, b), w in wmap.items()]
+    out_w = collections.Counter()
+    for (a, _), w in wmap.items():
+        out_w[a] += w
+
+    rounds = 3
+    s_t = {v: PR_SCALE for v in range(n)}
+    for _ in range(rounds):
+        t = collections.Counter()
+        for (a, b), w in wmap.items():
+            t[b] += (w * s_t[a]) // out_w[a]
+        s_t = {v: PR_BASE + (85 * t[v]) // 100 for v in range(n)}
+
+    eds = ray.data.from_items(edges).repartition(7)
+    nds = ray.data.from_items([{"node": v} for v in range(n)]).repartition(5)
+    got = (pagerank(eds, nds, rounds=rounds, parts=13, n_blocks=4)
+           .to_pandas().set_index("node")["s"].to_dict())
+    assert got == s_t
+    assert len(set(s_t.values())) > 10   # ranks genuinely separate
