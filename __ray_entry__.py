@@ -598,6 +598,18 @@ def _substring_dedup(sf_dir: str):
     return substring_dedup(docs, L=40)
 
 
+def _substring_clean(sf_dir: str):
+    """Corpus-rewriting substring dedup: duplicated >=40-char spans are
+    excised keeping the globally-first occurrence; returns the cleaned
+    text per doc. Oracle reconstructs the cleaned strings in SQL
+    (keep-first via ROW_NUMBER over the substring itself, islands,
+    string_agg of kept segments)."""
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.dedup import substring_dedup_clean
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return substring_dedup_clean(docs, L=40)
+
+
 def _chunk_dedup(sf_dir: str):
     """C4-style cross-document chunk dedup accounting: global
     first-occurrence wins over 8-token chunks, (doc_id, n_chunks,
@@ -2234,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEW operators round 5 (must sit in the gate window) --
         "substring_dedup": _substring_dedup,
+        "substring_clean": _substring_clean,
         "url_canon": _url_canon,
         "blocklist_hosts": _blocklist_hosts,
         "doc_rank": _doc_rank,
@@ -2293,12 +2306,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_q1": _lineitem_q1,
         "tpch_q5": _tpch_q5,
         "tpch_q3": _tpch_q3,
-        "asof_join": _asof_join,
         # ---- end of the 50-entry driver gate window ----
         # everything below is driver-green from earlier rounds and
-        # UNCHANGED this round (session_windows/top_events/exact_dedup/
-        # pip_join rotated out to make room for the four round-5
-        # additions)
+        # UNCHANGED this round (asof_join/session_windows/top_events/
+        # exact_dedup/pip_join rotated out to make room for the
+        # round-5 additions)
+        "asof_join": _asof_join,
         "session_windows": _session_windows,
         "top_events": _top_events,
         "exact_dedup": _exact_dedup,
@@ -2717,6 +2730,44 @@ SELECT d.doc_id,
                  THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
 FROM d LEFT JOIN a USING (doc_id) LEFT JOIN di USING (doc_id)""",
         "doc_rank": _doc_rank_sql(),
+        "substring_clean": """
+WITH p AS (SELECT doc_id, text,
+                  unnest(generate_series(1, length(text) - 39)) AS pos
+           FROM documents),
+s AS (SELECT doc_id, pos, substr(text, pos, 40) AS gram FROM p),
+r AS (SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rn
+      FROM s),
+m AS (SELECT doc_id, pos, pos + 40 AS e FROM r WHERE rn > 1),
+f AS (SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) THEN 1 ELSE 0 END AS isl
+      FROM m),
+i AS (SELECT doc_id, pos, e,
+             SUM(isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl_id FROM f),
+pi AS (SELECT doc_id, isl_id, MIN(pos) AS s0, MAX(e) AS e0
+       FROM i GROUP BY 1, 2),
+seg AS (SELECT doc_id, s0, e0,
+               COALESCE(LAG(e0) OVER (PARTITION BY doc_id
+                                      ORDER BY s0), 1) AS seg_from
+        FROM pi),
+a AS (SELECT d.doc_id,
+             string_agg(substr(d.text, seg.seg_from,
+                               seg.s0 - seg.seg_from), ''
+                        ORDER BY seg.s0)
+             || substr(d.text, MAX(seg.e0)) AS clean_text,
+             SUM(seg.e0 - seg.s0) AS removed_chars
+      FROM documents d JOIN seg USING (doc_id)
+      GROUP BY d.doc_id, d.text)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, d.text) AS clean_text,
+       CAST(COALESCE(a.removed_chars, 0) AS BIGINT) AS removed_chars
+FROM documents d LEFT JOIN a USING (doc_id)""",
         "url_canon": f"""
 WITH ids AS (SELECT doc_id * {synth.REPL} + r AS page_id
              FROM documents

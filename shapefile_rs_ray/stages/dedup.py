@@ -1191,3 +1191,115 @@ def substring_dedup(docs, *, id_col: str = "doc_id",
             .map_groups(dup_positions, batch_format="pyarrow")
             .groupby("__dp")
             .map_groups(per_doc, batch_format="pyarrow"))
+
+
+def substring_dedup_clean(docs, *, id_col: str = "doc_id",
+                          text_col: str = "text", L: int = 40,
+                          parts: int = PAIR_PARTS,
+                          dparts: int = _CHUNK_DPARTS):
+    """The corpus-REWRITING form of substring_dedup (what Lee et al.'s
+    pipeline actually ships): every length-L window whose content
+    already occurred at a strictly smaller (doc, pos) is duplicated
+    text; covered positions merge to maximal per-doc intervals and are
+    EXCISED, keeping the globally-first occurrence intact. Returns one
+    row per doc: (doc_id, clean_text, removed_chars).
+
+    Same two ints-only shuffles as substring_dedup; the keep-first rule
+    is one extra comparison in the hash-partition kernel (occurrences
+    sort by (h, doc, pos) — the group's first row survives). Cleaned
+    text is rebuilt in a doc-hash co-partition join of the interval
+    stream against a direct (id, text) re-read of the source — text
+    crosses the wire exactly once, in that final join."""
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        texts = ["" if t is None else t
+                 for t in batch[text_col].to_pylist()]
+        h, owner, pos = _rolling_hashes(texts, L)
+        hi = h.view(np.int64)
+        return pa.table({
+            "h": pa.array(hi, pa.int64()),
+            "doc": pa.array(ids[owner], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "__p": pa.array(hi % parts, pa.int64())})
+
+    def dup_positions(part: pa.Table) -> pa.Table:
+        h = np.asarray(part["h"], np.int64)
+        doc = np.asarray(part["doc"], np.int64)
+        pos = np.asarray(part["pos"], np.int64)
+        order = np.lexsort((pos, doc, h))
+        hs = h[order]
+        # marked = every occurrence except the group's (doc, pos)-first
+        marked = np.zeros(len(hs), bool)
+        marked[1:] = hs[1:] == hs[:-1]
+        keep = order[marked]
+        return pa.table({
+            "doc": pa.array(doc[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int64()),
+            "__dp": pa.array(doc[keep] % dparts, pa.int64())})
+
+    def text_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        return pa.table({
+            "doc": pa.array(ids, pa.int64()),
+            "pos": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+            "txt": batch[text_col],
+            "__dp": pa.array(ids % dparts, pa.int64())})
+
+    def pos_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": batch["doc"],
+            "pos": batch["pos"],
+            "txt": pa.array([None] * batch.num_rows, pa.string()),
+            "__dp": batch["__dp"]})
+
+    def rebuild(part: pa.Table) -> pa.Table:
+        doc = np.asarray(part["doc"], np.int64)
+        pos = np.asarray(part["pos"], np.int64)
+        is_txt = pos < 0
+        tdoc = doc[is_txt]
+        torder = np.argsort(tdoc)
+        tdoc = tdoc[torder]
+        all_txt = part["txt"].to_pylist()
+        txts = [all_txt[i]
+                for i in np.nonzero(is_txt)[0][torder].tolist()]
+        mdoc, mpos = doc[~is_txt], pos[~is_txt]
+        o = np.lexsort((mpos, mdoc))
+        mdoc, mpos = mdoc[o], mpos[o]
+        e = mpos + L
+        new_isl = np.ones(len(mdoc), bool)
+        new_isl[1:] = (mdoc[1:] != mdoc[:-1]) | (mpos[1:] > e[:-1])
+        last = np.ones(len(mdoc), bool)
+        last[:-1] = new_isl[1:]
+        isl_doc = mdoc[new_isl]
+        isl_s = mpos[new_isl]
+        isl_e = e[last]
+        out_txt, out_rm = [], []
+        lo = np.searchsorted(isl_doc, tdoc, side="left")
+        hi = np.searchsorted(isl_doc, tdoc, side="right")
+        for t, a, b in zip(txts, lo.tolist(), hi.tolist()):
+            t = t if t is not None else ""
+            if a == b:
+                out_txt.append(t)
+                out_rm.append(0)
+                continue
+            pieces, prev, removed = [], 0, 0
+            for s0, e0 in zip(isl_s[a:b].tolist(), isl_e[a:b].tolist()):
+                pieces.append(t[prev:s0])
+                removed += e0 - s0
+                prev = e0
+            pieces.append(t[prev:])
+            out_txt.append("".join(pieces))
+            out_rm.append(removed)
+        return pa.table({
+            id_col: pa.array(tdoc, pa.int64()),
+            "clean_text": pa.array(out_txt, pa.string()),
+            "removed_chars": pa.array(out_rm, pa.int64())})
+
+    marked = (docs.map_batches(windows, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(dup_positions, batch_format="pyarrow")
+              .map_batches(pos_rows, batch_format="pyarrow"))
+    texts_ds = docs.map_batches(text_rows, batch_format="pyarrow")
+    return (texts_ds.union(marked).groupby("__dp")
+            .map_groups(rebuild, batch_format="pyarrow"))

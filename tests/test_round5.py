@@ -669,3 +669,59 @@ def test_pagerank_matches_scalar_twin(ray_session):
            .to_pandas().set_index("node")["s"].to_dict())
     assert got == s_t
     assert len(set(s_t.values())) > 10   # ranks genuinely separate
+
+
+def test_substring_clean_matches_brute_force(ray_session):
+    """substring_dedup_clean vs an O(n^2) scalar twin: keep-first
+    marking, island excision, exact cleaned strings."""
+    import ray.data
+    from shapefile_rs_ray.stages.dedup import substring_dedup_clean
+    rng = np.random.default_rng(19)
+
+    def rand_text(n):
+        return "".join(chr(int(c)) for c in rng.integers(97, 123, n))
+
+    boiler = rand_text(100)
+    docs = []
+    for i in range(50):
+        t = rand_text(int(rng.integers(10, 250)))
+        if i % 4 == 0:
+            cut = int(rng.integers(0, len(t)))
+            t = t[:cut] + boiler + t[cut:]
+        if i % 9 == 0:
+            t = t + t[:55]
+        docs.append(t)
+    L = 40
+
+    # brute force: window marked iff identical window at smaller (doc,pos)
+    first = {}
+    for di, t in enumerate(docs):
+        for p in range(len(t) - L + 1):
+            first.setdefault(t[p:p + L], (di, p))
+    want = {}
+    for di, t in enumerate(docs):
+        ivs = []
+        for p in range(len(t) - L + 1):
+            if first[t[p:p + L]] != (di, p):
+                if ivs and p <= ivs[-1][1]:
+                    ivs[-1][1] = max(ivs[-1][1], p + L)
+                else:
+                    ivs.append([p, p + L])
+        pieces, prev, rm = [], 0, 0
+        for a, b in ivs:
+            pieces.append(t[prev:a])
+            rm += b - a
+            prev = b
+        pieces.append(t[prev:])
+        want[di] = ("".join(pieces), rm)
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    ).repartition(9)
+    got = (substring_dedup_clean(ds, L=L).to_pandas()
+           .set_index("doc_id"))
+    assert len(got) == len(docs)
+    for di, (ct, rm) in want.items():
+        row = got.loc[di]
+        assert row.clean_text == ct, di
+        assert int(row.removed_chars) == rm, di
