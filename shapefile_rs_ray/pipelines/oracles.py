@@ -1667,3 +1667,56 @@ def ensure_y4m_golden(n_docs: int, samples: int = 4) -> None:
     tmp = f"{Y4M_GOLDEN_PQ}.tmp{os.getpid()}"
     pq.write_table(tbl, tmp)
     os.replace(tmp, Y4M_GOLDEN_PQ)
+
+
+PHASH_GOLDEN_PQ = os.path.join(ORACLE_DIR, "phash_neardup.parquet")
+
+
+def _phash_scalar_row(doc_id: int) -> tuple:
+    """Independent scalar twin of PhashStage over synth_phash_bmp_bytes:
+    byte-offset BMP parse, per-pixel integer luma, scalar nearest-
+    neighbor 32x32 sample, pure-Python-int 2D DCT against a basis
+    re-derived from math.cos/math.sqrt with the engine's exact float op
+    sequence (Python ints are arbitrary precision, so the matmul is
+    exact a fortiori), lower-median AC threshold — no numpy, no shared
+    control flow with stages/multimodal.phash64."""
+    import math
+    import struct
+    from ..stages.multimodal import synth_phash_bmp_bytes
+    p = synth_phash_bmp_bytes(doc_id)
+    assert p[:2] == b"BM"
+    off = struct.unpack("<I", p[10:14])[0]
+    w = struct.unpack("<i", p[18:22])[0]
+    h = struct.unpack("<i", p[22:26])[0]
+    stride = (w * 3 + 3) & ~3
+
+    def luma(x: int, y: int) -> int:
+        b0 = off + (h - 1 - y) * stride + x * 3   # bottom-up, BGR
+        return (p[b0 + 2] * 77 + p[b0 + 1] * 150 + p[b0] * 29) >> 8
+
+    grid = [[luma((xi * w) // 32, (yi * h) // 32)
+             for xi in range(32)] for yi in range(32)]
+    dq = []
+    for k in range(32):
+        s = math.sqrt(1.0 / 32.0) if k == 0 else math.sqrt(2.0 / 32.0)
+        dq.append([math.floor(
+            math.cos(math.pi * (2 * n + 1) * k / 64.0) * s * (1 << 20)
+            + 0.5) for n in range(32)])
+    # T = Dq @ G @ Dq^T, exact python ints
+    dg = [[sum(dq[k][y] * grid[y][x] for y in range(32))
+           for x in range(32)] for k in range(8)]
+    blk = [sum(dg[k][x] * dq[l][x] for x in range(32))
+           for k in range(8) for l in range(8)]
+    med = sorted(blk[1:])[31]
+    hv = 0
+    for b in range(64):
+        if blk[b] > med:
+            hv |= 1 << b
+    if hv >= 1 << 63:
+        hv -= 1 << 64
+    return (hv,)
+
+
+def ensure_phash_golden(n_docs: int) -> None:
+    _ensure_scalar_golden(PHASH_GOLDEN_PQ, n_docs, _phash_scalar_row,
+                          ("phash",))

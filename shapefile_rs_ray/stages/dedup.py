@@ -789,30 +789,69 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
     within hamming<=3 must agree on >=1 of 4 bands), verified by exact
     hamming distance. Returns Dataset(id_a, id_b, hamming).
 
-    Same partition-then-family shape as minhash_lsh_pairs: identical-simhash
-    runs (hamming 0, the clone mass) emit vectorized triangles in band 0
-    only; only DISTINCT simhash values within a bucket pay a pairwise
-    popcount, vectorized per bucket.
-
-    QUADRATIC BOUND (documented trade): within one 16-bit band bucket the
-    distinct-hash families pair all-vs-all — O(families^2) popcounts and
-    a families^2 index allocation. Real corpora spread ~uniformly over
-    the 2^16 buckets per band, but a pathological corpus (every doc
-    sharing one band value with a distinct hash) concentrates mass in one
-    bucket; past `bucket_cap` families the partition fails LOUDLY instead
-    of silently allocating gigabytes. Fixes: raise max_hamming's band
-    count (narrower bands -> more buckets), pre-split hot band values
-    with an extra salt bit from another band, or raise the cap knowingly.
-    """
+    The banding/verify machinery is the shared `hamming64_band_pairs`
+    (also used by the image-pHash near-dup); this wrapper only computes
+    the text SimHash signatures."""
 
     def signatures(batch: pa.Table) -> pa.Table:
         sh = hashing.simhash64(batch[text_col].to_pylist())
+        return pa.table({
+            id_col: batch[id_col],
+            "sig": pa.array(sh, pa.int64()),
+        })
+
+    sigs = pages.map_batches(signatures, batch_format="pyarrow")
+    return hamming64_band_pairs(sigs, id_col=id_col, sig_col="sig",
+                                bands=4, max_hamming=max_hamming,
+                                bucket_cap=bucket_cap)
+
+
+def hamming64_band_pairs(sigs, *, id_col: str, sig_col: str = "sig",
+                         bands: int = 4, max_hamming: int | None = None,
+                         bucket_cap: int = 8192):
+    """All pairs of 64-bit signatures within hamming<=`max_hamming`,
+    EXACTLY, by band blocking: the 64 bits split into `bands` equal-width
+    bands; by pigeonhole any pair within hamming<=bands-1 agrees exactly
+    on >=1 band, so blocking on band values loses nothing while only
+    same-band-value candidates pay a popcount verify. Returns
+    Dataset(id_a, id_b, hamming). `max_hamming` defaults to bands-1 (the
+    largest exactly-recalled threshold).
+
+    Same partition-then-family shape as minhash_lsh_pairs: identical-
+    signature runs (hamming 0, the clone mass) emit vectorized triangles
+    in band 0 only; only DISTINCT signature values within a bucket pay a
+    pairwise popcount, vectorized per bucket.
+
+    QUADRATIC BOUND (documented trade): within one band bucket the
+    distinct-signature families pair all-vs-all — O(families^2) popcounts
+    and a families^2 index allocation. Real corpora spread ~uniformly
+    over the buckets per band, but a pathological corpus (every doc
+    sharing one band value with a distinct signature) concentrates mass
+    in one bucket; past `bucket_cap` families the partition fails LOUDLY
+    instead of silently allocating gigabytes. Fixes: raise the band
+    count (narrower bands -> more buckets), pre-split hot band values
+    with an extra salt bit from another band, or raise the cap knowingly.
+    """
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    if max_hamming is None:
+        max_hamming = bands - 1
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound "
+            f"bands-1={bands - 1}: a pair can differ in every band and "
+            f"never collide. Raise `bands`.")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch[sig_col], np.int64)
         ids = np.asarray(batch[id_col], np.int64)
         rows_id, rows_key, rows_sh = [], [], []
         u = sh.view(np.uint64)
-        for b in range(4):
-            bandval = ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            rows_key.append(bandval * 4 + b)
+        for b in range(bands):
+            bandval = ((u >> np.uint64(width * b)) & mask).astype(np.int64)
+            rows_key.append(bandval * bands + b)
             rows_id.append(ids)
             rows_sh.append(sh)
         return pa.table({
@@ -841,7 +880,7 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
         fam_start = np.nonzero(fam_new)[0]
         fam_size = np.append(fam_start[1:], len(keys)) - fam_start
         fam_key = keys[fam_start]
-        fam_band = fam_key % 4
+        fam_band = fam_key % bands
         fam_sh = sh[fam_start].view(np.uint64)
         out_a, out_b, out_h = [], [], []
 
@@ -862,7 +901,8 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
         for b in np.nonzero(b_size > 1)[0]:
             if b_size[b] > bucket_cap:
                 raise ValueError(
-                    f"simhash_pairs: band bucket key={int(fam_key[b_start[b]])}"
+                    f"hamming64_band_pairs: band bucket key="
+                    f"{int(fam_key[b_start[b]])}"
                     f" holds {int(b_size[b])} distinct-hash families "
                     f"(> bucket_cap={bucket_cap}); the all-vs-all verify "
                     f"would allocate O(n^2) pair indices. Narrow the bands,"
@@ -891,7 +931,7 @@ def simhash_pairs(pages, *, id_col: str = "page_id", text_col: str = "text",
         return batch.append_column(
             "__p", pa.array(keys % PAIR_PARTS, pa.int64()))
 
-    exploded = pages.map_batches(signatures, batch_format="pyarrow")
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
     grouped = (exploded.map_batches(add_part, batch_format="pyarrow")
                .groupby("__p").map_groups(process_partition,
                                           batch_format="pyarrow"))

@@ -663,3 +663,178 @@ def synth_y4m_bytes(doc_id: int) -> bytes:
         luma = ((x * 3 + y * 5 + t * 7 + doc_id) % 256).astype(np.uint8)
         out.append(b"FRAME\x0a" + luma.tobytes() + chroma + chroma)
     return b"".join(out)
+
+
+# -- perceptual image hash (pHash) + near-duplicate image detection ------
+
+
+_PHASH_N = 32      # downsample grid edge
+_PHASH_Q = 20      # fixed-point shift of the DCT basis
+
+
+def _dct32_q20() -> np.ndarray:
+    """32-point DCT-II orthonormal basis as q20 fixed-point int64:
+    entry [k, n] = floor(s_k * cos(pi*(2n+1)*k/64) * 2^20 + 0.5) with
+    s_0 = sqrt(1/32), s_k = sqrt(2/32). The scalar twin replays the
+    IDENTICAL float op sequence with math.cos/math.sqrt/math.floor
+    (numpy == libm on this host, see the jpeg basis tests); from the
+    rounded table on, everything is exact int64."""
+    k = np.arange(_PHASH_N, dtype=np.int64)[:, None]
+    n = np.arange(_PHASH_N, dtype=np.int64)[None, :]
+    ang = np.pi * (2 * n + 1) * k / 64.0
+    c = np.cos(ang)
+    s = np.full((_PHASH_N, 1), np.sqrt(2.0 / 32.0))
+    s[0, 0] = np.sqrt(1.0 / 32.0)
+    return np.floor(c * s * (1 << _PHASH_Q) + 0.5).astype(np.int64)
+
+
+def phash64(gray32: np.ndarray) -> np.ndarray:
+    """(n, 32, 32) int64 grayscale -> (n,) int64 pHash. Fixed-point 2D
+    DCT-II (T = D G D^T, exact int64: |D| < 2^18, G < 2^8, 32x32 terms
+    -> |T| < 2^54), keep the top-left 8x8 low-frequency block, set bit k
+    iff coeff k exceeds the LOWER MEDIAN of the block's 63 AC coeffs
+    (integer median: element 31 of the sorted ACs — no float mean, so
+    the twin is bit-trivial). The DC coeff (k=0) compares like any
+    other bit (it is essentially always 1 — a constant bit costs one
+    hamming degree of freedom but keeps the kernel branch-free)."""
+    d = _dct32_q20()
+    t = np.einsum("ij,njk,lk->nil", d, gray32.astype(np.int64), d)
+    blk = t[:, :8, :8].reshape(len(gray32), 64)
+    med = np.sort(blk[:, 1:], axis=1)[:, 31]
+    bits = (blk > med[:, None]).astype(np.uint64)
+    h = np.zeros(len(gray32), np.uint64)
+    for b in range(64):
+        h |= bits[:, b] << np.uint64(b)
+    return h.view(np.int64)
+
+
+class PhashStage:
+    """BMP bytes -> 64-bit perceptual hash: integer BT.601 luma
+    ((77R + 150G + 29B) >> 8), 32x32 nearest-neighbor downsample
+    (yi = i*h // 32 — the BmpDecodeStage thumbnail kernel), then
+    `phash64`. Emits (key, phash). The per-payload parse is the only
+    Python loop; the DCT runs batched over the whole (n, 32, 32) stack."""
+
+    def __init__(self, bytes_col: str = "bmp", key_col: str = "doc_id"):
+        self.bytes_col = bytes_col
+        self.key_col = key_col
+        self.idx = np.arange(_PHASH_N, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.bytes_col].to_pylist()
+        grids = np.empty((len(payloads), _PHASH_N, _PHASH_N), np.int64)
+        for i, p in enumerate(payloads):
+            px = _parse_bmp(p).astype(np.int64)
+            luma = (px[:, :, 0] * 77 + px[:, :, 1] * 150
+                    + px[:, :, 2] * 29) >> 8
+            hh, ww = luma.shape
+            grids[i] = luma[(self.idx * hh) // _PHASH_N][
+                :, (self.idx * ww) // _PHASH_N]
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "phash": pa.array(phash64(grids), pa.int64())})
+
+
+def synth_phash_bmp_bytes(doc_id: int) -> bytes:
+    """Clustered near-duplicate image corpus: 4 variants per base image
+    (cluster g = id//4, variant v = id%4). The base is a multiplicative-
+    hash TEXTURE, not a gradient — gradient DCTs concentrate in one
+    row/col and alias across clusters, collapsing every image into one
+    LSH band bucket. Variant v XORs bit 2 of v deterministic 3x3 patches
+    (v=3 replays v=2's patches exactly -> a true byte-identical clone
+    pair per cluster), so intra-cluster pHashes sit a few bits apart
+    while cross-cluster hashes are ~uniform (expected hamming ~32)."""
+    w, h = 64, 48
+    g, v = doc_id // 4, doc_id % 4
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    m = (x * 73856093 + y * 19349663
+         + (x * y + 7) * (2 * g + 1) * 83492791) % 65536
+    base = (m * 40503 % 65536) >> 8
+    for r in range(min(v, 2)):
+        py = (g * 7 + r * 13) % (h - 5)
+        pxo = (g * 11 + r * 5) % (w - 5)
+        base[py:py + 5, pxo:pxo + 5] ^= 24
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    rgb = ((base[:, :, None] + c * 37) % 256).astype(np.uint8)
+    bgr = rgb[:, :, ::-1]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = bgr.reshape(h, w * 3)
+    pixel_bytes = rows[::-1].tobytes()
+    info = (b"(\x00\x00\x00"
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(pixel_bytes).to_bytes(4, "little")
+            + b"\x00" * 16)
+    off = 14 + 40
+    hdr = (b"BM" + (off + len(pixel_bytes)).to_bytes(4, "little")
+           + b"\x00" * 4 + off.to_bytes(4, "little"))
+    return hdr + info + pixel_bytes
+
+
+def phash_neardup(images, *, id_col: str = "doc_id",
+                  bytes_col: str = "bmp", max_hamming: int = 7,
+                  dparts: int = 127):
+    """Image near-duplicate detection: pHash every image (actor pool),
+    find ALL pairs within `max_hamming` bits EXACTLY via 8x8-bit band
+    blocking (pigeonhole: <=7 differing bits leave >=1 of 8 bands
+    identical), then attach per-image partner counts. Returns one row
+    per image: (id, phash, n_near).
+
+    Scale shape: images never shuffle — only (id, phash) int pairs do.
+    The count attach is a tag-union co-partition (hash rows pos=-1,
+    pair sides pos=1) on a coarse id-hash, local np.unique reduce; no
+    per-distinct-key groupby and no driver state."""
+    from .dedup import hamming64_band_pairs
+
+    sigs = images.map_batches(PhashStage, batch_format="pyarrow",
+                              fn_constructor_kwargs={
+                                  "bytes_col": bytes_col,
+                                  "key_col": id_col},
+                              concurrency=(1, 4)).materialize()
+    pairs = hamming64_band_pairs(sigs, id_col=id_col, sig_col="phash",
+                                 bands=8, max_hamming=max_hamming)
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        return pa.table({
+            "doc": pa.array(ids, pa.int64()),
+            "phash": batch["phash"],
+            "cnt": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+            "__dp": pa.array(ids % dparts, pa.int64())})
+
+    def pair_sides(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], np.int64)
+        b = np.asarray(batch["id_b"], np.int64)
+        doc = np.concatenate([a, b])
+        return pa.table({
+            "doc": pa.array(doc, pa.int64()),
+            "phash": pa.array(np.zeros(len(doc), np.int64), pa.int64()),
+            "cnt": pa.array(np.ones(len(doc), np.int64), pa.int64()),
+            "__dp": pa.array(doc % dparts, pa.int64())})
+
+    def attach(part: pa.Table) -> pa.Table:
+        doc = np.asarray(part["doc"], np.int64)
+        cnt = np.asarray(part["cnt"], np.int64)
+        ph = np.asarray(part["phash"], np.int64)
+        is_hash = cnt < 0
+        hdoc, hph = doc[is_hash], ph[is_hash]
+        pdoc = doc[~is_hash]
+        u, counts = np.unique(pdoc, return_counts=True)
+        n = np.zeros(len(hdoc), np.int64)
+        pos = np.searchsorted(u, hdoc)
+        found = (pos < len(u))
+        ok = np.nonzero(found)[0]
+        ok = ok[u[pos[ok]] == hdoc[ok]]
+        n[ok] = counts[pos[ok]]
+        return pa.table({
+            id_col: pa.array(hdoc, pa.int64()),
+            "phash": pa.array(hph, pa.int64()),
+            "n_near": pa.array(n, pa.int64())})
+
+    hrows = sigs.map_batches(hash_rows, batch_format="pyarrow")
+    prows = pairs.map_batches(pair_sides, batch_format="pyarrow")
+    return (hrows.union(prows).groupby("__dp")
+            .map_groups(attach, batch_format="pyarrow"))

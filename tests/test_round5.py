@@ -725,3 +725,109 @@ def test_substring_clean_matches_brute_force(ray_session):
         row = got.loc[di]
         assert row.clean_text == ct, di
         assert int(row.removed_chars) == rm, di
+
+
+def test_phash_engine_matches_scalar_twin():
+    """PhashStage (vectorized int64 DCT) vs the pure-Python-int twin:
+    bit-identical hashes over the clustered synth corpus."""
+    import pyarrow as pa
+    from shapefile_rs_ray.stages.multimodal import (PhashStage,
+                                                    synth_phash_bmp_bytes)
+    from shapefile_rs_ray.pipelines.oracles import _phash_scalar_row
+    ids = list(range(41)) + [499, 1234, 4999]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "bmp": pa.array([synth_phash_bmp_bytes(d) for d in ids],
+                        pa.binary())})
+    eng = PhashStage()(tbl)["phash"].to_pylist()
+    assert eng == [_phash_scalar_row(d)[0] for d in ids]
+
+
+def test_phash_dct_basis_no_rounding_boundary():
+    """The q20 basis quantization sits nowhere near a .5 boundary, so
+    the floor(x+0.5) rounding is stable against 1-ulp libm drift."""
+    from shapefile_rs_ray.stages.multimodal import _dct32_q20, _PHASH_Q
+    import numpy as np
+    k = np.arange(32)[:, None]
+    n = np.arange(32)[None, :]
+    ang = np.pi * (2 * n + 1) * k / 64.0
+    s = np.full((32, 1), np.sqrt(2.0 / 32.0))
+    s[0, 0] = np.sqrt(1.0 / 32.0)
+    raw = np.cos(ang) * s * (1 << _PHASH_Q) + 0.5
+    dist = np.abs(raw - np.round(raw))
+    # distance of x+0.5 to the nearest integer == distance of the
+    # scaled value to the .5 rounding boundary
+    assert dist.min() > 1e-6
+    d = _dct32_q20()
+    assert d.shape == (32, 32) and abs(d).max() < (1 << 18)
+
+
+def test_hamming64_band_pairs_exact_recall(ray_session):
+    """8-band blocking finds EVERY pair within hamming<=7 on random
+    64-bit signatures (pigeonhole recall), no false extras, and the
+    reported distances equal brute-force popcounts."""
+    import ray.data
+    from shapefile_rs_ray.stages.dedup import hamming64_band_pairs
+    rng = np.random.default_rng(71)
+    base = rng.integers(0, 2**63, 60, dtype=np.int64)
+    sigs = [int(b) for b in base]
+    # plant near-dups: flip 1..9 random bits off existing signatures
+    for i in range(80):
+        src = int(base[i % 60])
+        for b in rng.choice(64, size=int(rng.integers(1, 10)),
+                            replace=False):
+            src ^= 1 << int(b)
+        sigs.append(np.int64(np.uint64(src % 2**64) - (1 << 64)
+                    if src >= 2**63 else src))
+    sigs = [int(s) for s in sigs]
+    ds = ray.data.from_items(
+        [{"vid": i, "sig": s} for i, s in enumerate(sigs)]
+    ).repartition(7)
+    got = (hamming64_band_pairs(ds, id_col="vid", sig_col="sig",
+                                bands=8, max_hamming=7)
+           .to_pandas())
+    got_set = {(int(r.id_a), int(r.id_b)): int(r.hamming)
+               for r in got.itertuples()}
+    want = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin((sigs[i] ^ sigs[j]) & (2**64 - 1)).count("1")
+            if h <= 7:
+                want[(i, j)] = h
+    assert got_set == want
+    assert len(want) > 50     # the planted dups actually landed
+
+
+def test_hamming64_band_pairs_rejects_unrecallable_threshold():
+    from shapefile_rs_ray.stages.dedup import hamming64_band_pairs
+    with pytest.raises(ValueError, match="exact-recall"):
+        hamming64_band_pairs(None, id_col="x", bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        hamming64_band_pairs(None, id_col="x", bands=7)
+
+
+def test_phash_neardup_counts_match_brute_force(ray_session):
+    """phash_neardup partner counts == brute-force hamming<=7 counts
+    over the synth corpus (exercises clones, near pairs, singletons)."""
+    import pyarrow as pa
+    import ray.data
+    from shapefile_rs_ray.stages.multimodal import (phash_neardup,
+                                                    PhashStage,
+                                                    synth_phash_bmp_bytes)
+    n = 120
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "bmp": pa.array([synth_phash_bmp_bytes(d) for d in range(n)],
+                        pa.binary())})
+    got = (phash_neardup(ray.data.from_arrow(tbl).repartition(5))
+           .to_pandas().set_index("doc_id").sort_index())
+    hashes = PhashStage()(tbl)["phash"].to_pylist()
+    want = [0] * n
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bin((hashes[i] ^ hashes[j]) & (2**64 - 1)).count("1") <= 7:
+                want[i] += 1
+                want[j] += 1
+    assert got["n_near"].tolist() == want
+    assert got["phash"].tolist() == hashes
+    assert max(want) > 0
