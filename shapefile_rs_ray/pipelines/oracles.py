@@ -1720,3 +1720,103 @@ def _phash_scalar_row(doc_id: int) -> tuple:
 def ensure_phash_golden(n_docs: int) -> None:
     _ensure_scalar_golden(PHASH_GOLDEN_PQ, n_docs, _phash_scalar_row,
                           ("phash",))
+
+
+GIF_GOLDEN_PQ = os.path.join(ORACLE_DIR, "gif_decode.parquet")
+
+
+def _gif_scalar_row(doc_id: int) -> tuple:
+    """Independent scalar twin of GifDecodeStage over synth_gif_bytes:
+    byte-offset walk, a from-scratch scalar LZW decoder (dict-of-lists,
+    no shared code with the engine's table machinery), per-pass
+    de-interlace bookkeeping, per-pixel palette lookups."""
+    from ..stages.multimodal import GifDecodeStage, synth_gif_bytes
+    p = synth_gif_bytes(doc_id)
+    assert p[:6] in (b"GIF87a", b"GIF89a")
+    pos = 13
+    n_colors = 2 << (p[10] & 7)
+    pal = [(p[pos + 3 * i], p[pos + 3 * i + 1], p[pos + 3 * i + 2])
+           for i in range(n_colors)]
+    pos += 3 * n_colors
+    while p[pos] == 0x21:
+        pos += 2
+        while p[pos] != 0:
+            pos += 1 + p[pos]
+        pos += 1
+    assert p[pos] == 0x2C
+    w = p[pos + 5] | (p[pos + 6] << 8)
+    h = p[pos + 7] | (p[pos + 8] << 8)
+    interlaced = bool(p[pos + 9] & 0x40)
+    pos += 10
+    minc = p[pos]
+    pos += 1
+    data = bytearray()
+    while p[pos] != 0:
+        ln = p[pos]
+        data += p[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+
+    # scalar LZW: codes as index lists
+    clear, eoi = 1 << minc, (1 << minc) + 1
+    dicts = {i: [i] for i in range(1 << minc)}
+    nxt, width = eoi + 1, minc + 1
+    bitpos = 0
+    out: list[int] = []
+    prev = None
+    while len(out) < w * h:
+        code = 0
+        for b in range(width):
+            byte = data[(bitpos + b) >> 3]
+            code |= ((byte >> ((bitpos + b) & 7)) & 1) << b
+        bitpos += width
+        if code == clear:
+            dicts = {i: [i] for i in range(1 << minc)}
+            nxt, width = eoi + 1, minc + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = dicts[code]
+        elif code in dicts:
+            entry = dicts[code]
+        elif code == nxt:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("twin: bad LZW code")
+        if prev is not None:
+            dicts[nxt] = prev + entry[:1]
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+
+    rows = [out[y * w:(y + 1) * w] for y in range(h)]
+    if interlaced:
+        disp = [None] * h
+        k = 0
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for y in range(start, h, step):
+                disp[y] = rows[k]
+                k += 1
+        rows = disp
+    sums = [0, 0, 0]
+    for y in range(h):
+        for x in range(w):
+            r, g, b = pal[rows[y][x]]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+    t = GifDecodeStage.THUMB
+    thumb = 0
+    for yi in range(t):
+        for xi in range(t):
+            thumb += sum(pal[rows[(yi * h) // t][(xi * w) // t]])
+    return w, h, sums[0], sums[1], sums[2], thumb
+
+
+def ensure_gif_golden(n_docs: int) -> None:
+    _ensure_scalar_golden(GIF_GOLDEN_PQ, n_docs, _gif_scalar_row,
+                          ("width", "height", "sum_r", "sum_g", "sum_b",
+                           "thumb_sum"))

@@ -4,7 +4,8 @@ video) processed by actor-pool map_batches with typed metadata outputs.
 REAL decoders (no imaging/audio library needed, all scalar-twin
 goldened at the gate): WAV (RIFF PCM), BMP 24bpp, PNG (zlib inflate +
 5-filter scanline defilter, stages here), baseline JPEG (Huffman +
-integer IDCT, stages/jpeg.py), Y4M (YUV4MPEG2 demux).
+integer IDCT, stages/jpeg.py), GIF (from-scratch LZW + de-interlace,
+stages here), Y4M (YUV4MPEG2 demux).
 `ImageDecodeStub` sniffs those formats and decodes them genuinely; only
 unrecognized formats fall back to the deterministic fake (or raise in
 `strict` mode the way a missing codec would). The remaining stub-only
@@ -75,11 +76,14 @@ class ImageDecodeStub:
         if payload[:2] == b"BM":
             px = _parse_bmp(payload)
             return px.shape[1], px.shape[0], px.shape[2]
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            px = _parse_gif(payload)
+            return px.shape[1], px.shape[0], px.shape[2]
         if self.strict:
             raise NotImplementedError(
                 "unrecognized image format; real decoders exist for "
-                "PNG/JPEG-baseline/BMP — others need an imaging library "
-                "not present in this environment")
+                "PNG/JPEG-baseline/BMP/GIF — others need an imaging "
+                "library not present in this environment")
         d = hashlib.sha256(payload).digest()
         return (64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 4)
 
@@ -838,3 +842,241 @@ def phash_neardup(images, *, id_col: str = "doc_id",
     prows = pairs.map_batches(pair_sides, batch_format="pyarrow")
     return (hrows.union(prows).groupby("__dp")
             .map_groups(attach, batch_format="pyarrow"))
+
+
+# -- REAL GIF decode (LZW, GIF87a/89a) -----------------------------------
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_compress(indices: bytes, min_code: int = 8) -> bytes:
+    """GIF-flavor LZW: variable-width codes (min_code+1 .. 12 bits),
+    CLEAR/EOI codes, dictionary reset at 4096, LSB-first bit packing.
+    Used only by the payload synthesizer — the decoder is the product."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code, width = eoi + 1, min_code + 1
+    emit(clear, width)
+    cur = b""
+    for byte in indices:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code, width = eoi + 1, min_code + 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if n_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code: int, n_px: int) -> bytes:
+    """GIF LZW decode: LSB-first variable-width codes, CLEAR reset, the
+    KwKwK first-use case, anticipatory width growth (the decoder lags
+    the encoder's dictionary by one assignment, so it bumps when the
+    NEXT index to assign reaches 2^width — the count, not the content,
+    is what the encoder's width depends on). Stops at EOI or once n_px
+    indices are out."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    first_dyn = eoi + 1
+    strs: list[bytes] = []          # dictionary strings, code = first_dyn+i
+    width = min_code + 1
+    out = bytearray()
+    acc = n_acc = pos = 0
+    prev: bytes | None = None
+    while len(out) < n_px:
+        while n_acc < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            acc |= data[pos] << n_acc
+            n_acc += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        if code == clear:
+            strs = []
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < (1 << min_code):
+            entry = bytes([code])
+        elif first_dyn <= code < first_dyn + len(strs):
+            entry = strs[code - first_dyn]
+        elif code == first_dyn + len(strs) and prev is not None:
+            entry = prev + prev[:1]          # KwKwK
+        else:
+            raise ValueError(f"GIF: invalid LZW code {code}")
+        if prev is not None:
+            strs.append(prev + entry[:1])
+            if first_dyn + len(strs) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _parse_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a -> (h, w, 3) uint8 RGB of the FIRST image frame:
+    logical-screen walk, global/local color table, extension-block skip
+    (GCE et al.), LZW decompress, 4-pass de-interlace. Palette mapping
+    is a single numpy gather."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                          # extension: label + blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:                        # image descriptor
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            ip = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ip & 0x80:                      # local color table
+                n = 2 << (ip & 7)
+                ct = np.frombuffer(payload, np.uint8, n * 3,
+                                   pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF: no color table")
+            minc = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(data), minc, w * h),
+                np.uint8, w * h).reshape(h, w)
+            if ip & 0x40:                      # de-interlace
+                order = np.concatenate([
+                    np.arange(start, h, step)
+                    for start, step in _GIF_INTERLACE_PASSES])
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            return ct[idx]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+    raise ValueError("GIF: no image data")
+
+
+class GifDecodeStage:
+    """REAL GIF decode (LZW + de-interlace): same output layout as the
+    other image stages — (key, width, height, sum_r, sum_g, sum_b,
+    thumb_sum) with the 8x8 nearest-neighbor thumbnail sum."""
+
+    THUMB = 8
+
+    def __init__(self, bytes_col: str = "gif", key_col: str = "doc_id"):
+        self.bytes_col = bytes_col
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.bytes_col].to_pylist()
+        n = len(payloads)
+        wid = np.empty(n, np.int64)
+        hei = np.empty(n, np.int64)
+        sums = np.empty((n, 3), np.int64)
+        th = np.empty(n, np.int64)
+        t = self.THUMB
+        for i, p in enumerate(payloads):
+            px = _parse_gif(p)
+            hh, ww = px.shape[0], px.shape[1]
+            wid[i], hei[i] = ww, hh
+            sums[i] = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            yi = (np.arange(t, dtype=np.int64) * hh) // t
+            xi = (np.arange(t, dtype=np.int64) * ww) // t
+            th[i] = int(px[yi][:, xi].astype(np.int64).sum())
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "width": pa.array(wid, pa.int64()),
+            "height": pa.array(hei, pa.int64()),
+            "sum_r": pa.array(sums[:, 0], pa.int64()),
+            "sum_g": pa.array(sums[:, 1], pa.int64()),
+            "sum_b": pa.array(sums[:, 2], pa.int64()),
+            "thumb_sum": pa.array(th, pa.int64()),
+        })
+
+
+def synth_gif_bytes(doc_id: int) -> bytes:
+    """Deterministic GIF keyed by doc id: 256-color global palette
+    (entry i -> ((i*7+id)%256, (i*11+3*id)%256, (i*13+5*id)%256)),
+    indices (x*(id%5+1) + y*(id%7+1) + id) % 256, w = 20+id%13,
+    h = 16+id%9. Odd ids write INTERLACED rows (4-pass order); ids
+    divisible by 3 are GIF89a with a Graphic Control Extension (the
+    decoder's extension-skip path); the LZW stream is produced by the
+    real variable-width compressor."""
+    w = 20 + doc_id % 13
+    h = 16 + doc_id % 9
+    interlaced = doc_id % 2 == 1
+    gce = doc_id % 3 == 0
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([(i * 7 + doc_id) % 256,
+                    (i * 11 + 3 * doc_id) % 256,
+                    (i * 13 + 5 * doc_id) % 256], axis=1).astype(np.uint8)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    idx = ((x * (doc_id % 5 + 1) + y * (doc_id % 7 + 1) + doc_id)
+           % 256).astype(np.uint8)
+    if interlaced:
+        order = np.concatenate([np.arange(start, h, step)
+                                for start, step in _GIF_INTERLACE_PASSES])
+        idx = idx[order]
+    comp = _lzw_compress(idx.tobytes(), 8)
+    out = bytearray()
+    out += b"GIF89a" if gce else b"GIF87a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x70 | 0x07, 0, 0])   # GCT, 256 colors
+    out += pal.tobytes()
+    if gce:
+        out += bytes([0x21, 0xF9, 4, 0, doc_id % 100, 0, 0, 0])
+    packed = 0x40 if interlaced else 0
+    out += (b"\x2c" + b"\x00" * 4
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([packed, 8]))
+    for s in range(0, len(comp), 255):
+        blk = comp[s:s + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)

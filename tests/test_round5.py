@@ -831,3 +831,61 @@ def test_phash_neardup_counts_match_brute_force(ray_session):
     assert got["n_near"].tolist() == want
     assert got["phash"].tolist() == hashes
     assert max(want) > 0
+
+
+def test_gif_engine_matches_scalar_twin():
+    """GifDecodeStage vs the from-scratch scalar-LZW twin over the synth
+    corpus (covers interlaced, GIF89a+GCE, multi-sub-block streams)."""
+    import pyarrow as pa
+    from shapefile_rs_ray.stages.multimodal import (GifDecodeStage,
+                                                    synth_gif_bytes)
+    from shapefile_rs_ray.pipelines.oracles import _gif_scalar_row
+    ids = list(range(45)) + [499, 1234, 4999]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "gif": pa.array([synth_gif_bytes(d) for d in ids], pa.binary())})
+    eng = GifDecodeStage()(tbl)
+    cols = ("width", "height", "sum_r", "sum_g", "sum_b", "thumb_sum")
+    for i, d in enumerate(ids):
+        assert tuple(eng[c][i].as_py() for c in cols) == \
+            _gif_scalar_row(d), d
+
+
+def test_gif_lzw_roundtrip_and_edge_cases():
+    """The LZW pair survives dictionary-reset (4096) streams, the KwKwK
+    pattern, and hand-checkable tiny inputs."""
+    from shapefile_rs_ray.stages.multimodal import (_lzw_compress,
+                                                    _lzw_decompress)
+    rng = np.random.default_rng(5)
+    # KwKwK: aaaa... forces code==next_assign on decode
+    for data in (b"\x01" * 50, bytes([7, 7, 7, 9, 7, 7, 7, 7, 9]),
+                 bytes(rng.integers(0, 4, 3000, dtype=np.uint8)),
+                 bytes(rng.integers(0, 256, 30000, dtype=np.uint8)),
+                 bytes(range(256)) * 40):
+        comp = _lzw_compress(data, 8)
+        assert _lzw_decompress(comp, 8, len(data)) == data
+    # long low-entropy stream overflows the 12-bit table -> CLEAR reset
+    data = bytes(rng.integers(0, 2, 120000, dtype=np.uint8))
+    comp = _lzw_compress(data, 8)
+    assert _lzw_decompress(comp, 8, len(data)) == data
+
+
+def test_gif_decoder_rejects_garbage():
+    from shapefile_rs_ray.stages.multimodal import _parse_gif
+    with pytest.raises(ValueError, match="not a GIF"):
+        _parse_gif(b"NOTGIF" + b"\x00" * 40)
+    with pytest.raises(ValueError):
+        _parse_gif(b"GIF87a" + b"\x00" * 7 + b"\x3b")  # no image block
+
+
+def test_image_stub_sniffs_gif():
+    import pyarrow as pa
+    from shapefile_rs_ray.stages.multimodal import (ImageDecodeStub,
+                                                    synth_gif_bytes)
+    tbl = pa.table({
+        "page_id": pa.array([3], pa.int64()),
+        "html": pa.array([synth_gif_bytes(3)], pa.binary())})
+    out = ImageDecodeStub(strict=True)(tbl)
+    assert out["width"][0].as_py() == 20 + 3 % 13
+    assert out["height"][0].as_py() == 16 + 3 % 9
+    assert out["channels"][0].as_py() == 3
