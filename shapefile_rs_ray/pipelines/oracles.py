@@ -1820,3 +1820,80 @@ def ensure_gif_golden(n_docs: int) -> None:
     _ensure_scalar_golden(GIF_GOLDEN_PQ, n_docs, _gif_scalar_row,
                           ("width", "height", "sum_r", "sum_g", "sum_b",
                            "thumb_sum"))
+
+
+ADPCM_GOLDEN_PQ = os.path.join(ORACLE_DIR, "adpcm_decode.parquet")
+
+# the twin's own copy of the public IMA tables (a Python list literal,
+# independent of the numpy arrays the vectorized decoder indexes)
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+_ADPCM_IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_scalar_row(doc_id: int) -> tuple:
+    """Independent scalar twin of AdpcmDecodeStage over
+    synth_adpcm_bytes: struct-module RIFF walk, per-nibble pure-Python
+    IMA reconstruction — no numpy, no shared control flow with the
+    block-vectorized production decoder (multimodal._parse_adpcm_wav)."""
+    import struct
+    from ..stages.multimodal import synth_adpcm_bytes
+    p = synth_adpcm_bytes(doc_id)
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(p):
+        cid, sz = p[pos:pos + 4], struct.unpack("<I", p[pos + 4:pos + 8])[0]
+        body = p[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact":
+            fact = body
+        pos += 8 + sz + (sz & 1)
+    audio_fmt, n_ch, rate = struct.unpack("<HHI", fmt[:8])
+    block_align = struct.unpack("<H", fmt[12:14])[0]
+    assert audio_fmt == 0x11 and n_ch == 1
+    n_frames = struct.unpack("<I", fact[:4])[0]
+    samples = []
+    for b0 in range(0, len(data), block_align):
+        pred = struct.unpack("<h", data[b0:b0 + 2])[0]
+        index = data[b0 + 2]
+        samples.append(pred)
+        for k in range(b0 + 4, b0 + block_align):
+            byte = data[k]
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _ADPCM_STEPS[index]
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _ADPCM_IDX[nib & 7]))
+                samples.append(pred)
+    samples = samples[:n_frames]
+    sum_abs = sum_sq = peak = 0
+    for s in samples:
+        a = abs(s)
+        sum_abs += a
+        sum_sq += a * a
+        peak = max(peak, a)
+    return rate, 1, len(samples), sum_abs, sum_sq, peak
+
+
+def ensure_adpcm_golden(n_docs: int) -> None:
+    _ensure_scalar_golden(ADPCM_GOLDEN_PQ, n_docs, _adpcm_scalar_row,
+                          ("sample_rate", "n_channels", "n_samples",
+                           "sum_abs", "sum_sq", "peak"))

@@ -1080,3 +1080,234 @@ def synth_gif_bytes(doc_id: int) -> bytes:
         out += bytes([len(blk)]) + blk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# IMA (DVI4) ADPCM — a REAL compressed-audio codec (4 bits/sample), the
+# audio counterpart of the PNG/JPEG/GIF decoders above. Container is the
+# standard WAV format-0x11 block layout: per block a 4-byte state header
+# (predictor int16 LE = the block's FIRST output sample, step index uint8,
+# reserved 0) followed by block_align-4 nibble bytes, low nibble first;
+# a `fact` chunk carries the true frame count so padded nibbles in the
+# final block truncate away. Tables and update rules are the public IMA
+# "Recommended Practices for Enhancing Digital Audio Compatibility" ones.
+# Decode is SEQUENTIAL per block but data-parallel ACROSS blocks — the
+# engine decoder loops over nibble positions with numpy ops spanning every
+# block of the payload (the same across-units vectorization the Y4M and
+# PNG stages use); the oracle twin in pipelines/oracles.py re-decodes the
+# same bytes with pure-Python ints, no numpy, no shared control flow.
+# ---------------------------------------------------------------------------
+
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], np.int64)
+
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
+
+
+def _ima_reconstruct(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One scalar IMA decode step -> (new_pred, new_index). Shared by the
+    ENCODER only (the encoder must track the decoder's reconstruction);
+    the engine decoder below re-implements this vectorized and the oracle
+    twin re-implements it scalar."""
+    step = int(_IMA_STEP_TABLE[index])
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_TABLE[nibble & 7])))
+    return pred, index
+
+
+def _ima_adpcm_encode(samples: np.ndarray, block_align: int) -> bytes:
+    """Mono IMA ADPCM encoder (payload synthesis side). Each block
+    consumes 1 + 2*(block_align-4) input samples: the first is stored
+    verbatim in the header, the rest quantize to nibbles against the
+    running reconstruction. Short final blocks pad with 0-nibbles (the
+    fact chunk's frame count truncates them on decode)."""
+    spb = 1 + 2 * (block_align - 4)
+    out = bytearray()
+    pred, index = 0, 0
+    pos = 0
+    n = len(samples)
+    while pos < n:
+        pred = int(samples[pos])
+        out += pred.to_bytes(2, "little", signed=True)
+        out += bytes([index, 0])
+        pos += 1
+        nibbles = []
+        for j in range(2 * (block_align - 4)):
+            if pos + j < n:
+                target = int(samples[pos + j])
+                step = int(_IMA_STEP_TABLE[index])
+                delta = target - pred
+                nib = 8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+            else:
+                nib = 0                     # pad; truncated by fact count
+            pred, index = _ima_reconstruct(pred, index, nib)
+            nibbles.append(nib)
+        pos += 2 * (block_align - 4)
+        for k in range(0, len(nibbles), 2):
+            out += bytes([nibbles[k] | (nibbles[k + 1] << 4)])
+    assert len(out) % block_align == 0
+    return bytes(out), spb
+
+
+def synth_adpcm_bytes(doc_id: int) -> bytes:
+    """Deterministic IMA-ADPCM WAV keyed by doc id: the int16 source is
+    an integer triangle wave (period 2*(60+id%37), per-sample slope
+    700+id%131 — trackable by the codec so the step index adapts up AND
+    down rather than saturating) plus a small dither term ((t*k2)%61),
+    centered so large ids clip at the int16 rails (clamp exercise);
+    n = 500 + id%203 frames, rate 8000+100*(id%5), mono, block_align 132
+    (257 frames/block -> 2-3 blocks per payload, a padded partial final
+    block for most ids)."""
+    k2 = doc_id % 17 + 3
+    n = 500 + doc_id % 203
+    rate = 8000 + 100 * (doc_id % 5)
+    p = 60 + doc_id % 37
+    a = 700 + doc_id % 131
+    t = np.arange(n, dtype=np.int64)
+    tri = np.abs((t + doc_id) % (2 * p) - p)
+    wave = (tri - p // 2) * a + (t * k2) % 61
+    samples = np.clip(wave, -32768, 32767)
+    block_align = 132
+    data, spb = _ima_adpcm_encode(samples, block_align)
+    fmt = (np.int64(0x11).astype("<u2").tobytes()
+           + np.int64(1).astype("<u2").tobytes()          # mono
+           + np.int64(rate).astype("<u4").tobytes()
+           + np.int64(rate * block_align // spb).astype("<u4").tobytes()
+           + np.int64(block_align).astype("<u2").tobytes()
+           + np.int64(4).astype("<u2").tobytes()          # bits/sample
+           + np.int64(2).astype("<u2").tobytes()          # cbSize
+           + np.int64(spb).astype("<u2").tobytes())       # samples/block
+    fact = np.int64(n).astype("<u4").tobytes()
+    body = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"fact" + len(fact).to_bytes(4, "little") + fact
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def _parse_adpcm_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE IMA-ADPCM (fmt 0x11, mono) -> (rate, 1, int16 samples).
+
+    Vectorized ACROSS blocks: all state headers load in one strided
+    frombuffer, nibbles expand to an (n_blocks, samples-1) matrix, and
+    the sequential predictor/index recurrence runs once per nibble
+    POSITION with numpy ops spanning every block (blocks are independent
+    by construction — each header restates the codec state)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact":
+            fact = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None or fact is None:
+        raise ValueError("missing fmt/fact/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 0x11 or bits != 4 or n_ch != 1:
+        raise ValueError(f"unsupported adpcm wav {audio_fmt}/{bits}/{n_ch}")
+    n_frames = int.from_bytes(fact[0:4], "little")
+    if len(data) % block_align:
+        raise ValueError("data not block-aligned")
+    nb = len(data) // block_align
+    raw = np.frombuffer(data, np.uint8).reshape(nb, block_align)
+    pred = raw[:, 0:2].copy().view("<i2")[:, 0].astype(np.int64)
+    index = raw[:, 2].astype(np.int64)
+    if index.max(initial=0) > 88:
+        raise ValueError("step index out of range")
+    nib_bytes = raw[:, 4:]
+    nibs = np.empty((nb, 2 * (block_align - 4)), np.int64)
+    nibs[:, 0::2] = nib_bytes & 0x0F
+    nibs[:, 1::2] = nib_bytes >> 4
+    out = np.empty((nb, 1 + nibs.shape[1]), np.int64)
+    out[:, 0] = pred
+    for j in range(nibs.shape[1]):
+        n4 = nibs[:, j]
+        step = _IMA_STEP_TABLE[index]
+        diff = ((step >> 3) + np.where(n4 & 4, step, 0)
+                + np.where(n4 & 2, step >> 1, 0)
+                + np.where(n4 & 1, step >> 2, 0))
+        pred = np.clip(np.where(n4 & 8, pred - diff, pred + diff),
+                       -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_TABLE[n4 & 7], 0, 88)
+        out[:, j + 1] = pred
+    samples = out.reshape(-1)[:n_frames].astype(np.int16)
+    return rate, 1, samples
+
+
+class AdpcmDecodeStage:
+    """REAL compressed-audio decode: IMA ADPCM WAV payloads (4
+    bits/sample) fully decompressed per row, emitting the same integer
+    waveform statistics as WavDecodeStage — (key, sample_rate,
+    n_channels, n_samples, sum_abs, sum_sq, peak) — so the scalar-twin
+    golden discipline is identical.
+
+    Scale: one strided header load + one numpy recurrence pass per
+    payload (vectorized across blocks); actor-pool with the usual small
+    batch_size when payloads are large."""
+
+    def __init__(self, bytes_col: str = "adpcm", key_col: str = "doc_id"):
+        self.bytes_col = bytes_col
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.bytes_col].to_pylist()
+        n = len(payloads)
+        rate = np.empty(n, np.int64)
+        nch = np.empty(n, np.int64)
+        nsamp = np.empty(n, np.int64)
+        sabs = np.empty(n, np.int64)
+        ssq = np.empty(n, np.int64)
+        peak = np.empty(n, np.int64)
+        for i, p in enumerate(payloads):
+            r, c, s = _parse_adpcm_wav(p)
+            rate[i], nch[i] = r, c
+            nsamp[i] = len(s)
+            a = np.abs(s.astype(np.int64))
+            sabs[i] = int(a.sum())
+            ssq[i] = int((a * a).sum())
+            peak[i] = int(a.max()) if len(a) else 0
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "sample_rate": pa.array(rate, pa.int64()),
+            "n_channels": pa.array(nch, pa.int64()),
+            "n_samples": pa.array(nsamp, pa.int64()),
+            "sum_abs": pa.array(sabs, pa.int64()),
+            "sum_sq": pa.array(ssq, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+        })
