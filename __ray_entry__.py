@@ -959,6 +959,29 @@ def _text_fidelity(sf_dir: str):
     return back.select_columns(["url", "text"])
 
 
+def _warc_extract(sf_dir: str):
+    """WARC/WET container roundtrip — the format Common-Crawl data
+    actually ships in (ISO 28500; one gzip member per record). The page
+    table exports to `*.warc.wet.gz` shards via a distributed
+    groupby(shard).map_groups writer, then `read_wet` parses them back
+    (one shard file = one parse task, stdlib-zlib member splitting,
+    Content-Length payload slicing). The returned (url, warc_ts, text)
+    must match the direct synthesis SQL byte-for-byte — the input_hint's
+    per-row fidelity invariant proven THROUGH the container format.
+    (warc_ts survives exactly because WARC-Date is second-resolution and
+    the synth timestamps are whole seconds.)"""
+    import shutil
+    from shapefile_rs_ray.sources.warc import read_wet, write_wet_shards
+    from shapefile_rs_ray.sources.webpages import read_webpages
+
+    out = "/tmp/graft_wet_shards"
+    shutil.rmtree(out, ignore_errors=True)
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id", "url", "warc_ts", "text"]))
+    write_wet_shards(pages, out, n_shards=16)
+    return read_wet(out)
+
+
 def _langid(sf_dir: str):
     from shapefile_rs_ray.functions.text import LangId
     from shapefile_rs_ray.sources.webpages import read_webpages
@@ -2322,6 +2345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # surface; the remainder (all driver-green in earlier rounds) follows.
     return {
         # -- NEW operators round 5 (must sit in the gate window) --
+        "warc_extract": _warc_extract,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2382,13 +2406,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _events_hopping,
         "range_join": _range_join,
         "top_events_user": _top_events_user,
-        "orders_by_nation": _orders_by_nation,
         # ---- end of the 50-entry driver gate window ----
         # everything below is driver-green from earlier rounds and
         # UNCHANGED this round (tpch_q5/tpch_q3/asof_join/
-        # session_windows/top_events/exact_dedup/pip_join, and
-        # lineitem_q1 bumped by adpcm_decode, rotated out to make room
-        # for the round-5 additions)
+        # session_windows/top_events/exact_dedup/pip_join, plus
+        # orders_by_nation/lineitem_q1 bumped by warc_extract/
+        # adpcm_decode, rotated out to make room for round-5 additions)
+        "orders_by_nation": _orders_by_nation,
         "lineitem_q1": _lineitem_q1,
         "tpch_q5": _tpch_q5,
         "tpch_q3": _tpch_q3,
@@ -2979,6 +3003,8 @@ SELECT lang,
   CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS BIGINT) AS p99
 FROM w GROUP BY lang""",
         "text_fidelity": f"WITH {pages} SELECT url, text FROM pages",
+        "warc_extract": (
+            f"WITH {pages} SELECT url, warc_ts, text FROM pages"),
         "ann_top1": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
 SELECT vec_id, rank, nn_id FROM (

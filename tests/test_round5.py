@@ -985,3 +985,89 @@ def test_adpcm_stage_over_ray(ray_session):
         got = (row["sample_rate"], row["n_channels"], row["n_samples"],
                row["sum_abs"], row["sum_sq"], row["peak"])
         assert got == want
+
+
+# ---------------------------------------------------------------- WARC/WET
+
+
+def test_wet_record_layout():
+    """One record: WARC/1.0 headers, blank line, payload, double CRLF
+    separator; Content-Length counts payload bytes only."""
+    from shapefile_rs_ray.sources.warc import wet_record
+    rec = wet_record(b"http://a/", 1_600_000_000_000_000, b"hello")
+    assert rec.startswith(b"WARC/1.0\r\n")
+    head, _, rest = rec.partition(b"\r\n\r\n")
+    assert b"WARC-Target-URI: http://a/" in head
+    assert b"WARC-Date: 2020-09-13T12:26:40Z" in head
+    assert b"Content-Length: 5" in head
+    assert rest == b"hello\r\n\r\n"
+
+
+def test_wet_gzip_member_split_and_parse():
+    """Multi-member gzip shard splits per member; warcinfo skipped;
+    payload bytes survive exactly (including CRLFs inside text)."""
+    from shapefile_rs_ray.sources.warc import (build_wet_shard,
+                                               parse_wet_records,
+                                               split_gzip_members)
+    texts = [b"plain", b"with\r\n\r\ninner seps", b""]
+    urls = [b"u0", b"u1", b"u2"]
+    ts = [0, 1_000_000, 2_000_000]
+    blob = build_wet_shard(3, urls, ts, texts)
+    members = split_gzip_members(blob)
+    assert len(members) == 4               # warcinfo + 3 conversions
+    rows = parse_wet_records(blob)
+    assert [(u, t, x) for u, t, x in rows] == list(zip(urls, ts, texts))
+
+
+def test_wet_plain_stream_parse():
+    """A pre-inflated shard (no gzip magic) parses by Content-Length
+    walk to the same rows."""
+    import zlib
+    from shapefile_rs_ray.sources.warc import (build_wet_shard,
+                                               parse_wet_records)
+    blob = build_wet_shard(0, [b"u"], [5_000_000], [b"x\r\n\r\ny"])
+    plain = b""
+    rest = blob
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        plain += d.decompress(rest)
+        rest = d.unused_data
+    rows = parse_wet_records(plain)
+    assert rows == [(b"u", 5_000_000, b"x\r\n\r\ny")]
+
+
+def test_wet_malformed_raises():
+    import pytest as _pytest
+    from shapefile_rs_ray.sources.warc import (parse_wet_records,
+                                               split_gzip_members)
+    with _pytest.raises(ValueError, match="truncated"):
+        split_gzip_members(b"\x1f\x8b\x08\x00junk")
+    with _pytest.raises(ValueError, match="malformed"):
+        parse_wet_records(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_wet_roundtrip_over_ray(ray_session, tmp_path):
+    """Distributed write -> read reproduces (url, warc_ts, text)
+    byte-identically, shard bytes deterministic at any parallelism."""
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.sources.warc import read_wet, write_wet_shards
+    n = 200
+    tbl = pa.table({
+        "page_id": pa.array(range(n), pa.int64()),
+        "url": pa.array([f"http://h{i % 7}/p{i}" for i in range(n)]),
+        "warc_ts": pa.array([i * 1_000_000 for i in range(n)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"doc {i}\nline2 é{i}" for i in range(n)]),
+    })
+    out = str(tmp_path / "wet")
+    shards = write_wet_shards(ray.data.from_arrow(tbl).repartition(8),
+                              out, n_shards=5)
+    assert shards == 5
+    back = read_wet(out).take_all()
+    assert len(back) == n
+    got = sorted((r["url"], r["warc_ts"], r["text"]) for r in back)
+    want = sorted(zip(tbl["url"].to_pylist(),
+                      tbl["warc_ts"].to_pylist(),
+                      tbl["text"].to_pylist()))
+    assert got == want
