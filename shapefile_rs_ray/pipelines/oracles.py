@@ -1897,3 +1897,202 @@ def ensure_adpcm_golden(n_docs: int) -> None:
     _ensure_scalar_golden(ADPCM_GOLDEN_PQ, n_docs, _adpcm_scalar_row,
                           ("sample_rate", "n_channels", "n_samples",
                            "sum_abs", "sum_sq", "peak"))
+
+
+FLAC_GOLDEN_PQ = os.path.join(ORACLE_DIR, "flac_decode.parquet")
+
+
+def _flac_scalar_row(doc_id: int) -> tuple:
+    """Independent scalar twin of FlacDecodeStage over synth_flac_bytes:
+    its own byte-walking bit reader (per-byte accumulator, not a big
+    int), bitwise CRC-8/CRC-16 (no tables), sequential per-sample
+    predictor loops (no cumsum), and its own UTF-8 / header decode — no
+    numpy, no control flow shared with stages/flac.parse_flac."""
+    import hashlib
+    from ..stages.flac import synth_flac_bytes
+    p = synth_flac_bytes(doc_id)
+    assert p[:4] == b"fLaC"
+
+    def crc8b(buf):
+        c = 0
+        for b in buf:
+            c ^= b
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        return c
+
+    def crc16b(buf):
+        c = 0
+        for b in buf:
+            c ^= b << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                    else (c << 1) & 0xFFFF
+        return c
+
+    class RD:
+        def __init__(self, data, start=0):
+            self.d, self.i, self.acc, self.n = data, start, 0, 0
+
+        def bits(self, k):
+            while self.n < k:
+                self.acc = (self.acc << 8) | self.d[self.i]
+                self.i += 1
+                self.n += 8
+            self.n -= k
+            v = (self.acc >> self.n) & ((1 << k) - 1)
+            self.acc &= (1 << self.n) - 1
+            return v
+
+        def sbits(self, k):
+            v = self.bits(k)
+            return v - (1 << k) if v >> (k - 1) else v
+
+        def unary(self):
+            q = 0
+            while self.bits(1) == 0:
+                q += 1
+            return q
+
+        def align(self):
+            self.acc, self.n = 0, 0
+
+    # metadata walk
+    pos = 4
+    si = None
+    while True:
+        hdr = p[pos]
+        ln = int.from_bytes(p[pos + 1:pos + 4], "big")
+        if hdr & 0x7F == 0:
+            si = p[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    v = int.from_bytes(si[10:18], "big")
+    sr_si, ch_si = v >> 44, ((v >> 41) & 7) + 1
+    bps_si, total = ((v >> 36) & 0x1F) + 1, v & ((1 << 36) - 1)
+    md5_want = si[18:34]
+
+    def subframe(rd, bs, bps):
+        assert rd.bits(1) == 0
+        typ = rd.bits(6)
+        wasted = 0
+        if rd.bits(1):
+            wasted = 1 + rd.unary()
+            bps -= wasted
+        if typ == 0:
+            x = [rd.sbits(bps)] * bs
+        elif typ == 1:
+            x = [rd.sbits(bps) for _ in range(bs)]
+        elif 8 <= typ <= 12 or typ >= 32:
+            if typ >= 32:
+                order = (typ & 0x1F) + 1
+                x = [rd.sbits(bps) for _ in range(order)]
+                prec = rd.bits(4) + 1
+                shift = rd.bits(5)
+                coefs = [rd.sbits(prec) for _ in range(order)]
+            else:
+                order = typ & 7
+                x = [rd.sbits(bps) for _ in range(order)]
+                coefs, shift = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                                4: [4, -6, 4, -1]}[order], 0
+            method = rd.bits(2)
+            pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+            porder = rd.bits(4)
+            res = []
+            for part in range(1 << porder):
+                cnt = (bs >> porder) - (order if part == 0 else 0)
+                k = rd.bits(pbits)
+                for _ in range(cnt):
+                    if k == escape:
+                        raise AssertionError("twin: escape unexpected")
+                    u = (rd.unary() << k) | rd.bits(k)
+                    res.append((u >> 1) ^ -(u & 1))
+            for i in range(order, bs):
+                pred = 0
+                for j, c in enumerate(coefs):
+                    pred += c * x[i - 1 - j]
+                x.append(res[i - order] + (pred >> shift))
+        else:
+            raise AssertionError(f"twin: subframe type {typ}")
+        return [s << wasted for s in x] if wasted else x
+
+    rates = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+             7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+    stream = []
+    while pos < len(p):
+        rd = RD(p, pos)
+        assert rd.bits(14) == 0b11111111111110
+        rd.bits(2)
+        bs_code, sr_code = rd.bits(4), rd.bits(4)
+        chan, bps_code = rd.bits(4), rd.bits(3)
+        rd.bits(1)
+        b0 = rd.bits(8)                     # UTF-8 coded frame number
+        if b0 >= 0x80:
+            k = 0
+            m = 0x80
+            while b0 & m:
+                k += 1
+                m >>= 1
+            for _ in range(k - 1):
+                rd.bits(8)
+        if bs_code == 6:
+            bs = rd.bits(8) + 1
+        elif bs_code == 7:
+            bs = rd.bits(16) + 1
+        elif bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 12:
+            rd.bits(8)
+        elif sr_code in (13, 14):
+            rd.bits(16)
+        assert crc8b(p[pos:rd.i]) == rd.bits(8)
+        bps = bps_si if bps_code == 0 else \
+            {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}[bps_code]
+        sr = sr_si if sr_code == 0 else rates[sr_code]
+        assert sr == sr_si
+        if chan <= 7:
+            cols = [subframe(rd, bs, bps) for _ in range(chan + 1)]
+        elif chan == 8:
+            left = subframe(rd, bs, bps)
+            side = subframe(rd, bs, bps + 1)
+            cols = [left, [l - s for l, s in zip(left, side)]]
+        elif chan == 9:
+            side = subframe(rd, bs, bps + 1)
+            right = subframe(rd, bs, bps)
+            cols = [[r + s for r, s in zip(right, side)], right]
+        else:
+            mid = subframe(rd, bs, bps)
+            side = subframe(rd, bs, bps + 1)
+            cols = []
+            l = [((m << 1 | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
+            r = [((m << 1 | (s & 1)) - s) >> 1 for m, s in zip(mid, side)]
+            cols = [l, r]
+        rd.align()
+        assert crc16b(p[pos:rd.i]) == int.from_bytes(p[rd.i:rd.i + 2],
+                                                     "big")
+        pos = rd.i + 2
+        for i in range(bs):
+            stream.append(tuple(c[i] for c in cols))
+    assert len(stream) == total
+    raw = b"".join(s.to_bytes(2, "little", signed=True)
+                   for row in stream for s in row)
+    assert hashlib.md5(raw).digest() == md5_want
+    sum_abs = sum_sq = peak = 0
+    for row in stream:
+        for s in row:
+            a = abs(s)
+            sum_abs += a
+            sum_sq += a * a
+            peak = max(peak, a)
+    return sr_si, ch_si, len(stream), sum_abs, sum_sq, peak
+
+
+def ensure_flac_golden(n_docs: int) -> None:
+    _ensure_scalar_golden(FLAC_GOLDEN_PQ, n_docs, _flac_scalar_row,
+                          ("sample_rate", "n_channels", "n_samples",
+                           "sum_abs", "sum_sq", "peak"))

@@ -1071,3 +1071,85 @@ def test_wet_roundtrip_over_ray(ray_session, tmp_path):
                       tbl["warc_ts"].to_pylist(),
                       tbl["text"].to_pylist()))
     assert got == want
+
+
+# ------------------------------------------------------------------- FLAC
+
+
+def test_flac_roundtrip_all_modes():
+    import numpy as np
+    from shapefile_rs_ray.stages.flac import encode_flac, parse_flac
+    rng = np.random.default_rng(11)
+    x = rng.integers(-12000, 12000, size=(1500, 2)).astype(np.int64)
+    for mode in ["independent", "left_side", "right_side", "mid_side",
+                 "auto"]:
+        sr, ch, y = parse_flac(encode_flac(x, 48000, block_size=256,
+                                           stereo_mode=mode, lpc_every=2))
+        assert (sr, ch) == (48000, 2)
+        assert np.array_equal(x, y), mode
+    # mono, odd length, non-table rate (frame header defers to
+    # STREAMINFO), constant signal
+    m = np.full(777, 42, np.int64)
+    sr, ch, y = parse_flac(encode_flac(m, 11025, block_size=512))
+    assert sr == 11025 and np.array_equal(m, y[:, 0])
+
+
+def test_flac_crc_and_md5_tamper_detected():
+    import numpy as np
+    import pytest as _pytest
+    from shapefile_rs_ray.stages.flac import encode_flac, parse_flac
+    x = np.arange(600, dtype=np.int64) % 97 - 48
+    blob = bytearray(encode_flac(x, 44100, block_size=512))
+    # flip one bit inside the first frame's residual bytes
+    bad = bytearray(blob)
+    bad[-10] ^= 0x10
+    with _pytest.raises(ValueError, match="CRC|MD5|mismatch|sync"):
+        parse_flac(bytes(bad))
+    # tamper STREAMINFO MD5 only: frames pass CRC, stream check trips
+    bad2 = bytearray(blob)
+    bad2[8 + 4 + 18] ^= 0xFF              # first md5 byte
+    with _pytest.raises(ValueError, match="MD5"):
+        parse_flac(bytes(bad2))
+    parse_flac(bytes(bad2), verify_md5=False)   # opt-out path works
+
+
+def test_flac_rejects_malformed():
+    import pytest as _pytest
+    from shapefile_rs_ray.stages.flac import parse_flac
+    with _pytest.raises(ValueError, match="magic"):
+        parse_flac(b"RIFFxxxx")
+
+
+def test_flac_twin_matches_engine():
+    """The oracle's independent pure-Python decoder and the engine agree
+    on every synth doc stat — the golden-generation contract."""
+    import pyarrow as pa
+    from shapefile_rs_ray.pipelines.oracles import _flac_scalar_row
+    from shapefile_rs_ray.stages.flac import (FlacDecodeStage,
+                                              synth_flac_bytes)
+    st = FlacDecodeStage()
+    for d in range(25):
+        out = st(pa.table({
+            "doc_id": pa.array([d], pa.int64()),
+            "flac": pa.array([synth_flac_bytes(d)], pa.binary())}))
+        eng = tuple(out[c][0].as_py()
+                    for c in ("sample_rate", "n_channels", "n_samples",
+                              "sum_abs", "sum_sq", "peak"))
+        assert eng == _flac_scalar_row(d), d
+
+
+def test_flac_stage_over_ray(ray_session):
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.stages.flac import (FlacDecodeStage,
+                                              synth_flac_bytes)
+    ids = list(range(30))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "flac": pa.array([synth_flac_bytes(d) for d in ids],
+                         pa.binary())}))
+    out = ds.map_batches(FlacDecodeStage, batch_format="pyarrow",
+                         concurrency=2).take_all()
+    assert len(out) == 30
+    assert all(r["n_samples"] == 900 + (r["doc_id"] * 181) % 1700
+               for r in out)
