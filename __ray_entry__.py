@@ -662,6 +662,33 @@ def _wav_decode(sf_dir: str):
                          concurrency=(1, 4)))
 
 
+def _avi_frames(sf_dir: str):
+    """REAL video container + codec (not a stub): per-doc MJPEG AVI
+    files (RIFF hdrl/movi/idx1, in-repo baseline-JPEG frames); the
+    sampler seeks via the idx1 index and decodes ONLY the 4 sampled
+    frames — O(samples) per video however long the file. Golden = an
+    independent RIFF walk + the pure-Python bit-by-bit JPEG twin per
+    sampled frame (oracles._avi_scalar_rows)."""
+    import pyarrow as pa
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.avi import (AviFrameSampleStage,
+                                             synth_avi_bytes)
+    oracles.ensure_avi_golden(_n_docs(sf_dir))
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "avi": pa.array([synth_avi_bytes(d) for d in ids],
+                            pa.binary())})
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    return (docs.map_batches(build, batch_format="pyarrow")
+            .map_batches(AviFrameSampleStage, batch_format="pyarrow",
+                         concurrency=(1, 4)))
+
+
 def _flac_decode(sf_dir: str):
     """REAL lossless-audio codec (FLAC, from the public spec): per-doc
     streams with fixed + genuine quantized-LPC subframes, Rice-coded
@@ -2376,6 +2403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- NEW operators round 5 (must sit in the gate window) --
         "warc_extract": _warc_extract,
         "flac_decode": _flac_decode,
+        "avi_frames": _avi_frames,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2434,9 +2462,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _events_window,
         "events_late": _events_late,
         "events_hopping": _events_hopping,
-        "range_join": _range_join,
         # ---- end of the 50-entry driver gate window ----
-        # (top_events_user bumped below by flac_decode this round)
+        # (top_events_user/range_join bumped below by flac_decode/
+        # avi_frames this round)
+        "range_join": _range_join,
         "top_events_user": _top_events_user,
         # everything below is driver-green from earlier rounds and
         # UNCHANGED this round (tpch_q5/tpch_q3/asof_join/
@@ -2801,6 +2830,11 @@ FROM w""",
             "SELECT g.doc_id, sample_rate, n_channels, n_samples, "
             "sum_abs, sum_sq, peak "
             f"FROM read_parquet('{oracles.FLAC_GOLDEN_PQ}') g "
+            "JOIN documents d ON d.doc_id = g.doc_id"),
+        "avi_frames": (
+            "SELECT g.doc_id, sample, frame, ts_ms, n_frames, "
+            "r_sum, g_sum, b_sum "
+            f"FROM read_parquet('{oracles.AVI_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
         "bmp_decode": (
             "SELECT g.doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum "

@@ -1352,17 +1352,16 @@ def ensure_png_golden(n_docs: int) -> None:
 JPEG_GOLDEN_PQ = os.path.join(ORACLE_DIR, "jpeg_decode.parquet")
 
 
-def _jpeg_scalar_row(doc_id: int) -> tuple:
-    """Independent scalar twin of JpegDecodeStage over synth_jpeg_bytes:
-    pure-Python marker walk, bit-by-bit Huffman decode, per-coefficient
-    dequantize/de-zigzag, triple-loop integer IDCT over a basis matrix
-    re-derived from math.cos, and the fixed-point colour ints — no
-    numpy, no shared control flow with the vectorized decoder. The
-    integer-IDCT determinism contract (order-free int64 dot products)
-    is what makes this twin bit-exact."""
+def _jpeg_scalar_px(p: bytes):
+    """Independent pure-Python baseline-JPEG decode of one payload ->
+    (w, h, rgb_at): marker walk, bit-by-bit Huffman decode,
+    per-coefficient dequantize/de-zigzag, triple-loop integer IDCT over
+    a basis matrix re-derived from math.cos, and the fixed-point colour
+    ints — no numpy, no shared control flow with the vectorized decoder.
+    The integer-IDCT determinism contract (order-free int64 dot
+    products) is what makes twins built on this bit-exact. Shared by the
+    jpeg_decode and avi_frames golden twins."""
     import math
-    from ..stages.jpeg import JpegDecodeStage, synth_jpeg_bytes
-    p = synth_jpeg_bytes(doc_id)
     assert p[:2] == b"\xff\xd8"
     zig = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -1526,6 +1525,14 @@ def _jpeg_scalar_row(doc_id: int) -> tuple:
         clip = (lambda t: 0 if t < 0 else 255 if t > 255 else t)
         return clip(r), clip(g), clip(b)
 
+    return w, h, rgb_at
+
+
+def _jpeg_scalar_row(doc_id: int) -> tuple:
+    """jpeg_decode golden row: the independent _jpeg_scalar_px decode of
+    synth_jpeg_bytes(doc_id), reduced to channel sums + the thumbnail."""
+    from ..stages.jpeg import JpegDecodeStage, synth_jpeg_bytes
+    w, h, rgb_at = _jpeg_scalar_px(synth_jpeg_bytes(doc_id))
     sums = [0, 0, 0]
     for yy in range(h):
         for xx in range(w):
@@ -2096,3 +2103,86 @@ def ensure_flac_golden(n_docs: int) -> None:
     _ensure_scalar_golden(FLAC_GOLDEN_PQ, n_docs, _flac_scalar_row,
                           ("sample_rate", "n_channels", "n_samples",
                            "sum_abs", "sum_sq", "peak"))
+
+
+AVI_GOLDEN_PQ = os.path.join(ORACLE_DIR, "avi_frames.parquet")
+
+
+def _avi_scalar_rows(doc_id: int) -> list:
+    """Independent scalar twin of AviFrameSampleStage over
+    synth_avi_bytes: its OWN sequential RIFF/LIST walk (no idx1 use, no
+    shared parser) + the pure-Python _jpeg_scalar_px decode of each
+    sampled frame."""
+    import struct
+    from ..stages.avi import synth_avi_bytes
+    p = synth_avi_bytes(doc_id)
+    assert p[:4] == b"RIFF" and p[8:12] == b"AVI "
+    w = h = rate = scale = total = None
+    frames = []
+
+    def walk(lo: int, hi: int):
+        nonlocal w, h, rate, scale, total
+        pos = lo
+        while pos + 8 <= hi:
+            cc = p[pos:pos + 4]
+            ln = struct.unpack("<I", p[pos + 4:pos + 8])[0]
+            if cc == b"LIST":
+                walk(pos + 12, pos + 8 + ln)
+            elif cc == b"avih":
+                total = struct.unpack("<I", p[pos + 24:pos + 28])[0]
+                w, h = struct.unpack("<II", p[pos + 40:pos + 48])
+            elif cc == b"strh":
+                scale, rate = struct.unpack("<II", p[pos + 28:pos + 36])
+            elif cc == b"00dc":
+                frames.append(p[pos + 8:pos + 8 + ln])
+            pos += 8 + ln + (ln & 1)
+
+    walk(12, 8 + struct.unpack("<I", p[4:8])[0])
+    assert len(frames) == total
+    rows = []
+    take = min(4, total)
+    for j in range(take):
+        fi = (j * total) // take
+        fw, fh, rgb_at = _jpeg_scalar_px(frames[fi])
+        assert (fw, fh) == (w, h)
+        rs = gs = bs = 0
+        for yy in range(fh):
+            for xx in range(fw):
+                r, g, b = rgb_at(xx, yy)
+                rs += r
+                gs += g
+                bs += b
+        rows.append((doc_id, j, fi, fi * 1000 * scale // rate, total,
+                     rs, gs, bs))
+    return rows
+
+
+def ensure_avi_golden(n_docs: int) -> None:
+    """Multi-row golden (rows-per-doc varies with frame count): tagged
+    with the generating doc count like the y4m golden."""
+    if os.path.exists(AVI_GOLDEN_PQ):
+        meta = pq.ParquetFile(AVI_GOLDEN_PQ).schema_arrow.metadata or {}
+        if int(meta.get(b"n_docs", b"0")) >= n_docs:
+            return
+    import ray
+
+    names = ("doc_id", "sample", "frame", "ts_ms", "n_frames",
+             "r_sum", "g_sum", "b_sum")
+
+    @ray.remote
+    def _chunk(start: int, stop: int) -> pa.Table:
+        rows = []
+        for did in range(start, stop):
+            rows.extend(_avi_scalar_rows(did))
+        return pa.table({nm: pa.array([r[i] for r in rows], pa.int64())
+                         for i, nm in enumerate(names)})
+
+    step = 100
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    parts = ray.get([_chunk.remote(s, min(s + step, n_docs))
+                     for s in range(0, n_docs, step)])
+    tbl = pa.concat_tables(parts)
+    tbl = tbl.replace_schema_metadata({b"n_docs": str(n_docs).encode()})
+    tmp = f"{AVI_GOLDEN_PQ}.tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, AVI_GOLDEN_PQ)

@@ -141,7 +141,13 @@ class VideoFrameSampleStub:
     sampler (ffmpeg) produces. The container parse is the stub: frame
     count and fps derive deterministically from the content hash
     (`strict` raises like a missing codec); the sample positions and
-    timestamps are exact integer arithmetic, fully SQL-oracled."""
+    timestamps are exact integer arithmetic, fully SQL-oracled.
+
+    REAL counterparts exist for open formats: Y4mDecodeStage (raw
+    YUV4MPEG2) and stages/avi.AviFrameSampleStage (MJPEG AVI with
+    index-seek sampling + genuine JPEG decode); this stub remains only
+    for patent-heavy codecs (H.264/H.265) a from-scratch engine cannot
+    honestly ship."""
 
     def __init__(self, bytes_col: str = "html", key_col: str = "page_id",
                  samples: int = 4, strict: bool = False):

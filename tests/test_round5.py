@@ -1153,3 +1153,66 @@ def test_flac_stage_over_ray(ray_session):
     assert len(out) == 30
     assert all(r["n_samples"] == 900 + (r["doc_id"] * 181) % 1700
                for r in out)
+
+
+# -------------------------------------------------------------- AVI/MJPEG
+
+
+def test_avi_container_roundtrip_and_index():
+    import struct
+    import pytest as _pytest
+    from shapefile_rs_ray.stages.avi import (build_avi_mjpeg,
+                                             parse_avi_index,
+                                             synth_frame_rgb)
+    from shapefile_rs_ray.stages.jpeg import encode_jpeg_rgb
+    frames = [encode_jpeg_rgb(synth_frame_rgb(1, f, 24, 16))
+              for f in range(4)]
+    blob = build_avi_mjpeg(frames, 24, 16, 30000, 1001)
+    w, h, rate, scale, n, spans = parse_avi_index(blob)
+    assert (w, h, rate, scale, n) == (24, 16, 30000, 1001, 4)
+    for (off, ln), f in zip(spans, frames):
+        assert blob[off:off + ln] == f
+    # corrupt an idx1 offset: the validated seek path must refuse
+    bad = bytearray(blob)
+    at = blob.rindex(b"idx1") + 8 + 8      # first entry dwChunkOffset
+    bad[at:at + 4] = struct.pack("<I", 2)
+    with _pytest.raises(ValueError, match="idx1"):
+        parse_avi_index(bytes(bad))
+    with _pytest.raises(ValueError, match="RIFF"):
+        parse_avi_index(b"JUNK" * 8)
+
+
+def test_avi_twin_matches_engine():
+    import pyarrow as pa
+    from shapefile_rs_ray.pipelines.oracles import _avi_scalar_rows
+    from shapefile_rs_ray.stages.avi import (AviFrameSampleStage,
+                                             synth_avi_bytes)
+    st = AviFrameSampleStage()
+    for d in range(12):
+        out = st(pa.table({
+            "doc_id": pa.array([d], pa.int64()),
+            "avi": pa.array([synth_avi_bytes(d)], pa.binary())}))
+        eng = [tuple(r) for r in zip(*[out[c].to_pylist()
+                                       for c in out.column_names])]
+        assert eng == _avi_scalar_rows(d), d
+
+
+def test_avi_stage_over_ray(ray_session):
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.stages.avi import (AviFrameSampleStage,
+                                             synth_avi_bytes)
+    ids = list(range(20))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "avi": pa.array([synth_avi_bytes(d) for d in ids],
+                        pa.binary())}))
+    out = ds.map_batches(AviFrameSampleStage, batch_format="pyarrow",
+                         concurrency=2).take_all()
+    # every doc contributes min(4, n_frames) rows; frame counts 3-6
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r["sample"])
+        assert r["n_frames"] == 3 + r["doc_id"] % 4
+    assert all(sorted(v) == list(range(min(4, 3 + d % 4)))
+               for d, v in per.items())
