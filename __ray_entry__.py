@@ -662,6 +662,34 @@ def _wav_decode(sf_dir: str):
                          concurrency=(1, 4)))
 
 
+def _mp3_meta(sf_dir: str):
+    """MP3 container metadata (ffprobe-style, honest scope): the public
+    frame-header walk — sync/version/layer/bitrate/samplerate bits, the
+    frame-size recurrence that hops header-to-header without scanning
+    payload bytes, ID3v2 syncsafe skip, ID3v1 trailer — over
+    structurally-valid synthesized streams (CBR+VBR, MPEG-1/2, Layer
+    II/III). No payload decode is claimed (that stack is patent-shaped,
+    like H.264). Golden = independent twin walker with its own table
+    transcriptions (oracles._mp3_scalar_row)."""
+    import pyarrow as pa
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.mp3 import Mp3MetaStage, synth_mp3_bytes
+    oracles.ensure_mp3_golden(_n_docs(sf_dir))
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "mp3": pa.array([synth_mp3_bytes(d) for d in ids],
+                            pa.binary())})
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    return (docs.map_batches(build, batch_format="pyarrow")
+            .map_batches(Mp3MetaStage, batch_format="pyarrow",
+                         concurrency=(1, 4)))
+
+
 def _avi_frames(sf_dir: str):
     """REAL video container + codec (not a stub): per-doc MJPEG AVI
     files (RIFF hdrl/movi/idx1, in-repo baseline-JPEG frames); the
@@ -2404,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _warc_extract,
         "flac_decode": _flac_decode,
         "avi_frames": _avi_frames,
+        "mp3_meta": _mp3_meta,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2461,10 +2490,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": _html_extract,
         "events_window": _events_window,
         "events_late": _events_late,
-        "events_hopping": _events_hopping,
         # ---- end of the 50-entry driver gate window ----
-        # (top_events_user/range_join bumped below by flac_decode/
-        # avi_frames this round)
+        # (top_events_user/range_join/events_hopping bumped below by
+        # flac_decode/avi_frames/mp3_meta this round)
+        "events_hopping": _events_hopping,
         "range_join": _range_join,
         "top_events_user": _top_events_user,
         # everything below is driver-green from earlier rounds and
@@ -2835,6 +2864,12 @@ FROM w""",
             "SELECT g.doc_id, sample, frame, ts_ms, n_frames, "
             "r_sum, g_sum, b_sum "
             f"FROM read_parquet('{oracles.AVI_GOLDEN_PQ}') g "
+            "JOIN documents d ON d.doc_id = g.doc_id"),
+        "mp3_meta": (
+            "SELECT g.doc_id, version, layer, sample_rate, channels, "
+            "n_frames, audio_bytes, duration_ms, bitrate_bps, is_vbr, "
+            "has_id3v2, has_id3v1 "
+            f"FROM read_parquet('{oracles.MP3_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
         "bmp_decode": (
             "SELECT g.doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum "

@@ -293,21 +293,25 @@ def run_queries() -> tuple[dict, dict]:
         from shapefile_rs_ray.stages.multimodal import (PngDecodeStage,
                                                         synth_png_bytes)
 
-        def build(b):
+        st = PngDecodeStage()
+
+        def build_decode(b):
             ids = b["page_id"].to_pylist()
-            return pa.table({
+            return st(pa.table({
                 "doc_id": b["page_id"],
                 "png": pa.array([synth_png_bytes(d) for d in ids],
-                                pa.binary())})
+                                pa.binary())}))
 
         # the id column is tiny: repartition it to conc*4 blocks so the
-        # synth+decode stages actually fan out (the repl-20 read yields
-        # too few blocks to feed a 31-actor pool)
+        # fused synth+decode actually fans out (the repl-20 read yields
+        # too few blocks). TASK-based, not an actor pool: the codec is
+        # stateless, and tasks reuse warm workers across samples where a
+        # fresh 31-actor pool pays its staggered startup every run
+        # (measured: tasks 6.7-8.4s vs actors 8.0-26.4s on this host).
         ds = read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
         return (ds.select_columns(["page_id"]).repartition(conc * 4)
-                .map_batches(build, batch_format="pyarrow")
-                .map_batches(PngDecodeStage, batch_format="pyarrow",
-                             concurrency=conc).count())
+                .map_batches(build_decode, batch_format="pyarrow")
+                .count())
 
     timed("png_decode", q_png_decode)
 
@@ -320,19 +324,21 @@ def run_queries() -> tuple[dict, dict]:
         from shapefile_rs_ray.stages.jpeg import (JpegDecodeStage,
                                                   synth_jpeg_bytes)
 
-        def build(b):
+        st = JpegDecodeStage()
+
+        def build_decode(b):
             ids = b["page_id"].to_pylist()
-            return pa.table({
+            return st(pa.table({
                 "doc_id": b["page_id"],
                 "jpg": pa.array([synth_jpeg_bytes(d) for d in ids],
-                                pa.binary())})
+                                pa.binary())}))
 
+        # task-based for the same reason as png_decode above
         ds = read_webpages(SF_DIR, repl=max(1, REPL_SMALL // 2),
                            with_html=False)
         return (ds.select_columns(["page_id"]).repartition(conc * 4)
-                .map_batches(build, batch_format="pyarrow")
-                .map_batches(JpegDecodeStage, batch_format="pyarrow",
-                             concurrency=conc).count())
+                .map_batches(build_decode, batch_format="pyarrow")
+                .count())
 
     timed("jpeg_decode", q_jpeg_decode)
 

@@ -2186,3 +2186,69 @@ def ensure_avi_golden(n_docs: int) -> None:
     tmp = f"{AVI_GOLDEN_PQ}.tmp{os.getpid()}"
     pq.write_table(tbl, tmp)
     os.replace(tmp, AVI_GOLDEN_PQ)
+
+
+MP3_GOLDEN_PQ = os.path.join(ORACLE_DIR, "mp3_meta.parquet")
+
+
+def _mp3_scalar_row(doc_id: int) -> tuple:
+    """Independent scalar twin of Mp3MetaStage over synth_mp3_bytes: its
+    own header bit-slicing and its own transcription of the public
+    bitrate/samplerate/samples-per-frame tables (no import of the
+    stage's tables or walk)."""
+    from ..stages.mp3 import synth_mp3_bytes
+    p = synth_mp3_bytes(doc_id)
+    br_v1 = {3: (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320),
+             2: (None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320, 384)}
+    br_v2 = {3: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 144, 160),
+             2: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 144, 160)}
+    rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+             0: (11025, 12000, 8000)}
+    pos, id3v2 = 0, 0
+    if p[0:3] == b"ID3":
+        sz = ((p[6] & 0x7F) * 2097152 + (p[7] & 0x7F) * 16384
+              + (p[8] & 0x7F) * 128 + (p[9] & 0x7F))
+        pos = 10 + sz + (10 if p[5] & 0x10 else 0)
+        id3v2 = 1
+    end, id3v1 = len(p), 0
+    if end - pos >= 128 and p[end - 128:end - 125] == b"TAG":
+        end -= 128
+        id3v1 = 1
+    fmt = None
+    frames = abytes = 0
+    brs = set()
+    while pos < end:
+        assert p[pos] == 0xFF and p[pos + 1] >= 0xE0
+        vb = (p[pos + 1] >> 3) & 3
+        lyr = 4 - ((p[pos + 1] >> 1) & 3)
+        bi = p[pos + 2] >> 4
+        sr = rates[vb][(p[pos + 2] >> 2) & 3]
+        pad = (p[pos + 2] >> 1) & 1
+        ch = 1 if (p[pos + 3] >> 6) & 3 == 3 else 2
+        br = (br_v1 if vb == 3 else br_v2)[lyr][bi]
+        spf = 1152 if lyr == 2 or vb == 3 else 576
+        if fmt is None:
+            fmt = (vb, lyr, sr, ch, spf)
+        assert fmt == (vb, lyr, sr, ch, spf)
+        ln = spf // 8 * br * 1000 // sr + pad
+        frames += 1
+        abytes += ln
+        brs.add(br)
+        pos += ln
+    assert pos == end
+    vb, lyr, sr, ch, spf = fmt
+    return ({3: 1, 2: 2, 0: 25}[vb], lyr, sr, ch, frames, abytes,
+            frames * spf * 1000 // sr, abytes * 8 * sr // (frames * spf),
+            int(len(brs) > 1), id3v2, id3v1)
+
+
+def ensure_mp3_golden(n_docs: int) -> None:
+    _ensure_scalar_golden(MP3_GOLDEN_PQ, n_docs, _mp3_scalar_row,
+                          ("version", "layer", "sample_rate", "channels",
+                           "n_frames", "audio_bytes", "duration_ms",
+                           "bitrate_bps", "is_vbr", "has_id3v2",
+                           "has_id3v1"))

@@ -109,12 +109,16 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first reader over a big int (fast: one int.from_bytes)."""
+    """MSB-first reader: byte cursor + small accumulator (O(1) per read
+    — a whole-payload big-int shifts O(n) bits per read and makes frame
+    decode quadratic)."""
 
     def __init__(self, data: bytes):
         self._data = data
-        self._val = int.from_bytes(data, "big")
         self._total = len(data) * 8
+        self._i = 0                     # next byte index
+        self._acc = 0
+        self._n = 0                     # bits in accumulator
         self._pos = 0                   # bits consumed
 
     def read(self, nbits: int) -> int:
@@ -122,14 +126,40 @@ class _BitReader:
             return 0
         if self._pos + nbits > self._total:
             raise ValueError("flac: bitstream underrun")
+        while self._n < nbits:
+            self._acc = (self._acc << 8) | self._data[self._i]
+            self._i += 1
+            self._n += 8
+        self._n -= nbits
         self._pos += nbits
-        return (self._val >> (self._total - self._pos)) & ((1 << nbits) - 1)
+        v = (self._acc >> self._n) & ((1 << nbits) - 1)
+        self._acc &= (1 << self._n) - 1
+        return v
 
     def read_unary(self) -> int:
+        """Zeros-then-one, consuming whole zero bytes at a time
+        (bit_length finds the terminator in O(1) per refill instead of
+        a Python call per bit)."""
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if self._n == 0:
+                if self._i >= len(self._data):
+                    raise ValueError("flac: bitstream underrun")
+                self._acc = self._data[self._i]
+                self._i += 1
+                self._n = 8
+            if self._acc == 0:
+                q += self._n
+                self._pos += self._n
+                self._n = 0
+                continue
+            top = self._acc.bit_length()
+            zeros = self._n - top
+            q += zeros
+            self._pos += zeros + 1
+            self._n = top - 1
+            self._acc &= (1 << self._n) - 1
+            return q
 
     def read_signed(self, nbits: int) -> int:
         v = self.read(nbits)
@@ -486,12 +516,47 @@ def _read_residual(rd: _BitReader, bs: int, order: int) -> np.ndarray:
             for i in range(cnt):
                 out[pos + i] = rd.read_signed(nb) if nb else 0
         else:
-            for i in range(cnt):
-                q = rd.read_unary()
-                u = (q << k) | rd.read(k)
-                out[pos + i] = (u >> 1) ^ -(u & 1)
+            _read_rice_block(rd, cnt, k, out, pos)
         pos += cnt
     return out
+
+
+def _read_rice_block(rd: _BitReader, cnt: int, k: int,
+                     out: np.ndarray, pos: int) -> None:
+    """Hot loop: cnt Rice(k) symbols decoded over LOCAL ints (the
+    method-call-per-bit form measured ~2x slower; this is the whole
+    per-sample cost of FLAC decode, everything else is vectorized)."""
+    data, i, acc, n = rd._data, rd._i, rd._acc, rd._n
+    end = len(data)
+    kmask = (1 << k) - 1
+    for j in range(cnt):
+        q = 0
+        while True:
+            if n == 0:
+                if i >= end:
+                    raise ValueError("flac: bitstream underrun")
+                acc = data[i]
+                i += 1
+                n = 8
+            if acc == 0:
+                q += n
+                n = 0
+                continue
+            top = acc.bit_length()
+            q += n - top
+            n = top - 1
+            acc &= (1 << n) - 1
+            break
+        while n < k:
+            acc = (acc << 8) | data[i]
+            i += 1
+            n += 8
+        n -= k
+        u = (q << k) | ((acc >> n) & kmask)
+        acc &= (1 << n) - 1
+        out[pos + j] = (u >> 1) ^ -(u & 1)
+    rd._i, rd._acc, rd._n = i, acc, n
+    rd._pos = i * 8 - n                 # reader invariant: pos == i*8 - n
 
 
 _RATE_DECODE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,

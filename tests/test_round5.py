@@ -1216,3 +1216,52 @@ def test_avi_stage_over_ray(ray_session):
         assert r["n_frames"] == 3 + r["doc_id"] % 4
     assert all(sorted(v) == list(range(min(4, 3 + d % 4)))
                for d, v in per.items())
+
+
+# -------------------------------------------------------------------- MP3
+
+
+def test_mp3_walker_and_twin():
+    from shapefile_rs_ray.pipelines.oracles import _mp3_scalar_row
+    from shapefile_rs_ray.stages.mp3 import parse_mp3_meta, synth_mp3_bytes
+    seen_vbr = seen_cbr = seen_v2 = seen_l2 = 0
+    for d in range(40):
+        m = parse_mp3_meta(synth_mp3_bytes(d))
+        assert m == _mp3_scalar_row(d), d
+        (ver, layer, rate, ch, n, ab, dur, br, vbr, id3v2, id3v1) = m
+        assert dur == n * (1152 if layer == 2 or ver == 1 else 576) \
+            * 1000 // rate
+        seen_vbr += vbr
+        seen_cbr += 1 - vbr
+        seen_v2 += id3v2
+        seen_l2 += layer == 2
+    assert seen_vbr and seen_cbr and seen_v2 and seen_l2
+
+
+def test_mp3_rejects_malformed():
+    import pytest as _pytest
+    from shapefile_rs_ray.stages.mp3 import parse_mp3_meta, synth_mp3_bytes
+    with _pytest.raises(ValueError, match="sync|frames"):
+        parse_mp3_meta(b"\x00" * 64)
+    good = bytearray(synth_mp3_bytes(1))
+    good[0] ^= 0x01                          # break first sync byte
+    with _pytest.raises(ValueError, match="sync"):
+        parse_mp3_meta(bytes(good))
+    # truncate mid-frame: frame overruns stream
+    with _pytest.raises(ValueError, match="overruns|garbage"):
+        parse_mp3_meta(bytes(synth_mp3_bytes(2)[:-10]))
+
+
+def test_mp3_stage_over_ray(ray_session):
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.stages.mp3 import Mp3MetaStage, synth_mp3_bytes
+    ids = list(range(30))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "mp3": pa.array([synth_mp3_bytes(d) for d in ids],
+                        pa.binary())}))
+    out = ds.map_batches(Mp3MetaStage, batch_format="pyarrow",
+                         concurrency=2).take_all()
+    assert len(out) == 30
+    assert all(r["n_frames"] == 8 + r["doc_id"] % 21 for r in out)
