@@ -342,6 +342,68 @@ def run_queries() -> tuple[dict, dict]:
 
     timed("jpeg_decode", q_jpeg_decode)
 
+    def q_warc_roundtrip():
+        # round-5 WARC/WET container: distributed shard write (one gzip
+        # member per record) + parse-back of repl=REPL_SMALL pages —
+        # the engine's CC-native ingestion/egress path, I/O-bound
+        import shutil
+        from shapefile_rs_ray.sources.warc import (read_wet,
+                                                   write_wet_shards)
+        out = "/tmp/graft_bench_wet"
+        shutil.rmtree(out, ignore_errors=True)
+        pages = (read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
+                 .select_columns(["page_id", "url", "warc_ts", "text"]))
+        write_wet_shards(pages, out, n_shards=conc * 2)
+        return read_wet(out).count()
+
+    timed("warc_roundtrip", q_warc_roundtrip)
+
+    def q_mp3_meta():
+        # round-5 MP3 frame walk: synth + header-hop metadata for
+        # repl=REPL_SMALL streams (the ffprobe stage of audio curation)
+        import pyarrow as pa
+        from shapefile_rs_ray.stages.mp3 import (Mp3MetaStage,
+                                                 synth_mp3_bytes)
+        st = Mp3MetaStage()
+
+        def build_walk(b):
+            ids = b["page_id"].to_pylist()
+            return st(pa.table({
+                "doc_id": b["page_id"],
+                "mp3": pa.array([synth_mp3_bytes(d) for d in ids],
+                                pa.binary())}))
+
+        ds = read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
+        return (ds.select_columns(["page_id"]).repartition(conc * 4)
+                .map_batches(build_walk, batch_format="pyarrow")
+                .count())
+
+    timed("mp3_meta", q_mp3_meta)
+
+    def q_avi_frames():
+        # round-5 MJPEG AVI: synth (JPEG-encode 3-6 frames) + index-seek
+        # sample + real JPEG decode of 4 frames per video; repl=2 keeps
+        # the entry comparable (the codec round-trip is ~6 ms/video)
+        import pyarrow as pa
+        from shapefile_rs_ray.stages.avi import (AviFrameSampleStage,
+                                                 synth_avi_bytes)
+        st = AviFrameSampleStage()
+
+        def build_sample(b):
+            ids = b["page_id"].to_pylist()
+            return st(pa.table({
+                "doc_id": b["page_id"],
+                "avi": pa.array([synth_avi_bytes(d) for d in ids],
+                                pa.binary())}))
+
+        ds = read_webpages(SF_DIR, repl=max(1, REPL_SMALL // 10),
+                           with_html=False)
+        return (ds.select_columns(["page_id"]).repartition(conc * 4)
+                .map_batches(build_sample, batch_format="pyarrow")
+                .count())
+
+    timed("avi_frames", q_avi_frames)
+
     ray.shutdown()
     extra["query_samples"] = samples
     extra["samples_per_query"] = max(1, SAMPLES)
