@@ -662,6 +662,42 @@ def _wav_decode(sf_dir: str):
                          concurrency=(1, 4)))
 
 
+def _host_triangles(sf_dir: str):
+    """Per-node triangle counts over the synthetic doc link graph (the
+    same deterministic edge rule doc_rank uses, undirected) — the
+    web-graph cohesion operator behind clustering coefficients and
+    link-farm detection. Degree-ordered node-iterator: ONE apex per
+    triangle, out-degree bounded O(sqrt(2m)), wedges membership-joined
+    against the edge set by coarse prime-partition; exact integer
+    counts, order-free at any parallelism. Oracle = 3-way SQL self-join
+    enumerating each triangle once (lo<mid<hi) then crediting all three
+    corners."""
+    from shapefile_rs_ray.functions import synth
+    from shapefile_rs_ray.sources.webpages import (_doc_count,
+                                                   read_webpages)
+    from shapefile_rs_ray.stages.graph import triangle_counts
+
+    n = _doc_count(sf_dir)
+    repl = synth.REPL
+
+    def edge_batch(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["page_id"], np.int64)
+        src = ids // repl
+        r = ids % repl
+        dst = np.where(r < 5, src % 97,
+                       (src * 31 + r * 17 + 7) % n)
+        return pa.table({"a": pa.array(src, pa.int64()),
+                         "b": pa.array(dst, pa.int64())})
+
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id"]))
+    out = triangle_counts(pages.map_batches(edge_batch,
+                                            batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "n_tri"]),
+        batch_format="pyarrow")
+
+
 def _mp3_meta(sf_dir: str):
     """MP3 container metadata (ffprobe-style, honest scope): the public
     frame-header walk — sync/version/layer/bitrate/samplerate bits, the
@@ -2433,6 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flac_decode": _flac_decode,
         "avi_frames": _avi_frames,
         "mp3_meta": _mp3_meta,
+        "host_triangles": _host_triangles,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2489,10 +2526,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_lakes": _clip_lakes,
         "html_extract": _html_extract,
         "events_window": _events_window,
-        "events_late": _events_late,
         # ---- end of the 50-entry driver gate window ----
-        # (top_events_user/range_join/events_hopping bumped below by
-        # flac_decode/avi_frames/mp3_meta this round)
+        # (top_events_user/range_join/events_hopping/events_late bumped
+        # below by flac_decode/avi_frames/mp3_meta/host_triangles)
+        "events_late": _events_late,
         "events_hopping": _events_hopping,
         "range_join": _range_join,
         "top_events_user": _top_events_user,
@@ -2610,6 +2647,7 @@ def oracle_sql() -> dict[str, str]:
 
     oracles.ensure_artifacts()
     pages = oracles.PAGES_CTE
+    _REPL = synth.REPL
     cell12 = grid_cell_sql("lon", "lat", 12)
     tok = token_stats_sql("text")
 
@@ -2871,6 +2909,31 @@ FROM w""",
             "has_id3v2, has_id3v1 "
             f"FROM read_parquet('{oracles.MP3_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
+        # triangle counts: same l-CTE edge rule as doc_rank, undirected
+        # distinct; each triangle enumerated ONCE (x<y<z by id) by the
+        # 3-way self-join, then credited to all three corners
+        "host_triangles": f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+p AS (SELECT doc_id * {_REPL} + r AS page_id FROM documents
+      CROSS JOIN (SELECT CAST(range AS BIGINT) AS r
+                  FROM range(0, {_REPL}))),
+l AS (SELECT (page_id // {_REPL}) AS src,
+             CASE WHEN page_id % {_REPL} < 5
+                  THEN (page_id // {_REPL}) % 97
+                  ELSE ((page_id // {_REPL}) * 31
+                        + (page_id % {_REPL}) * 17 + 7) % nn.n
+             END AS dst
+      FROM p, nn),
+e AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+      FROM l WHERE src != dst),
+tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        FROM e e1
+        JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+corners AS (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+SELECT node AS doc_id, COUNT(*) AS n_tri FROM corners GROUP BY node""",
         "bmp_decode": (
             "SELECT g.doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum "
             f"FROM read_parquet('{oracles.BMP_GOLDEN_PQ}') g "

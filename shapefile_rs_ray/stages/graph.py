@@ -417,3 +417,255 @@ def pagerank(edges, nodes, *, src_col: str = "src", dst_col: str = "dst",
                   .map_groups(new_scores, batch_format="pyarrow")
                   .repartition(n_blocks).materialize())
     return scores
+
+
+def _pair_unique(a: np.ndarray, b: np.ndarray):
+    """Distinct (a, b) rows without packing (lexsort + diff) — no node-id
+    range assumption."""
+    if len(a) == 0:
+        return a, b
+    o = np.lexsort((b, a))
+    a, b = a[o], b[o]
+    keep = np.empty(len(a), bool)
+    keep[0] = True
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
+
+
+def triangle_counts(edges, *, a_col: str = "a", b_col: str = "b",
+                    parts: int = 61, n_blocks: int = 32):
+    """Per-node triangle counts over an undirected graph — the classic
+    web-graph cohesion operator (host-graph clustering coefficients,
+    link-farm detection). Exact integer counts, order-free at any
+    parallelism.
+
+    Degree-ordered node-iterator (the Suri–Vassilvitskii MapReduce
+    form, re-expressed over the engine's coarse-prime-partition
+    primitives — public algorithm, original implementation):
+
+      1. normalize + DISTINCT the edge list ((min,max), self-loops
+         dropped) — per-batch collapse, one coarse shuffle;
+      2. degrees by coarse partition reduce; attach deg to each
+         endpoint via two tag-union co-partition joins (never a
+         per-distinct-key groupby);
+      3. orient every edge low->(deg, id)-high: each triangle now has
+         exactly ONE apex (its lowest-ranked vertex), and out-degrees
+         are bounded by O(sqrt(2m)) — the wedge blow-up cap;
+      4. wedge-generate per apex (vectorized all-pairs within groups:
+         offset arithmetic, no Python loop) partitioned by apex;
+      5. membership-join wedges against the edge set (tag-union
+         co-partition by the id-ordered pair key, searchsorted match);
+      6. matched wedge = one triangle -> +1 to apex and both legs;
+         coarse partition sum -> (node, n_tri).
+
+    Node ids must fit 31 bits (pair keys pack as (lo<<32)|hi, the same
+    int64-packing contract doc_rank uses); raises loudly otherwise.
+    """
+    def norm_partial(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[a_col], np.int64)
+        y = np.asarray(batch[b_col], np.int64)
+        if len(x) and (x.max() >= 1 << 31 or y.max() >= 1 << 31
+                       or x.min() < 0 or y.min() < 0):
+            raise ValueError("triangle_counts: node ids must be in "
+                             "[0, 2^31) for int64 pair packing")
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        m = lo != hi
+        lo, hi = _pair_unique(lo[m], hi[m])
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64()),
+                         "__p": pa.array(lo % parts, pa.int64())})
+
+    def norm_reduce(part: pa.Table) -> pa.Table:
+        lo, hi = _pair_unique(np.asarray(part["lo"], np.int64),
+                              np.asarray(part["hi"], np.int64))
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64())})
+
+    E = (edges.map_batches(norm_partial, batch_format="pyarrow")
+         .groupby("__p").map_groups(norm_reduce, batch_format="pyarrow")
+         .materialize())
+
+    # --- degrees (coarse partition reduce over both endpoints)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        n = np.concatenate([np.asarray(batch["lo"], np.int64),
+                            np.asarray(batch["hi"], np.int64)])
+        u, cnt = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64)),
+                         "__p": pa.array(u % parts, pa.int64())})
+
+    def deg_reduce(part: pa.Table) -> pa.Table:
+        n = np.asarray(part["node"], np.int64)
+        d = np.asarray(part["deg"], np.int64)
+        u, inv = np.unique(n, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, d)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(s, pa.int64())})
+
+    D = (E.map_batches(deg_partial, batch_format="pyarrow")
+         .groupby("__p").map_groups(deg_reduce, batch_format="pyarrow")
+         .materialize())
+
+    # --- attach deg to an endpoint column via tag-union co-partition
+    def attach(e_ds, col, out_name):
+        def e_rows(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch[col], np.int64)
+            t = pa.table({c: batch[c] for c in batch.column_names
+                          if c != "__p"})
+            t = t.append_column("__k", pa.array(k, pa.int64()))
+            t = t.append_column("__kind", pa.array(
+                np.ones(len(k), np.int64)))
+            return t.append_column("__p", pa.array(k % parts, pa.int64()))
+
+        def d_rows(batch: pa.Table) -> pa.Table:
+            n = np.asarray(batch["node"], np.int64)
+            cols = {c: pa.nulls(len(n), e_schema.field(c).type)
+                    for c in e_names}
+            cols["__k"] = pa.array(n, pa.int64())
+            cols["__kind"] = pa.array(np.zeros(len(n), np.int64))
+            cols["__p"] = pa.array(n % parts, pa.int64())
+            cols["__deg"] = batch["deg"]     # same column ORDER as e_rows2
+            return pa.table(cols)
+
+        e_schema = e_ds.schema().base_schema
+        e_names = [c for c in e_schema.names if c != "__p"]
+
+        def e_rows2(batch: pa.Table) -> pa.Table:
+            t = e_rows(batch)
+            return t.append_column("__deg", pa.nulls(t.num_rows,
+                                                     pa.int64()))
+
+        def join(part: pa.Table) -> pa.Table:
+            kind = np.asarray(part["__kind"], np.int64)
+            k = np.asarray(part["__k"], np.int64)
+            dn = k[kind == 0]
+            dv = np.asarray(part["__deg"], np.int64)[kind == 0]
+            o = np.argsort(dn)
+            dn, dv = dn[o], dv[o]
+            em = kind == 1
+            ek = k[em]
+            idx = np.searchsorted(dn, ek)
+            if len(dn) == 0 or not np.all(dn[np.minimum(idx, len(dn) - 1)]
+                                          == ek):
+                raise ValueError("triangle_counts: endpoint missing from "
+                                 "degree table")
+            out = {c: part[c].filter(pa.array(em)) for c in e_names}
+            out[out_name] = pa.array(dv[idx], pa.int64())
+            return pa.table(out)
+
+        return (e_ds.map_batches(e_rows2, batch_format="pyarrow")
+                .union(D.map_batches(d_rows, batch_format="pyarrow"))
+                .groupby("__p").map_groups(join, batch_format="pyarrow"))
+
+    Ed = attach(attach(E, "lo", "deg_lo"), "hi", "deg_hi")
+
+    # --- orient by (deg, id) rank; partition by apex
+    def orient(batch: pa.Table) -> pa.Table:
+        lo = np.asarray(batch["lo"], np.int64)
+        hi = np.asarray(batch["hi"], np.int64)
+        dl = np.asarray(batch["deg_lo"], np.int64)
+        dh = np.asarray(batch["deg_hi"], np.int64)
+        lo_first = (dl < dh) | ((dl == dh) & (lo < hi))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "__p": pa.array(src % parts, pa.int64())})
+
+    def wedges(part: pa.Table) -> pa.Table:
+        src = np.asarray(part["src"], np.int64)
+        dst = np.asarray(part["dst"], np.int64)
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        # group boundaries + vectorized all-pairs within each group
+        starts = np.flatnonzero(np.concatenate((
+            [True], src[1:] != src[:-1])))
+        lens = np.diff(np.append(starts, len(src)))
+        npairs = lens * (lens - 1) // 2
+        total = int(npairs.sum())
+        if total == 0:
+            return pa.table({"apex": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "__p": pa.array([], pa.int64())})
+        # for each group g and each i<j in [0,len): emit (nbr[i], nbr[j])
+        grp = np.repeat(np.arange(len(lens)), npairs)
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs)
+        L = lens[grp]
+        # unrank 'within' -> (i, j) over the upper triangle, rows i of
+        # decreasing length L-1-i: i = smallest with cum rows > within
+        # solved in closed form via the quadratic root
+        i = np.floor((2 * L - 1 - np.sqrt((2 * L - 1) ** 2
+                                          - 8 * within)) / 2).astype(
+            np.int64)
+        before = i * (2 * L - i - 1) // 2
+        j = within - before + i + 1
+        base = np.repeat(starts, npairs)
+        u = dst[base + i]
+        w = dst[base + j]
+        lo = np.minimum(u, w)
+        hi = np.maximum(u, w)
+        apex = src[base]
+        return pa.table({"apex": pa.array(apex, pa.int64()),
+                         "lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64()),
+                         "__p": pa.array(lo % parts, pa.int64())})
+
+    W = (Ed.map_batches(orient, batch_format="pyarrow")
+         .groupby("__p").map_groups(wedges, batch_format="pyarrow"))
+
+    # --- membership join: wedge (lo,hi) in E?
+    def e_keyed(batch: pa.Table) -> pa.Table:
+        lo = np.asarray(batch["lo"], np.int64)
+        hi = np.asarray(batch["hi"], np.int64)
+        return pa.table({"apex": pa.array(np.full(len(lo), -1, np.int64)),
+                         "key": pa.array((lo << 32) | hi, pa.int64()),
+                         "__p": pa.array(lo % parts, pa.int64())})
+
+    def w_keyed(batch: pa.Table) -> pa.Table:
+        lo = np.asarray(batch["lo"], np.int64)
+        hi = np.asarray(batch["hi"], np.int64)
+        return pa.table({"apex": batch["apex"],
+                         "key": pa.array((lo << 32) | hi, pa.int64()),
+                         "__p": batch["__p"]})
+
+    def match(part: pa.Table) -> pa.Table:
+        apex = np.asarray(part["apex"], np.int64)
+        key = np.asarray(part["key"], np.int64)
+        ek = np.sort(key[apex == -1])
+        wm = apex != -1
+        wk = key[wm]
+        wa = apex[wm]
+        idx = np.searchsorted(ek, wk)
+        hit = (idx < len(ek))
+        if len(ek):
+            hit &= ek[np.minimum(idx, len(ek) - 1)] == wk
+        else:
+            hit[:] = False
+        tri_key = wk[hit]
+        tri_apex = wa[hit]
+        # one matched wedge = one triangle: credit apex + both legs
+        node = np.concatenate([tri_apex, tri_key >> 32,
+                               tri_key & 0xFFFFFFFF])
+        u, cnt = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "n_tri": pa.array(cnt.astype(np.int64)),
+                         "__p2": pa.array(u % parts, pa.int64())})
+
+    def tri_reduce(part: pa.Table) -> pa.Table:
+        n = np.asarray(part["node"], np.int64)
+        c = np.asarray(part["n_tri"], np.int64)
+        u, inv = np.unique(n, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "n_tri": pa.array(s, pa.int64())})
+
+    return (E.map_batches(e_keyed, batch_format="pyarrow")
+            .union(W.map_batches(w_keyed, batch_format="pyarrow"))
+            .groupby("__p").map_groups(match, batch_format="pyarrow")
+            .groupby("__p2").map_groups(tri_reduce,
+                                        batch_format="pyarrow"))

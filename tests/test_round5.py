@@ -1265,3 +1265,50 @@ def test_mp3_stage_over_ray(ray_session):
                          concurrency=2).take_all()
     assert len(out) == 30
     assert all(r["n_frames"] == 8 + r["doc_id"] % 21 for r in out)
+
+
+# -------------------------------------------------------- triangle counts
+
+
+def test_triangle_counts_vs_brute_force(ray_session):
+    import itertools
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.stages.graph import triangle_counts
+    rng = np.random.default_rng(5)
+    n, m = 60, 300
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.int64())})).repartition(5)
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(ds).take_all()}
+    edges = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj = {i: set() for i in range(n)}
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    want: dict[int, int] = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    assert out == want
+
+
+def test_triangle_counts_k4_and_guards(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray
+    from shapefile_rs_ray.stages.graph import triangle_counts
+    k4 = ray.data.from_arrow(pa.table({
+        "a": pa.array([0, 0, 0, 1, 1, 2], pa.int64()),
+        "b": pa.array([1, 2, 3, 2, 3, 3], pa.int64())}))
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(k4).take_all()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    big = ray.data.from_arrow(pa.table({
+        "a": pa.array([1 << 31], pa.int64()),
+        "b": pa.array([1], pa.int64())}))
+    with _pytest.raises(Exception, match="2\\^31|node ids"):
+        triangle_counts(big).take_all()
