@@ -662,6 +662,56 @@ def _wav_decode(sf_dir: str):
                          concurrency=(1, 4)))
 
 
+def _robots_gate(sf_dir: str):
+    """RFC 9309 robots.txt crawl gate: per-host synthetic policies
+    (ignored evilbot group, graftbot-specific override, full blocks,
+    digit-prefix Disallow + longer two-digit Allow re-open, stacked
+    agents, comments, Crawl-delay) parsed by the real group/longest-
+    match engine; pages co-partition with the robots table by host hash
+    and every page's path is checked vectorized. Oracle re-derives the
+    per-page verdict from the policy formulas in pure SQL — so group
+    selection, precedence order and longest-match semantics all gate."""
+    import pyarrow as pa
+    from shapefile_rs_ray.functions.synth import N_HOSTS
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    from shapefile_rs_ray.stages.robots import robots_gate, synth_robots_txt
+
+    def page_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["page_id"], np.int64)
+        return pa.table({
+            "page_id": batch["page_id"],
+            "host": pa.array(ids % N_HOSTS, pa.int64()),
+            "path": pa.array(["/p/" + str(i) for i in ids], pa.string())})
+
+    def robots_rows(batch: pa.Table) -> pa.Table:
+        hs = np.asarray(batch["id"], np.int64)
+        return pa.table({
+            "host": pa.array(hs, pa.int64()),
+            "robots_txt": pa.array([synth_robots_txt(int(h)) for h in hs],
+                                   pa.string())})
+
+    import ray
+    pages = (read_webpages(sf_dir, with_html=False)
+             .select_columns(["page_id"])
+             .map_batches(page_rows, batch_format="pyarrow"))
+    robots = ray.data.range(N_HOSTS).map_batches(robots_rows,
+                                                 batch_format="pyarrow")
+    return robots_gate(pages, robots, agent="graftbot/1.2")
+
+
+def _stratified_split(sf_dir: str):
+    """Deterministic content-addressed train/val/test split (crc32(url)
+    % 100 buckets: 80/10/10) + per-(lang, split) page/char accounting —
+    the stage every training-data pipeline ends with. Content
+    addressing makes the assignment stable under re-runs, repartition,
+    corpus growth and dedup order, which is what keeps eval
+    contamination impossible across pipeline versions. Oracle recomputes
+    the crc32 bucket in SQL (codepoint lambda fold, ASCII urls)."""
+    from shapefile_rs_ray.pipelines.curation import stratified_split
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    return stratified_split(read_webpages(sf_dir, with_html=False))
+
+
 def _host_triangles(sf_dir: str):
     """Per-node triangle counts over the synthetic doc link graph (the
     same deterministic edge rule doc_rank uses, undirected) — the
@@ -2470,6 +2520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avi_frames": _avi_frames,
         "mp3_meta": _mp3_meta,
         "host_triangles": _host_triangles,
+        "stratified_split": _stratified_split,
+        "robots_gate": _robots_gate,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2524,11 +2576,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_measures": _lake_measures,
         "simplify_lakes": _simplify_lakes,
         "clip_lakes": _clip_lakes,
+        # ---- end of the 50-entry driver gate window ----
+        # (top_events_user/range_join/events_hopping/events_late/
+        # events_window/html_extract bumped below by flac_decode/
+        # avi_frames/mp3_meta/host_triangles/stratified_split/
+        # robots_gate)
         "html_extract": _html_extract,
         "events_window": _events_window,
-        # ---- end of the 50-entry driver gate window ----
-        # (top_events_user/range_join/events_hopping/events_late bumped
-        # below by flac_decode/avi_frames/mp3_meta/host_triangles)
         "events_late": _events_late,
         "events_hopping": _events_hopping,
         "range_join": _range_join,
@@ -2909,6 +2963,46 @@ FROM w""",
             "has_id3v2, has_id3v1 "
             f"FROM read_parquet('{oracles.MP3_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
+        # robots verdict re-derived from the policy formulas: graftbot
+        # override (h%11=7) > full block (h%5=0) > digit-prefix
+        # Disallow /p/{{d}} unless the longer Allow /p/{{d}}{{d2}}
+        # re-opens; substr('x',2,1)='' on 1-digit ids != d2 -> blocked,
+        # matching longest-match (no Allow match possible)
+        "robots_gate": f"""
+WITH {pages},
+b AS (SELECT page_id, page_id % 97 AS h,
+             CAST(page_id AS VARCHAR) AS s FROM pages),
+c AS (SELECT page_id, h,
+             CASE WHEN h % 11 = 7 THEN 1
+                  WHEN h % 5 = 0 THEN 0
+                  WHEN substr(s, 1, 1) = CAST(h % 10 AS VARCHAR)
+                       AND substr(s, 2, 1)
+                           != CAST((h // 10) % 10 AS VARCHAR) THEN 0
+                  ELSE 1 END AS ok
+      FROM b)
+SELECT h AS host,
+       CAST(SUM(ok) AS BIGINT) AS n_allowed,
+       CAST(SUM(1 - ok) AS BIGINT) AS n_blocked,
+       CAST(COALESCE(SUM(CASE WHEN ok = 0 THEN page_id END), 0)
+            AS BIGINT) AS sum_blocked
+FROM c GROUP BY h""",
+        "stratified_split": f"""
+WITH {pages},
+b AS (SELECT lang, length(text) AS nc,
+             xor(list_reduce(list_prepend(4294967295,
+                 list_transform(range(1, length(url) + 1),
+                                i -> unicode(substr(url, i, 1)))),
+                 (acc, c) -> xor(acc >> 8,
+                     ([{', '.join(map(str, oracles._crc32_table()))}])
+                     [(xor(acc, c) % 256) + 1])),
+                 4294967295) % 100 AS bucket
+      FROM pages)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 0
+            WHEN bucket < 90 THEN 1 ELSE 2 END AS split,
+       COUNT(*) AS n_pages,
+       CAST(SUM(nc) AS BIGINT) AS n_chars
+FROM b GROUP BY 1, 2""",
         # triangle counts: same l-CTE edge rule as doc_rank, undirected
         # distinct; each triangle enumerated ONCE (x<y<z by id) by the
         # 3-way self-join, then credited to all three corners

@@ -78,3 +78,58 @@ def curate_corpus(pages, *, lang: str = "en", id_col: str = "page_id",
     langed = pages.map_batches(langid_batch, batch_format="pyarrow")
     gated = langed.map_batches(gate, batch_format="pyarrow")
     return gated.groupby("__p").map_groups(keep_min, batch_format="pyarrow")
+
+
+def stratified_split(pages, *, train_pct: int = 80, val_pct: int = 10,
+                     url_col: str = "url", lang_col: str = "lang",
+                     text_col: str = "text", parts: int = 61):
+    """Deterministic train/val/test assignment + per-(lang, split)
+    accounting — the split stage every training-data pipeline ends with.
+
+    Assignment is content-addressed (crc32(url) % 100 -> bucket; bucket
+    < train_pct -> 0, < train_pct+val_pct -> 1, else 2), so it is stable
+    under re-runs, re-partitioning, corpus growth, and dedup-order
+    changes — the property that keeps eval contamination impossible
+    across pipeline versions (a row's split can never depend on which
+    worker saw it). Stats are map-side partials + one coarse
+    prime-modulus reduce (never a per-distinct-key groupby).
+
+    Returns Dataset(lang, split, n_pages, n_chars).
+    """
+    from ..functions.hashing import crc32_str
+
+    lo, hi = train_pct, train_pct + val_pct
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = crc32_str(batch[url_col].to_pylist()) % 100
+        split = np.where(bucket < lo, 0, np.where(bucket < hi, 1, 2))
+        langs = batch[lang_col].to_pylist()
+        nc = np.array([len(t) for t in batch[text_col].to_pylist()],
+                      np.int64)
+        key = pa.table({"lang": pa.array(langs),
+                        "split": pa.array(split, pa.int64()),
+                        "nc": pa.array(nc, pa.int64())})
+        # local collapse: distinct (lang, split) rows per batch
+        g = key.group_by(["lang", "split"]).aggregate(
+            [("nc", "sum"), ("nc", "count")])
+        lhash = crc32_str(g["lang"].to_pylist())
+        return pa.table({
+            "lang": g["lang"],
+            "split": g["split"],
+            "n_chars": g["nc_sum"].cast(pa.int64()),
+            "n_pages": g["nc_count"].cast(pa.int64()),
+            "__p": pa.array((lhash * 3 + np.asarray(g["split"], np.int64))
+                            % parts, pa.int64()),
+        })
+
+    def reduce_(part: pa.Table) -> pa.Table:
+        g = part.group_by(["lang", "split"]).aggregate(
+            [("n_chars", "sum"), ("n_pages", "sum")])
+        return pa.table({
+            "lang": g["lang"],
+            "split": g["split"],
+            "n_pages": g["n_pages_sum"].cast(pa.int64()),
+            "n_chars": g["n_chars_sum"].cast(pa.int64())})
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby("__p").map_groups(reduce_, batch_format="pyarrow"))

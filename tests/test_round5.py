@@ -1312,3 +1312,104 @@ def test_triangle_counts_k4_and_guards(ray_session):
         "b": pa.array([1], pa.int64())}))
     with _pytest.raises(Exception, match="2\\^31|node ids"):
         triangle_counts(big).take_all()
+
+
+# ------------------------------------------------------- robots.txt gate
+
+
+def test_robots_parse_groups_and_selection():
+    from shapefile_rs_ray.stages.robots import (parse_robots,
+                                                select_group,
+                                                synth_robots_txt)
+    g = parse_robots(synth_robots_txt(7))       # graftbot override host
+    assert select_group(g, "GraftBot/1.0")[0] == [(True, "/")]
+    assert select_group(g, "otherbot")[0] == [(False, "/p/7"),
+                                              (True, "/p/70")]
+    assert select_group(g, "evilbot")[0] == [(False, "/")]
+    # crawl-delay parsed from the * group
+    assert select_group(g, "nobody")[1] == 1 + 7 % 9
+    # comments / blank / unknown directives ignored; stacked agents
+    g2 = parse_robots("# c\nSitemap: http://x\nUser-agent: a\n"
+                      "User-agent: b\nDisallow: /x\n\nUser-agent: *\n"
+                      "Disallow:\n")
+    assert select_group(g2, "b-crawler")[0] == [(False, "/x")]
+    assert select_group(g2, "zz")[0] == []       # empty Disallow = no-op
+
+
+def test_robots_wildcard_and_precedence():
+    import numpy as np
+    from shapefile_rs_ray.stages.robots import _match_scalar, decide_batch
+    assert _match_scalar("/p/*7$", "/p/137")
+    assert not _match_scalar("/p/*7$", "/p/1378")
+    assert _match_scalar("/a*b*c", "/aXbYc_tail")
+    assert not _match_scalar("/a*b$", "/aXbY")
+    assert _match_scalar("/x*$", "/xanything")
+    paths = np.array(["/p/70", "/p/71", "/p/8", "/q"])
+    ok = decide_batch([(False, "/p/7"), (True, "/p/70")], paths)
+    assert ok.tolist() == [True, False, True, True]
+    # equal-length tie -> Allow wins; no match -> allowed
+    assert decide_batch([(False, "/x"), (True, "/x")],
+                        np.array(["/xy"])).tolist() == [True]
+    # wildcard rule inside a batch
+    ok2 = decide_batch([(False, "/p/*9$")], np.array(["/p/19", "/p/91"]))
+    assert ok2.tolist() == [False, True]
+
+
+def test_robots_gate_over_ray(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.stages.robots import (decide_batch,
+                                                parse_robots, robots_gate,
+                                                select_group,
+                                                synth_robots_txt)
+    n_hosts, n_pages = 13, 400
+    ids = np.arange(n_pages, dtype=np.int64)
+    hosts = ids % n_hosts
+    paths = np.array(["/p/" + str(i) for i in ids])
+    pages = ray.data.from_arrow(pa.table({
+        "page_id": pa.array(ids), "host": pa.array(hosts),
+        "path": pa.array(paths)})).repartition(6)
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array(np.arange(n_hosts, dtype=np.int64)),
+        "robots_txt": pa.array([synth_robots_txt(h)
+                                for h in range(n_hosts)])}))
+    out = {r["host"]: (r["n_allowed"], r["n_blocked"], r["sum_blocked"])
+           for r in robots_gate(pages, robots,
+                                agent="graftbot/2").take_all()}
+    for h in range(n_hosts):
+        rules = select_group(parse_robots(synth_robots_txt(h)),
+                             "graftbot/2")[0]
+        m = hosts == h
+        ok = decide_batch(rules, paths[m])
+        want = (int(ok.sum()), int((~ok).sum()), int(ids[m][~ok].sum()))
+        assert out[h] == want, h
+
+
+def test_stratified_split_deterministic(ray_session):
+    import zlib
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.pipelines.curation import stratified_split
+    n = 500
+    urls = [f"https://h{i % 7}.example/p/{i}" for i in range(n)]
+    langs = [("en", "de", "fr")[i % 3] for i in range(n)]
+    texts = ["x" * (10 + i % 50) for i in range(n)]
+    tbl = pa.table({"url": pa.array(urls), "lang": pa.array(langs),
+                    "text": pa.array(texts)})
+    got = {(r["lang"], r["split"]): (r["n_pages"], r["n_chars"])
+           for r in stratified_split(
+               ray.data.from_arrow(tbl).repartition(7)).take_all()}
+    want: dict = {}
+    for u, l, t in zip(urls, langs, texts):
+        b = zlib.crc32(u.encode()) % 100
+        s = 0 if b < 80 else (1 if b < 90 else 2)
+        p, c = want.get((l, s), (0, 0))
+        want[(l, s)] = (p + 1, c + len(t))
+    assert got == want
+    # identical at different parallelism (content-addressed stability)
+    got2 = {(r["lang"], r["split"]): (r["n_pages"], r["n_chars"])
+            for r in stratified_split(
+                ray.data.from_arrow(tbl).repartition(2)).take_all()}
+    assert got2 == got
