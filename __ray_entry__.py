@@ -662,6 +662,31 @@ def _wav_decode(sf_dir: str):
                          concurrency=(1, 4)))
 
 
+def _bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich 2016) — the
+    vocabulary-learning stage of an LLM data pipeline. One corpus pass
+    builds the distinct-word histogram (Heaps' law makes it tiny vs the
+    text); each of the 12 merge rounds is pair partials -> coarse
+    prime-modulus exact reduce -> per-partition top-1 -> a <=61-row
+    driver argmax with a total tie-break (count DESC, left ASC, right
+    ASC), then the one winning pair broadcasts and blocks rewrite their
+    words. Bit-identical at any parallelism; golden = an independent
+    pure-Python reference BPE over the same parquet
+    (oracles.ensure_bpe_golden)."""
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.bpe import bpe_train, word_histogram
+    oracles.ensure_bpe_golden(sf_dir)
+    hist = word_histogram(read_documents(sf_dir, columns=["text"]))
+    merges = bpe_train(hist, oracles.BPE_MERGES)
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })
+
+
 def _robots_gate(sf_dir: str):
     """RFC 9309 robots.txt crawl gate: per-host synthetic policies
     (ignored evilbot group, graftbot-specific override, full blocks,
@@ -2522,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": _host_triangles,
         "stratified_split": _stratified_split,
         "robots_gate": _robots_gate,
+        "bpe_merges": _bpe_merges,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2575,12 +2601,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top1": _ann_ivf_top1,
         "lake_measures": _lake_measures,
         "simplify_lakes": _simplify_lakes,
-        "clip_lakes": _clip_lakes,
         # ---- end of the 50-entry driver gate window ----
         # (top_events_user/range_join/events_hopping/events_late/
-        # events_window/html_extract bumped below by flac_decode/
-        # avi_frames/mp3_meta/host_triangles/stratified_split/
-        # robots_gate)
+        # events_window/html_extract/clip_lakes bumped below by
+        # flac_decode/avi_frames/mp3_meta/host_triangles/
+        # stratified_split/robots_gate/bpe_merges)
+        "clip_lakes": _clip_lakes,
         "html_extract": _html_extract,
         "events_window": _events_window,
         "events_late": _events_late,
@@ -2963,6 +2989,10 @@ FROM w""",
             "has_id3v2, has_id3v1 "
             f"FROM read_parquet('{oracles.MP3_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
+        "bpe_merges": (
+            "SELECT g.rank, g.left, g.right, g.pair_count "
+            f"FROM read_parquet('{oracles.BPE_GOLDEN_PQ}') g, "
+            "(SELECT 1 FROM documents LIMIT 1)"),
         # robots verdict re-derived from the policy formulas: graftbot
         # override (h%11=7) > full block (h%5=0) > digit-prefix
         # Disallow /p/{{d}} unless the longer Allow /p/{{d}}{{d2}}

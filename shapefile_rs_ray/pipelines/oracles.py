@@ -2252,3 +2252,69 @@ def ensure_mp3_golden(n_docs: int) -> None:
                            "n_frames", "audio_bytes", "duration_ms",
                            "bitrate_bps", "is_vbr", "has_id3v2",
                            "has_id3v1"))
+
+
+BPE_GOLDEN_PQ = os.path.join(ORACLE_DIR, "bpe_merges.parquet")
+BPE_MERGES = 12
+
+
+def ensure_bpe_golden(sf_dir: str) -> None:
+    """Independent reference BPE (Sennrich 2016) over the documents
+    corpus: pq.read_table + re + collections.Counter + its OWN
+    tuple-rewrite merge loop — no import of stages/bpe machinery. The
+    golden is corpus-dependent, so it carries the sf tag (the lm-golden
+    pattern)."""
+    import re as _re
+    from collections import Counter
+    path = BPE_GOLDEN_PQ
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.exists(path):
+        meta = pq.ParquetFile(path).schema_arrow.metadata or {}
+        if meta.get(b"sf") == tag.encode():
+            return
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    wc: Counter = Counter()
+    for t in docs["text"].to_pylist():
+        wc.update(_re.findall("[a-z0-9]+", t.lower()))
+    vocab = {}
+    for w, c in wc.items():
+        syms = tuple(w[:-1]) + (w[-1] + "</w>",)
+        vocab[syms] = vocab.get(syms, 0) + c
+    rows = []
+    for rank in range(BPE_MERGES):
+        pc_: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += c
+        if not pc_:
+            break
+        (l, r), c = min(pc_.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rows.append((rank, l, r, c))
+        new_vocab: dict = {}
+        lr = l + r
+        for syms, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(lr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + cnt
+        vocab = new_vocab
+    tbl = pa.table({
+        "rank": pa.array([r[0] for r in rows], pa.int64()),
+        "left": pa.array([r[1] for r in rows], pa.string()),
+        "right": pa.array([r[2] for r in rows], pa.string()),
+        "pair_count": pa.array([r[3] for r in rows], pa.int64()),
+    }).replace_schema_metadata({b"sf": tag.encode()})
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)

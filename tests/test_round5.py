@@ -1413,3 +1413,47 @@ def test_stratified_split_deterministic(ray_session):
             for r in stratified_split(
                 ray.data.from_arrow(tbl).repartition(2)).take_all()}
     assert got2 == got
+
+
+# ------------------------------------------------------------ BPE trainer
+
+
+def test_bpe_matches_reference_and_parallelism_invariant(ray_session):
+    import re
+    from collections import Counter
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.stages.bpe import (EOW, bpe_train, merge_word,
+                                             word_histogram)
+    texts = ["the cat sat on the mat", "the cats eat fish",
+             "low lower lowest", "newer newest new", "the the the",
+             "wider wide widest", "a ab abc abcd"] * 3
+    ref_wc = Counter(w for t in texts
+                     for w in re.findall("[a-z0-9]+", t.lower()))
+    vocab = {tuple(list(w[:-1]) + [w[-1] + EOW]): c
+             for w, c in ref_wc.items()}
+    ref = []
+    for rank in range(10):
+        pc_: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc_[(a, b)] += c
+        (l, r), c = min(pc_.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ref.append((rank, l, r, c))
+        vocab = {tuple(merge_word(list(s), l, r)): c
+                 for s, c in vocab.items()}
+    for nparts in (2, 7):
+        ds = ray.data.from_arrow(pa.table({
+            "text": pa.array(texts)})).repartition(nparts)
+        merges = bpe_train(word_histogram(ds), 10, n_blocks=nparts)
+        assert merges == ref, nparts
+
+
+def test_bpe_merge_word_semantics():
+    from shapefile_rs_ray.stages.bpe import merge_word
+    # greedy left-to-right, non-overlapping: "aaa" -> ["aa", "a"]
+    assert merge_word(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert merge_word(["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+    assert merge_word(["x"], "a", "b") == ["x"]
+    assert merge_word([], "a", "b") == []
