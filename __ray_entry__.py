@@ -662,6 +662,48 @@ def _wav_decode(sf_dir: str):
                          concurrency=(1, 4)))
 
 
+def _events_pushdown(sf_dir: str):
+    """Prune-at-the-read, first-class: `read_parquet` with BOTH a column
+    projection and a pyarrow.dataset row filter (event_type IN
+    (click, view) AND value > 50) pushed into the scan — only matching
+    row groups/rows and 4 of 6 columns leave storage, the difference
+    between scanning 100 TB and scanning the 3% you need. Downstream is
+    one partial+reduce aggregate (COUNT/MIN/MAX/integer-SUM only, per
+    the float-determinism rule)."""
+    import os
+    import ray
+    import pyarrow.dataset as pds
+
+    expr = (pds.field("event_type").isin(["click", "view"])
+            & (pds.field("value") > 50.0))
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id", "value"],
+        filter=expr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"]).aggregate(
+            [("event_id", "count"), ("event_id", "min"),
+             ("event_id", "max"), ("user_id", "sum")])
+        return g.rename_columns(["event_type", "n", "min_id", "max_id",
+                                 "sum_users"])
+
+    def reduce_(part: pa.Table) -> pa.Table:
+        g = part.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("min_id", "min"), ("max_id", "max"),
+             ("sum_users", "sum")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "n": g["n_sum"].cast(pa.int64()),
+            "min_id": g["min_id_min"].cast(pa.int64()),
+            "max_id": g["max_id_max"].cast(pa.int64()),
+            "sum_users": g["sum_users_sum"].cast(pa.int64())})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(reduce_, batch_format="pyarrow"))
+
+
 def _bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich 2016) — the
     vocabulary-learning stage of an LLM data pipeline. One corpus pass
@@ -2548,6 +2590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split": _stratified_split,
         "robots_gate": _robots_gate,
         "bpe_merges": _bpe_merges,
+        "events_pushdown": _events_pushdown,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2600,12 +2643,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
         "lake_measures": _lake_measures,
-        "simplify_lakes": _simplify_lakes,
         # ---- end of the 50-entry driver gate window ----
         # (top_events_user/range_join/events_hopping/events_late/
-        # events_window/html_extract/clip_lakes bumped below by
-        # flac_decode/avi_frames/mp3_meta/host_triangles/
-        # stratified_split/robots_gate/bpe_merges)
+        # events_window/html_extract/clip_lakes/simplify_lakes bumped
+        # below by flac_decode/avi_frames/mp3_meta/host_triangles/
+        # stratified_split/robots_gate/bpe_merges/events_pushdown)
+        "simplify_lakes": _simplify_lakes,
         "clip_lakes": _clip_lakes,
         "html_extract": _html_extract,
         "events_window": _events_window,
@@ -2989,6 +3032,12 @@ FROM w""",
             "has_id3v2, has_id3v1 "
             f"FROM read_parquet('{oracles.MP3_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
+        "events_pushdown": (
+            "SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, "
+            "MAX(event_id) AS max_id, "
+            "CAST(SUM(user_id) AS BIGINT) AS sum_users "
+            "FROM events WHERE event_type IN ('click', 'view') "
+            "AND value > 50 GROUP BY 1"),
         "bpe_merges": (
             "SELECT g.rank, g.left, g.right, g.pair_count "
             f"FROM read_parquet('{oracles.BPE_GOLDEN_PQ}') g, "
