@@ -729,6 +729,26 @@ def _bpe_merges(sf_dir: str):
     })
 
 
+def _bpe_encode(sf_dir: str):
+    """Tokenizer APPLY (the other half of the BPE story): the merge
+    table learned distributed by bpe_train broadcasts to a BpeEncodeStage
+    actor pool (model in __init__, per-actor distinct-word cache), every
+    document re-encoded with the classic rank-priority loop; per-doc
+    (n_words, n_tokens, token_crc_sum). Golden = an independent apply
+    twin with its own index-scan merge loop reading the verified merge
+    golden (oracles.ensure_bpe_encode_golden)."""
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.bpe import (BpeEncodeStage, bpe_train,
+                                             word_histogram)
+    oracles.ensure_bpe_encode_golden(sf_dir)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    merges = bpe_train(word_histogram(docs), oracles.BPE_MERGES)
+    return docs.map_batches(BpeEncodeStage, batch_format="pyarrow",
+                            fn_constructor_args=(merges,),
+                            concurrency=(1, 4))
+
+
 def _robots_gate(sf_dir: str):
     """RFC 9309 robots.txt crawl gate: per-host synthetic policies
     (ignored evilbot group, graftbot-specific override, full blocks,
@@ -2590,6 +2610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split": _stratified_split,
         "robots_gate": _robots_gate,
         "bpe_merges": _bpe_merges,
+        "bpe_encode": _bpe_encode,
         "events_pushdown": _events_pushdown,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
@@ -2642,12 +2663,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "y4m_decode": _y4m_decode,
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
-        "lake_measures": _lake_measures,
         # ---- end of the 50-entry driver gate window ----
         # (top_events_user/range_join/events_hopping/events_late/
         # events_window/html_extract/clip_lakes/simplify_lakes bumped
         # below by flac_decode/avi_frames/mp3_meta/host_triangles/
-        # stratified_split/robots_gate/bpe_merges/events_pushdown)
+        # stratified_split/robots_gate/bpe_merges/events_pushdown/
+        # bpe_encode -- lake_measures also rotated below)
+        "lake_measures": _lake_measures,
         "simplify_lakes": _simplify_lakes,
         "clip_lakes": _clip_lakes,
         "html_extract": _html_extract,
@@ -3031,6 +3053,10 @@ FROM w""",
             "n_frames, audio_bytes, duration_ms, bitrate_bps, is_vbr, "
             "has_id3v2, has_id3v1 "
             f"FROM read_parquet('{oracles.MP3_GOLDEN_PQ}') g "
+            "JOIN documents d ON d.doc_id = g.doc_id"),
+        "bpe_encode": (
+            "SELECT g.doc_id, n_words, n_tokens, token_crc_sum "
+            f"FROM read_parquet('{oracles.BPE_ENCODE_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
         "events_pushdown": (
             "SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, "

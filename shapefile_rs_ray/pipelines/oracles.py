@@ -2318,3 +2318,86 @@ def ensure_bpe_golden(sf_dir: str) -> None:
     tmp = f"{path}.tmp{os.getpid()}"
     pq.write_table(tbl, tmp)
     os.replace(tmp, path)
+
+
+BPE_ENCODE_GOLDEN_PQ = os.path.join(ORACLE_DIR, "bpe_encode.parquet")
+
+
+def ensure_bpe_encode_golden(sf_dir: str) -> None:
+    """Independent tokenizer-apply twin: reads the (already verified)
+    merge table from BPE_GOLDEN_PQ and re-encodes every document with
+    its OWN rank-priority loop (index-scan + slice rewrite, no import of
+    stages/bpe), emitting (doc_id, n_words, n_tokens, token_crc_sum)."""
+    import re as _re
+    import zlib as _zlib
+    path = BPE_ENCODE_GOLDEN_PQ
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.exists(path):
+        meta = pq.ParquetFile(path).schema_arrow.metadata or {}
+        if meta.get(b"sf") == tag.encode():
+            return
+    ensure_bpe_golden(sf_dir)
+    m = pq.read_table(BPE_GOLDEN_PQ)
+    ranks = {(l, r): k for k, l, r in zip(m["rank"].to_pylist(),
+                                          m["left"].to_pylist(),
+                                          m["right"].to_pylist())}
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    cache: dict = {}
+
+    def enc(w: str):
+        got = cache.get(w)
+        if got is not None:
+            return got
+        syms = list(w)
+        syms[-1] = syms[-1] + "</w>"
+        while True:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None
+                                       or rk < best_rank):
+                    best_rank, best_i = rk, i
+            if best_rank is None:
+                break
+            # apply THIS pair everywhere, greedy left-to-right
+            a, b = syms[best_i], syms[best_i + 1]
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        got = (len(syms),
+               sum(_zlib.crc32(t.encode("utf-8")) for t in syms))
+        cache[w] = got
+        return got
+
+    ids, nw, nt, cs = [], [], [], []
+    for did, t in zip(docs["doc_id"].to_pylist(),
+                      docs["text"].to_pylist()):
+        words = _re.findall("[a-z0-9]+", t.lower())
+        tt = tc = 0
+        for w in words:
+            a, b = enc(w)
+            tt += a
+            tc += b
+        ids.append(did)
+        nw.append(len(words))
+        nt.append(tt)
+        cs.append(tc)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_words": pa.array(nw, pa.int64()),
+        "n_tokens": pa.array(nt, pa.int64()),
+        "token_crc_sum": pa.array(cs, pa.int64()),
+    }).replace_schema_metadata({b"sf": tag.encode()})
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)

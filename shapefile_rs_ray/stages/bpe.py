@@ -160,3 +160,72 @@ def bpe_train(hist, n_merges: int, *, parts: int = BPE_PARTS,
         state = (state.map_batches(apply_merge, batch_format="pyarrow")
                  .repartition(n_blocks).materialize())
     return merges
+
+
+def rank_table(merges) -> dict:
+    """[(rank, left, right, cnt)] -> {(left, right): rank}."""
+    return {(l, r): k for k, l, r, _ in merges}
+
+
+def encode_word(word: str, ranks: dict) -> list[str]:
+    """Classic rank-priority BPE encode (the GPT-2 apply loop): start
+    from characters (+ EOW on the last), repeatedly merge the pair with
+    the LOWEST learned rank until none applies."""
+    if not word:
+        return []
+    syms = list(word[:-1]) + [word[-1] + EOW]
+    while len(syms) > 1:
+        best = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, a, b)
+        if best is None:
+            break
+        syms = merge_word(syms, best[1], best[2])
+    return syms
+
+
+class BpeEncodeStage:
+    """Actor-pool tokenizer apply: the merge table (the MODEL — tiny by
+    definition) is handed to every actor once via the constructor;
+    __call__ encodes each DISTINCT word in the batch once (per-actor
+    cache, the hot-path discipline: corpora repeat words) and emits
+    per-doc token accounting: (doc_id, n_words, n_tokens,
+    token_crc_sum) with token_crc_sum = sum of crc32(token) over the
+    doc's token stream (order-free, collision-strong)."""
+
+    def __init__(self, merges):
+        self.ranks = rank_table(merges)
+        self.cache: dict = {}
+
+    def _encode(self, w: str):
+        hit = self.cache.get(w)
+        if hit is None:
+            import zlib
+            toks = encode_word(w, self.ranks)
+            hit = (len(toks), sum(zlib.crc32(t.encode()) for t in toks))
+            self.cache[w] = hit
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        nw = []
+        nt = []
+        cs = []
+        for t in batch["text"].to_pylist():
+            words = WORD_RE.findall(t.lower())
+            tot_t = 0
+            tot_c = 0
+            for w in words:
+                a, b = self._encode(w)
+                tot_t += a
+                tot_c += b
+            nw.append(len(words))
+            nt.append(tot_t)
+            cs.append(tot_c)
+        return pa.table({
+            "doc_id": ids,
+            "n_words": pa.array(nw, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "token_crc_sum": pa.array(cs, pa.int64())})

@@ -1457,3 +1457,19 @@ def test_bpe_merge_word_semantics():
     assert merge_word(["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
     assert merge_word(["x"], "a", "b") == ["x"]
     assert merge_word([], "a", "b") == []
+
+
+def test_bpe_encode_rank_priority():
+    from shapefile_rs_ray.stages.bpe import encode_word, rank_table
+    # rank order decides merge order, not file/pair order
+    ranks = rank_table([(0, "l", "o"), (1, "lo", "w"), (2, "e", "r</w>")]
+                       if False else
+                       [(0, "l", "o", 9), (1, "lo", "w", 5),
+                        (2, "e", "r</w>", 4)])
+    assert encode_word("low", ranks) == ["lo", "w</w>"]  # w</w> != w
+    assert encode_word("lower", ranks) == ["lo", "w", "e", "r</w>"]
+    assert encode_word("", ranks) == []
+    # lowest-rank pair merges first even if it appears later in the word
+    r2 = rank_table([(0, "b", "c"), (1, "a", "b")]
+                    if False else [(0, "b", "c", 2), (1, "a", "b", 2)])
+    assert encode_word("abcd", r2) == ["a", "bc", "d</w>"]
