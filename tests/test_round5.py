@@ -1467,7 +1467,7 @@ def test_bpe_encode_rank_priority():
                        [(0, "l", "o", 9), (1, "lo", "w", 5),
                         (2, "e", "r</w>", 4)])
     assert encode_word("low", ranks) == ["lo", "w</w>"]  # w</w> != w
-    assert encode_word("lower", ranks) == ["lo", "w", "e", "r</w>"]
+    assert encode_word("lower", ranks) == ["low", "er</w>"]
     assert encode_word("", ranks) == []
     # lowest-rank pair merges first even if it appears later in the word
     r2 = rank_table([(0, "b", "c"), (1, "a", "b")]
