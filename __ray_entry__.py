@@ -662,6 +662,53 @@ def _wav_decode(sf_dir: str):
                          concurrency=(1, 4)))
 
 
+def _tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecast revenue change): pure scan-filter-aggregate —
+    shipdate year + quantity pushed INTO the parquet scan as a
+    pyarrow.dataset filter, discount band filtered vectorized, and the
+    float SUM(price*discount) made exact by fixed-point cents x
+    basis-points (floor(x*100+0.5) on both sides — float SUM is
+    merge-order-sensitive, int64 SUM is not; the repo's determinism
+    rule). One partial per block, one tiny reduce."""
+    import datetime
+    import os
+    import ray
+    import pyarrow.dataset as pds
+
+    t0 = datetime.datetime(1996, 1, 1)
+    t1 = datetime.datetime(1997, 1, 1)
+    expr = ((pds.field("l_shipdate") >= t0)
+            & (pds.field("l_shipdate") < t1)
+            & (pds.field("l_quantity") < 24.0))
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=expr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = np.asarray(batch["l_discount"], np.float64)
+        m = (disc >= 0.05) & (disc <= 0.07)
+        price = np.asarray(batch["l_extendedprice"], np.float64)[m]
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        bp = np.floor(disc[m] * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "revenue_e4": pa.array([int((cents * bp).sum())], pa.int64()),
+            "n_rows": pa.array([int(m.sum())], pa.int64())})
+
+    def reduce_(part: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_e4": pa.array(
+                [int(np.asarray(part["revenue_e4"], np.int64).sum())],
+                pa.int64()),
+            "n_rows": pa.array(
+                [int(np.asarray(part["n_rows"], np.int64).sum())],
+                pa.int64())})
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .repartition(1).map_batches(reduce_, batch_format="pyarrow"))
+
+
 def _events_pushdown(sf_dir: str):
     """Prune-at-the-read, first-class: `read_parquet` with BOTH a column
     projection and a pyarrow.dataset row filter (event_type IN
@@ -2612,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
         "events_pushdown": _events_pushdown,
+        "tpch_q6": _tpch_q6,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2662,13 +2710,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_decode": _bmp_decode,
         "y4m_decode": _y4m_decode,
         "ann_lsh_top1": _ann_lsh_top1,
-        "ann_ivf_top1": _ann_ivf_top1,
         # ---- end of the 50-entry driver gate window ----
         # (top_events_user/range_join/events_hopping/events_late/
         # events_window/html_extract/clip_lakes/simplify_lakes bumped
         # below by flac_decode/avi_frames/mp3_meta/host_triangles/
         # stratified_split/robots_gate/bpe_merges/events_pushdown/
-        # bpe_encode -- lake_measures also rotated below)
+        # bpe_encode/tpch_q6 -- lake_measures/ann_ivf_top1 also
+        # rotated below)
+        "ann_ivf_top1": _ann_ivf_top1,
         "lake_measures": _lake_measures,
         "simplify_lakes": _simplify_lakes,
         "clip_lakes": _clip_lakes,
@@ -3058,6 +3107,16 @@ FROM w""",
             "SELECT g.doc_id, n_words, n_tokens, token_crc_sum "
             f"FROM read_parquet('{oracles.BPE_ENCODE_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
+        "tpch_q6": (
+            "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) "
+            "AS BIGINT) * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS revenue_e4, COUNT(*) AS n_rows "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_quantity < 24 "
+            "AND l_discount >= CAST('0.05' AS DOUBLE) "
+            "AND l_discount <= CAST('0.07' AS DOUBLE)"),
         "events_pushdown": (
             "SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, "
             "MAX(event_id) AS max_id, "
