@@ -404,6 +404,32 @@ def run_queries() -> tuple[dict, dict]:
 
     timed("avi_frames", q_avi_frames)
 
+    def q_flac_decode():
+        # round-5 lossless audio codec: full encode (fixed+LPC, Rice)
+        # + full verified decode (CRC-8/16 + stream MD5) per doc;
+        # ~10 ms/doc round-trip (entropy coding is bit-serial by the
+        # format's nature) — repl=REPL_SMALL//10 keeps the entry
+        # comparable; parallelism is per-file, the corpus sharding
+        import pyarrow as pa
+        from shapefile_rs_ray.stages.flac import (FlacDecodeStage,
+                                                  synth_flac_bytes)
+        st = FlacDecodeStage()
+
+        def build_decode(b):
+            ids = b["page_id"].to_pylist()
+            return st(pa.table({
+                "doc_id": b["page_id"],
+                "flac": pa.array([synth_flac_bytes(d) for d in ids],
+                                 pa.binary())}))
+
+        ds = read_webpages(SF_DIR, repl=max(1, REPL_SMALL // 10),
+                           with_html=False)
+        return (ds.select_columns(["page_id"]).repartition(conc * 4)
+                .map_batches(build_decode, batch_format="pyarrow")
+                .count())
+
+    timed("flac_decode", q_flac_decode)
+
     ray.shutdown()
     extra["query_samples"] = samples
     extra["samples_per_query"] = max(1, SAMPLES)
