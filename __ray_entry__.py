@@ -709,6 +709,23 @@ def _tpch_q6(sf_dir: str):
             .repartition(1).map_batches(reduce_, batch_format="pyarrow"))
 
 
+def _compress_ratio(sf_dir: str):
+    """Compression-ratio quality signal (Gopher/CCNet family: highly
+    compressible text is boilerplate, near-incompressible is noise),
+    computed with the engine's own from-scratch GIF-flavor LZW — no
+    compression library, fully deterministic. Golden = an independent
+    twin compressor ((prefix_code, byte) dictionary + its own bit
+    accounting) whose output LENGTH must match the engine's packer
+    byte-for-byte, dictionary resets included."""
+    from shapefile_rs_ray.pipelines import oracles
+    from shapefile_rs_ray.sources.webpages import read_documents
+    from shapefile_rs_ray.stages.textqc import CompressionRatioStage
+    oracles.ensure_lzw_golden(sf_dir)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(CompressionRatioStage,
+                            batch_format="pyarrow", concurrency=4)
+
+
 def _events_pushdown(sf_dir: str):
     """Prune-at-the-read, first-class: `read_parquet` with BOTH a column
     projection and a pyarrow.dataset row filter (event_type IN
@@ -2675,6 +2692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": _bpe_encode,
         "events_pushdown": _events_pushdown,
         "tpch_q6": _tpch_q6,
+        "compress_ratio": _compress_ratio,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2724,14 +2742,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_decode": _wav_decode,
         "bmp_decode": _bmp_decode,
         "y4m_decode": _y4m_decode,
-        "ann_lsh_top1": _ann_lsh_top1,
         # ---- end of the 50-entry driver gate window ----
         # (top_events_user/range_join/events_hopping/events_late/
         # events_window/html_extract/clip_lakes/simplify_lakes bumped
         # below by flac_decode/avi_frames/mp3_meta/host_triangles/
         # stratified_split/robots_gate/bpe_merges/events_pushdown/
-        # bpe_encode/tpch_q6 -- lake_measures/ann_ivf_top1 also
-        # rotated below)
+        # bpe_encode/tpch_q6/compress_ratio -- lake_measures/
+        # ann_ivf_top1/ann_lsh_top1 also rotated below)
+        "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
         "lake_measures": _lake_measures,
         "simplify_lakes": _simplify_lakes,
@@ -3121,6 +3139,10 @@ FROM w""",
         "bpe_encode": (
             "SELECT g.doc_id, n_words, n_tokens, token_crc_sum "
             f"FROM read_parquet('{oracles.BPE_ENCODE_GOLDEN_PQ}') g "
+            "JOIN documents d ON d.doc_id = g.doc_id"),
+        "compress_ratio": (
+            "SELECT g.doc_id, n_raw, n_lzw, ratio_pm "
+            f"FROM read_parquet('{oracles.LZW_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
         "tpch_q6": (
             "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 "

@@ -2401,3 +2401,74 @@ def ensure_bpe_encode_golden(sf_dir: str) -> None:
     tmp = f"{path}.tmp{os.getpid()}"
     pq.write_table(tbl, tmp)
     os.replace(tmp, path)
+
+
+LZW_GOLDEN_PQ = os.path.join(ORACLE_DIR, "compress_ratio.parquet")
+
+
+def ensure_lzw_golden(sf_dir: str) -> None:
+    """Independent compression-ratio twin: its OWN LZW compressor with a
+    (prefix_code, byte)->code dictionary (the engine's keys on byte
+    strings) and its own bit packer — identical output LENGTHS iff both
+    implement the same greedy algorithm, code-width growth and 4096
+    reset, which is exactly what the gate checks."""
+    path = LZW_GOLDEN_PQ
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if os.path.exists(path):
+        meta = pq.ParquetFile(path).schema_arrow.metadata or {}
+        if meta.get(b"sf") == tag.encode():
+            return
+
+    def lzw_len(data: bytes) -> int:
+        clear, eoi = 256, 257
+        bits = 0                        # total bits emitted
+
+        def fresh():
+            return {}, 258, 9
+
+        table, next_code, width = fresh()
+        bits += width                   # leading CLEAR
+        cur = None
+        for b in data:
+            if cur is None:
+                cur = b
+                continue
+            hit = table.get((cur, b))
+            if hit is not None:
+                cur = hit
+                continue
+            bits += width
+            table[(cur, b)] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            elif next_code >= 4096:
+                bits += width           # CLEAR emitted at old width
+                table, next_code, width = fresh()
+            cur = b
+        if cur is not None:
+            bits += width
+        bits += width                   # EOI
+        return (bits + 7) // 8
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids, nr, nc, pm = [], [], [], []
+    for did, t in zip(docs["doc_id"].to_pylist(),
+                      docs["text"].to_pylist()):
+        b = t.encode("utf-8")
+        c = lzw_len(b)
+        ids.append(did)
+        nr.append(len(b))
+        nc.append(c)
+        pm.append(c * 1000 // len(b) if b else 0)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_raw": pa.array(nr, pa.int64()),
+        "n_lzw": pa.array(nc, pa.int64()),
+        "ratio_pm": pa.array(pm, pa.int64()),
+    }).replace_schema_metadata({b"sf": tag.encode()})
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)

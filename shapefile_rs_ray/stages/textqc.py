@@ -155,3 +155,34 @@ def assemble_host_docs(pages, *, url_col: str = "url",
 
     return (pages.map_batches(rows, batch_format="pyarrow")
             .groupby("__p").map_groups(assemble, batch_format="pyarrow"))
+
+
+class CompressionRatioStage:
+    """Compression-ratio quality signal (the Gopher/CCNet-family
+    heuristic: highly compressible text is boilerplate/repetition;
+    near-incompressible is noise). The engine's own from-scratch LZW
+    (stages/multimodal._lzw_compress — GIF-flavor variable-width codes)
+    is the compressor, so the signal is deterministic and library-free;
+    per doc: (doc_id, n_raw, n_lzw, ratio_pm = n_lzw*1000 // n_raw).
+
+    One pass, map-only, actor pool; text never shuffles."""
+
+    def __init__(self, text_col: str = "text", key_col: str = "doc_id"):
+        from .multimodal import _lzw_compress
+        self.text_col = text_col
+        self.key_col = key_col
+        self.compress = _lzw_compress
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raws, comps, pms = [], [], []
+        for t in batch[self.text_col].to_pylist():
+            b = t.encode("utf-8")
+            c = self.compress(b)
+            raws.append(len(b))
+            comps.append(len(c))
+            pms.append(len(c) * 1000 // len(b) if b else 0)
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "n_raw": pa.array(raws, pa.int64()),
+            "n_lzw": pa.array(comps, pa.int64()),
+            "ratio_pm": pa.array(pms, pa.int64())})

@@ -1473,3 +1473,49 @@ def test_bpe_encode_rank_priority():
     r2 = rank_table([(0, "b", "c"), (1, "a", "b")]
                     if False else [(0, "b", "c", 2), (1, "a", "b", 2)])
     assert encode_word("abcd", r2) == ["a", "bc", "d</w>"]
+
+
+def test_lzw_twin_length_parity():
+    """The oracle's independent (prefix,byte)-dict LZW must account the
+    exact byte length of the engine's bytes-dict compressor, across
+    width growth and 4096 dictionary resets."""
+    import numpy as np
+    from shapefile_rs_ray.stages.multimodal import (_lzw_compress,
+                                                    _lzw_decompress)
+    rng = np.random.default_rng(1)
+    cases = [b"", b"a", b"aaaa" * 500,
+             bytes(rng.integers(0, 256, 20000, dtype=np.uint8)),
+             ("the quick brown fox " * 800).encode(),
+             bytes(rng.integers(97, 105, 30000, dtype=np.uint8))]
+
+    def twin_len(data: bytes) -> int:
+        table, next_code, width = {}, 258, 9
+        bits = width
+        cur = None
+        for b in data:
+            if cur is None:
+                cur = b
+                continue
+            hit = table.get((cur, b))
+            if hit is not None:
+                cur = hit
+                continue
+            bits += width
+            table[(cur, b)] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            elif next_code >= 4096:
+                bits += width
+                table, next_code, width = {}, 258, 9
+            cur = b
+        if cur is not None:
+            bits += width
+        bits += width
+        return (bits + 7) // 8
+
+    for c in cases:
+        z = _lzw_compress(c)
+        assert len(z) == twin_len(c)
+        # and the engine stream stays decodable back to the input
+        assert _lzw_decompress(z, 8, len(c)) == c
