@@ -353,7 +353,11 @@ def run_queries() -> tuple[dict, dict]:
         shutil.rmtree(out, ignore_errors=True)
         pages = (read_webpages(SF_DIR, repl=REPL_SMALL, with_html=False)
                  .select_columns(["page_id", "url", "warc_ts", "text"]))
-        write_wet_shards(pages, out, n_shards=conc * 2)
+        # FIXED shard count: sizing shards to the pool would give the
+        # scaling configs different file layouts (bigger files = longer
+        # serial per-shard member walks on the small config) — identical
+        # work layout is what a scaling comparison requires
+        write_wet_shards(pages, out, n_shards=32)
         return read_wet(out).count()
 
     timed("warc_roundtrip", q_warc_roundtrip)

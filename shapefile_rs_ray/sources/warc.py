@@ -226,5 +226,7 @@ def read_wet(dir_or_paths):
     ds = ray.data.read_binary_files(
         dir_or_paths, include_paths=True, file_extensions=["gz"],
         arrow_open_stream_args={"compression": None})
-    return ds.map_batches(WetParseStage, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    # TASK-based: the parse is stateless, and an autoscaling actor pool
+    # sticks at its minimum (the repo's measured rule) — tasks give one
+    # parse task per shard file with no pool to warm up
+    return ds.map_batches(WetParseStage(), batch_format="pyarrow")
