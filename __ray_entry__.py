@@ -709,6 +709,19 @@ def _tpch_q6(sf_dir: str):
             .repartition(1).map_batches(reduce_, batch_format="pyarrow"))
 
 
+def _quota_sample(sf_dir: str):
+    """Deterministic per-language quota sampling (the data-MIXING stage:
+    cap English, keep low-resource languages): per lang the quota-k
+    pages with the smallest (crc32(url), page_id) win — a stable
+    content-addressed sample, independent of partitioning and worker
+    count. Map-side per-batch top-k partials + one tiny merge; the
+    shuffle moves O(k x langs x blocks) rows, never the corpus. Oracle
+    replays the selection with ROW_NUMBER over the SQL crc fold."""
+    from shapefile_rs_ray.pipelines.curation import quota_sample
+    from shapefile_rs_ray.sources.webpages import read_webpages
+    return quota_sample(read_webpages(sf_dir, with_html=False))
+
+
 def _compress_ratio(sf_dir: str):
     """Compression-ratio quality signal (Gopher/CCNet family: highly
     compressible text is boilerplate, near-incompressible is noise),
@@ -2693,6 +2706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pushdown": _events_pushdown,
         "tpch_q6": _tpch_q6,
         "compress_ratio": _compress_ratio,
+        "quota_sample": _quota_sample,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2741,14 +2755,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _chunk_dedup,
         "wav_decode": _wav_decode,
         "bmp_decode": _bmp_decode,
-        "y4m_decode": _y4m_decode,
         # ---- end of the 50-entry driver gate window ----
         # (top_events_user/range_join/events_hopping/events_late/
         # events_window/html_extract/clip_lakes/simplify_lakes bumped
         # below by flac_decode/avi_frames/mp3_meta/host_triangles/
         # stratified_split/robots_gate/bpe_merges/events_pushdown/
-        # bpe_encode/tpch_q6/compress_ratio -- lake_measures/
-        # ann_ivf_top1/ann_lsh_top1 also rotated below)
+        # bpe_encode/tpch_q6/compress_ratio/quota_sample --
+        # lake_measures/ann_ivf_top1/ann_lsh_top1/y4m_decode also
+        # rotated below)
+        "y4m_decode": _y4m_decode,
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
         "lake_measures": _lake_measures,
@@ -3140,6 +3155,25 @@ FROM w""",
             "SELECT g.doc_id, n_words, n_tokens, token_crc_sum "
             f"FROM read_parquet('{oracles.BPE_ENCODE_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
+        "quota_sample": f"""
+WITH {pages},
+b AS (SELECT lang, page_id,
+             xor(list_reduce(list_prepend(4294967295,
+                 list_transform(range(1, length(url) + 1),
+                                i -> unicode(substr(url, i, 1)))),
+                 (acc, c) -> xor(acc >> 8,
+                     ([{', '.join(map(str, oracles._crc32_table()))}])
+                     [(xor(acc, c) % 256) + 1])),
+                 4294967295) AS crc
+      FROM pages),
+r AS (SELECT lang, page_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY crc, page_id) AS rank
+      FROM b)
+SELECT lang, rank, page_id FROM r
+WHERE rank <= CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 120
+                        WHEN 'fr' THEN 120 WHEN 'es' THEN 120
+                        WHEN 'zh' THEN 80 END""",
         "compress_ratio": (
             "SELECT g.doc_id, n_raw, n_lzw, ratio_pm "
             f"FROM read_parquet('{oracles.LZW_GOLDEN_PQ}') g "

@@ -133,3 +133,71 @@ def stratified_split(pages, *, train_pct: int = 80, val_pct: int = 10,
 
     return (pages.map_batches(partial, batch_format="pyarrow")
             .groupby("__p").map_groups(reduce_, batch_format="pyarrow"))
+
+
+QUOTA_DEFAULT = {"en": 200, "de": 120, "fr": 120, "es": 120, "zh": 80}
+
+
+def quota_sample(pages, *, quotas: dict | None = None,
+                 url_col: str = "url", lang_col: str = "lang",
+                 id_col: str = "page_id"):
+    """Deterministic per-language quota sampling — the data-MIXING stage
+    of a training pipeline ("cap English at N pages, keep more of the
+    low-resource languages"). Selection is content-addressed: per lang,
+    the quota-k pages with the SMALLEST (crc32(url), page_id) win, so
+    the sample is a stable function of the corpus — independent of
+    partitioning, arrival order and worker count, and monotone under
+    corpus growth in the same way a min-hash sketch is.
+
+    Distributed as map-side per-batch per-lang top-k partials (each
+    batch keeps at most k rows per lang) + one tiny final merge — the
+    grouped-top-k pattern; the shuffle moves O(k x langs x blocks)
+    rows, never the corpus. Output: (lang, rank, page_id).
+    """
+    from ..functions.hashing import crc32_str
+
+    q = QUOTA_DEFAULT if quotas is None else quotas
+    langs_sorted = sorted(q)
+    lang_idx = {l: i for i, l in enumerate(langs_sorted)}
+    kmax = max(q.values())
+
+    def topk_kernel(langs, crc, ids, per_batch: bool):
+        li = np.array([lang_idx.get(l, -1) for l in langs], np.int64)
+        keep = li >= 0
+        li, c, pid = li[keep], crc[keep], ids[keep]
+        order = np.lexsort((pid, c, li))
+        li, c, pid = li[order], c[order], pid[order]
+        new = np.empty(len(li), bool)
+        new[0:1] = True
+        new[1:] = li[1:] != li[:-1]
+        rank = np.arange(len(li)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(li)), 0)) + 1
+        kv = np.array([q[langs_sorted[i]] for i in li], np.int64) \
+            if not per_batch else np.full(len(li), kmax, np.int64)
+        m = rank <= kv
+        return li[m], c[m], pid[m], rank[m]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch[lang_col].to_pylist()
+        crc = crc32_str(batch[url_col].to_pylist())
+        ids = np.asarray(batch[id_col], np.int64)
+        li, c, pid, _ = topk_kernel(langs, crc, ids, per_batch=True)
+        return pa.table({
+            "li": pa.array(li, pa.int64()),
+            "crc": pa.array(c, pa.int64()),
+            id_col: pa.array(pid, pa.int64())})
+
+    def final(part: pa.Table) -> pa.Table:
+        li = np.asarray(part["li"], np.int64)
+        c = np.asarray(part["crc"], np.int64)
+        pid = np.asarray(part[id_col], np.int64)
+        langs = [langs_sorted[i] for i in li]
+        li, c, pid, rank = topk_kernel(langs, c, pid, per_batch=False)
+        return pa.table({
+            "lang": pa.array([langs_sorted[i] for i in li], pa.string()),
+            "rank": pa.array(rank, pa.int64()),
+            id_col: pa.array(pid, pa.int64())})
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow"))

@@ -1519,3 +1519,32 @@ def test_lzw_twin_length_parity():
         assert len(z) == twin_len(c)
         # and the engine stream stays decodable back to the input
         assert _lzw_decompress(z, 8, len(c)) == c
+
+
+def test_quota_sample_stable_and_exact(ray_session):
+    import zlib
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.pipelines.curation import quota_sample
+    n = 600
+    urls = [f"https://h{i % 9}.example/p/{i}" for i in range(n)]
+    langs = [("en", "de", "zh")[i % 3] for i in range(n)]
+    tbl = pa.table({"page_id": pa.array(range(n), pa.int64()),
+                    "url": pa.array(urls), "lang": pa.array(langs)})
+    q = {"en": 15, "de": 7, "zh": 3}
+    want = {}
+    for l in q:
+        rows = sorted((zlib.crc32(u.encode()), i)
+                      for i, (u, ll) in enumerate(zip(urls, langs))
+                      if ll == l)[:q[l]]
+        want[l] = [i for _, i in rows]
+    for nparts in (3, 11):
+        got = {}
+        out = quota_sample(
+            ray.data.from_arrow(tbl).repartition(nparts),
+            quotas=q).take_all()
+        for r in out:
+            got.setdefault(r["lang"], []).append((r["rank"], r["page_id"]))
+        for l in q:
+            ids = [pid for _, pid in sorted(got[l])]
+            assert ids == want[l], (nparts, l)
