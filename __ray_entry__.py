@@ -709,6 +709,19 @@ def _tpch_q6(sf_dir: str):
             .repartition(1).map_batches(reduce_, batch_format="pyarrow"))
 
 
+def _seq_pack(sf_dir: str):
+    """Sequence packing (pretraining batch prep): greedy first-fit of
+    documents into cap-64-token sequences inside fixed doc_id ranges —
+    the group, not the corpus, is the unit of sequentiality, so groups
+    parallelize freely and the result is partitioning-independent.
+    Oracle replays the greedy walk with a recursive CTE (per-group
+    row-number chain) — the stateful packing rule itself gates, not
+    just the counts."""
+    from shapefile_rs_ray.pipelines.curation import seq_pack
+    from shapefile_rs_ray.sources.webpages import read_documents
+    return seq_pack(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def _quota_sample(sf_dir: str):
     """Deterministic per-language quota sampling (the data-MIXING stage:
     cap English, keep low-resource languages): per lang the quota-k
@@ -2707,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": _tpch_q6,
         "compress_ratio": _compress_ratio,
         "quota_sample": _quota_sample,
+        "seq_pack": _seq_pack,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2754,15 +2768,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational, multimodal, sketches) --
         "chunk_dedup": _chunk_dedup,
         "wav_decode": _wav_decode,
-        "bmp_decode": _bmp_decode,
         # ---- end of the 50-entry driver gate window ----
         # (top_events_user/range_join/events_hopping/events_late/
         # events_window/html_extract/clip_lakes/simplify_lakes bumped
         # below by flac_decode/avi_frames/mp3_meta/host_triangles/
         # stratified_split/robots_gate/bpe_merges/events_pushdown/
-        # bpe_encode/tpch_q6/compress_ratio/quota_sample --
-        # lake_measures/ann_ivf_top1/ann_lsh_top1/y4m_decode also
-        # rotated below)
+        # bpe_encode/tpch_q6/compress_ratio/quota_sample/seq_pack --
+        # lake_measures/ann_ivf_top1/ann_lsh_top1/y4m_decode/bmp_decode
+        # also rotated below)
+        "bmp_decode": _bmp_decode,
         "y4m_decode": _y4m_decode,
         "ann_lsh_top1": _ann_lsh_top1,
         "ann_ivf_top1": _ann_ivf_top1,
@@ -3155,6 +3169,36 @@ FROM w""",
             "SELECT g.doc_id, n_words, n_tokens, token_crc_sum "
             f"FROM read_parquet('{oracles.BPE_ENCODE_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
+        "seq_pack": """
+WITH RECURSIVE t AS (
+  SELECT doc_id // 32 AS grp, doc_id,
+         CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             AS n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id // 32
+                            ORDER BY doc_id) AS i
+  FROM documents),
+w AS (
+  SELECT grp, i, n, CAST(1 AS BIGINT) AS seq_no, n AS fill
+  FROM t WHERE i = 1
+  UNION ALL
+  SELECT t.grp, t.i, t.n,
+         CASE WHEN w.fill + t.n <= 64 THEN w.seq_no
+              ELSE w.seq_no + 1 END,
+         CASE WHEN w.fill + t.n <= 64 THEN w.fill + t.n ELSE t.n END
+  FROM w JOIN t ON t.grp = w.grp AND t.i = w.i + 1),
+seqs AS (SELECT grp, seq_no, MAX(fill) AS fill FROM w GROUP BY 1, 2),
+g AS (SELECT grp, MAX(seq_no) AS n_seqs,
+             CAST(SUM(CASE WHEN fill < 64 THEN 64 - fill ELSE 0 END)
+                  AS BIGINT) AS padding
+      FROM seqs GROUP BY 1),
+d AS (SELECT grp, COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_overflow
+      FROM t GROUP BY 1)
+SELECT d.grp, d.n_docs, d.total_tokens, g.n_seqs, d.n_overflow,
+       g.padding
+FROM d JOIN g ON g.grp = d.grp""",
         "quota_sample": f"""
 WITH {pages},
 b AS (SELECT lang, page_id,

@@ -201,3 +201,71 @@ def quota_sample(pages, *, quotas: dict | None = None,
     return (pages.map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow"))
+
+
+def seq_pack(docs, *, cap: int = 64, group: int = 32,
+             id_col: str = "doc_id", text_col: str = "text",
+             parts: int = 61):
+    """Sequence packing — the pretraining batch-prep stage: documents
+    pack greedily (first-fit in doc order) into fixed-capacity token
+    sequences; a doc that alone exceeds `cap` takes its own sequence
+    and is counted as an overflow (a real pipeline would split it).
+
+    Determinism without a global sort: packing runs inside fixed
+    doc_id RANGES (group = id_col // `group`), so every group's packing
+    is a pure function of its docs — independent of partitioning and
+    worker count, and groups parallelize freely (the greedy walk is
+    inherently sequential per group, which is why the group, not the
+    corpus, is the unit of sequentiality).
+
+    Output per group: (grp, n_docs, total_tokens, n_seqs, n_overflow,
+    padding) with padding = sum over closed sequences of (cap - fill)
+    where fill < cap."""
+    from ..functions.text import TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        n = pc.count_substring_regex(batch[text_col], TOKEN_RE)
+        grp = ids // group
+        return pa.table({
+            "grp": pa.array(grp, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "n": pc.cast(n, pa.int64()),
+            "__p": pa.array(grp % parts, pa.int64())})
+
+    def pack(part: pa.Table) -> pa.Table:
+        grp = np.asarray(part["grp"], np.int64)
+        ids = np.asarray(part[id_col], np.int64)
+        n = np.asarray(part["n"], np.int64)
+        o = np.lexsort((ids, grp))
+        grp, ids, n = grp[o], ids[o], n[o]
+        out = {k: [] for k in ("grp", "n_docs", "total_tokens", "n_seqs",
+                               "n_overflow", "padding")}
+        starts = np.flatnonzero(np.concatenate(
+            ([True], grp[1:] != grp[:-1]))) if len(grp) else []
+        bounds = np.append(starts, len(grp))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            fill = -1            # sentinel: no open sequence
+            n_seqs = padding = 0
+            for v in n[s:e]:
+                v = int(v)
+                if fill >= 0 and fill + v <= cap:
+                    fill += v
+                else:
+                    if fill >= 0 and fill < cap:
+                        padding += cap - fill
+                    n_seqs += 1
+                    fill = v
+            if fill >= 0 and fill < cap:
+                padding += cap - fill
+            out["grp"].append(int(grp[s]))
+            out["n_docs"].append(int(e - s))
+            out["total_tokens"].append(int(n[s:e].sum()))
+            out["n_seqs"].append(n_seqs)
+            out["n_overflow"].append(int((n[s:e] > cap).sum()))
+            out["padding"].append(padding)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("__p").map_groups(pack, batch_format="pyarrow"))

@@ -1548,3 +1548,29 @@ def test_quota_sample_stable_and_exact(ray_session):
         for l in q:
             ids = [pid for _, pid in sorted(got[l])]
             assert ids == want[l], (nparts, l)
+
+
+def test_seq_pack_greedy_semantics(ray_session):
+    import pyarrow as pa
+    import ray
+    from shapefile_rs_ray.pipelines.curation import seq_pack
+    # group 0: 30+30 fit one seq (fill 60, pad 4); 50 opens seq 2
+    # (pad 14); 70 overflows alone (no pad counted, fill>cap); 10+10
+    # share seq 4 (pad 44)
+    texts = {0: "w " * 30, 1: "w " * 30, 2: "w " * 50, 3: "w " * 70,
+             4: "w " * 10, 5: "w " * 10,
+             32: "w " * 64, 33: "w " * 1}       # group 1: exact fit + 1
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k].strip() for k in sorted(texts)])})
+    for nparts in (2, 5):
+        out = {r["grp"]: r for r in seq_pack(
+            ray.data.from_arrow(tbl).repartition(nparts),
+            cap=64, group=32).take_all()}
+        g0 = out[0]
+        assert (g0["n_docs"], g0["total_tokens"]) == (6, 200)
+        assert g0["n_seqs"] == 4 and g0["n_overflow"] == 1
+        assert g0["padding"] == 4 + 14 + 44
+        g1 = out[1]
+        assert (g1["n_seqs"], g1["padding"], g1["n_overflow"]) \
+            == (2, 63, 0)
