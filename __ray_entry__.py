@@ -709,6 +709,41 @@ def _tpch_q6(sf_dir: str):
             .repartition(1).map_batches(reduce_, batch_format="pyarrow"))
 
 
+def _script_mix(sf_dir: str):
+    """Unicode script profiling — the writing-system census a
+    multilingual curation pipeline runs before language routing: per
+    doc, codepoint counts for Latin, CJK, digits and whitespace plus
+    the dominant-script verdict (ties broken latin > cjk > digit by the
+    fixed precedence). RE2 character classes on BOTH sides (Arrow
+    count_substring_regex vs DuckDB regexp_extract_all), integer
+    outputs only."""
+    import pyarrow.compute as pc
+    from shapefile_rs_ray.sources.webpages import read_documents
+
+    def stats(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        lat = pc.cast(pc.count_substring_regex(t, "[A-Za-z]"),
+                      pa.int64())
+        cjk = pc.cast(pc.count_substring_regex(
+            t, "[\\x{4e00}-\\x{9fff}]"), pa.int64())
+        dig = pc.cast(pc.count_substring_regex(t, "[0-9]"), pa.int64())
+        ws = pc.cast(pc.count_substring_regex(t, "[ \t\n\r]"),
+                     pa.int64())
+        la = np.asarray(lat, np.int64)
+        cj = np.asarray(cjk, np.int64)
+        dg = np.asarray(dig, np.int64)
+        dom = np.where(la >= np.maximum(cj, dg), 0,
+                       np.where(cj >= dg, 1, 2))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_latin": lat, "n_cjk": cjk, "n_digit": dig,
+            "n_ws": ws,
+            "dominant": pa.array(dom, pa.int64())})
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def _seq_pack(sf_dir: str):
     """Sequence packing (pretraining batch prep): greedy first-fit of
     documents into cap-64-token sequences inside fixed doc_id ranges —
@@ -2721,6 +2756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_ratio": _compress_ratio,
         "quota_sample": _quota_sample,
         "seq_pack": _seq_pack,
+        "script_mix": _script_mix,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2767,15 +2803,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # representing the core surface (decode, spatial joins, windows,
         # relational, multimodal, sketches) --
         "chunk_dedup": _chunk_dedup,
-        "wav_decode": _wav_decode,
         # ---- end of the 50-entry driver gate window ----
         # (top_events_user/range_join/events_hopping/events_late/
         # events_window/html_extract/clip_lakes/simplify_lakes bumped
         # below by flac_decode/avi_frames/mp3_meta/host_triangles/
         # stratified_split/robots_gate/bpe_merges/events_pushdown/
-        # bpe_encode/tpch_q6/compress_ratio/quota_sample/seq_pack --
-        # lake_measures/ann_ivf_top1/ann_lsh_top1/y4m_decode/bmp_decode
-        # also rotated below)
+        # bpe_encode/tpch_q6/compress_ratio/quota_sample/seq_pack/
+        # script_mix -- lake_measures/ann_ivf_top1/ann_lsh_top1/
+        # y4m_decode/bmp_decode/wav_decode also rotated below)
+        "wav_decode": _wav_decode,
         "bmp_decode": _bmp_decode,
         "y4m_decode": _y4m_decode,
         "ann_lsh_top1": _ann_lsh_top1,
@@ -3169,6 +3205,22 @@ FROM w""",
             "SELECT g.doc_id, n_words, n_tokens, token_crc_sum "
             f"FROM read_parquet('{oracles.BPE_ENCODE_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
+        "script_mix": """
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+             AS n_latin,
+         CAST(length(regexp_extract_all(text,
+              '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS n_cjk,
+         CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+             AS n_digit,
+         CAST(length(regexp_extract_all(text, '[ \t\n\r]'))
+              AS BIGINT) AS n_ws
+  FROM documents)
+SELECT doc_id, n_latin, n_cjk, n_digit, n_ws,
+       CASE WHEN n_latin >= GREATEST(n_cjk, n_digit) THEN 0
+            WHEN n_cjk >= n_digit THEN 1 ELSE 2 END AS dominant
+FROM s""",
         "seq_pack": """
 WITH RECURSIVE t AS (
   SELECT doc_id // 32 AS grp, doc_id,
