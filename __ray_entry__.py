@@ -2277,6 +2277,58 @@ def _tpch_q10(sf_dir: str):
     return out[["c_custkey", "c_name", "n_name", "revenue"]]
 
 
+def _tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): per-order quantity sums
+    (integral doubles -> exact int64) through ONE coarse shuffle, the
+    HAVING > 150 selection applied at the reduce, map-side global
+    top-50 by (sum_qty DESC, orderkey ASC) — the AllToAll Sort operator
+    never appears — and the order/customer dimensions attached to
+    exactly 50 rows driver-side (at 100 TB the attach is a 50-key point
+    lookup, never an orders-table shuffle)."""
+    import os
+    import ray
+    import pyarrow.parquet as pq
+    from shapefile_rs_ray.stages.relational import grouped_intsum
+    from shapefile_rs_ray.stages.windows import global_topk
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = np.asarray(b["l_quantity"], np.float64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "qty": pa.array(q.astype(np.int64), pa.int64())})
+
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"])
+        .map_batches(prep, batch_format="pyarrow"))
+    agg = grouped_intsum(li, group_col="l_orderkey", sum_col="qty")
+
+    def having(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["qty"], np.int64)
+        keep = s > 150
+        return pa.table({
+            "l_orderkey": b["l_orderkey"].filter(pa.array(keep)),
+            "sum_qty": pa.array(s[keep].astype(np.float64),
+                                pa.float64())})
+
+    top = global_topk(agg.map_batches(having, batch_format="pyarrow"),
+                      k=50, value_col="sum_qty", id_col="l_orderkey",
+                      keep_cols=()).to_pandas()
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"]).to_pandas()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    out = (top.rename(columns={"l_orderkey": "o_orderkey"})
+           .merge(orders, on="o_orderkey", how="left")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey",
+                  how="left"))
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]]
+
+
 def _tpch_q5(sf_dir: str):
     """TPC-H-Q5-flavor: 5-table join chain (lineitem x orders x customer x
     supplier x nation x region) -> per-nation revenue where customer and
@@ -2757,6 +2809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": _quota_sample,
         "seq_pack": _seq_pack,
         "script_mix": _script_mix,
+        "tpch_q18": _tpch_q18,
         "adpcm_decode": _adpcm_decode,
         "substring_dedup": _substring_dedup,
         "substring_clean": _substring_clean,
@@ -2809,8 +2862,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # below by flac_decode/avi_frames/mp3_meta/host_triangles/
         # stratified_split/robots_gate/bpe_merges/events_pushdown/
         # bpe_encode/tpch_q6/compress_ratio/quota_sample/seq_pack/
-        # script_mix -- lake_measures/ann_ivf_top1/ann_lsh_top1/
-        # y4m_decode/bmp_decode/wav_decode also rotated below)
+        # script_mix/tpch_q18 -- lake_measures/ann_ivf_top1/
+        # ann_lsh_top1/y4m_decode/bmp_decode/wav_decode/chunk_dedup
+        # also rotated below)
+        "chunk_dedup": _chunk_dedup,
         "wav_decode": _wav_decode,
         "bmp_decode": _bmp_decode,
         "y4m_decode": _y4m_decode,
@@ -3205,6 +3260,17 @@ FROM w""",
             "SELECT g.doc_id, n_words, n_tokens, token_crc_sum "
             f"FROM read_parquet('{oracles.BPE_ENCODE_GOLDEN_PQ}') g "
             "JOIN documents d ON d.doc_id = g.doc_id"),
+        "tpch_q18": """
+WITH s AS (SELECT l_orderkey,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                      AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING sum_qty > 150),
+t AS (SELECT l_orderkey, sum_qty FROM s
+      ORDER BY sum_qty DESC, l_orderkey ASC LIMIT 50)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, t.sum_qty
+FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey""",
         "script_mix": """
 WITH s AS (
   SELECT doc_id,
