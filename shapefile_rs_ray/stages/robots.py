@@ -98,27 +98,34 @@ def select_group(groups, agent: str):
 
 def _match_scalar(pattern: str, path: str) -> bool:
     """Wildcard matcher: '*' spans any octets, trailing '$' anchors the
-    end. Greedy segment walk — no regex."""
+    end. Leftmost-greedy segment walk (optimal for the unanchored
+    prefix semantics); with '$' the LAST segment is matched at the END
+    of the path instead — leftmost matching of a final segment would
+    wrongly reject e.g. 'a*b$' against 'aXbYb'. No regex."""
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
     segs = pattern.split("*")
-    pos = 0
-    for i, seg in enumerate(segs):
-        if i == 0:
-            if not path.startswith(seg):
-                return False
-            pos = len(seg)
-        else:
+    first, rest = segs[0], segs[1:]
+    if not path.startswith(first):
+        return False
+    pos = len(first)
+    if not anchored:
+        for seg in rest:
             j = path.find(seg, pos)
             if j < 0:
                 return False
             pos = j + len(seg)
-    if anchored:
-        if segs[-1] == "":              # pattern ended in '*$'
-            return True
+        return True
+    if not rest:                        # no '*': exact whole-path match
         return pos == len(path)
-    return True
+    last = rest[-1]
+    for seg in rest[:-1]:
+        j = path.find(seg, pos)
+        if j < 0:
+            return False
+        pos = j + len(seg)
+    return path.endswith(last) and len(path) - len(last) >= pos
 
 
 def decide_batch(rules, paths: np.ndarray) -> np.ndarray:

@@ -169,3 +169,73 @@ def test_polygon_winding_preserved_through_roundtrip():
     b, bx = write_shp(t)
     _, t2 = shp.read_shp_bytes(b, bx)
     np.testing.assert_array_equal(t2.part_roles, roles)
+
+
+# ------------------------------------------------- round-5 codec properties
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 2),
+       st.integers(1, 700), st.sampled_from([64, 192, 256, 511]),
+       st.sampled_from(["independent", "left_side", "right_side",
+                        "mid_side", "auto"]))
+def test_flac_roundtrip_random(seed, ch, n, bs, mode):
+    """Any int16 signal survives encode->decode bit-exactly, every
+    stereo mode, odd block sizes, tiny lengths."""
+    import numpy as np
+    from shapefile_rs_ray.stages.flac import encode_flac, parse_flac
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int64)
+    if ch == 1:
+        mode = "independent"
+    blob = encode_flac(x, 44100, block_size=bs, stereo_mode=mode,
+                       lpc_every=3)
+    sr, och, y = parse_flac(blob)
+    assert (sr, och) == (44100, ch)
+    assert np.array_equal(x, y)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(
+    st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=40),
+    st.integers(0, 2**40) ,
+    st.text(max_size=200)), min_size=1, max_size=20))
+def test_wet_record_roundtrip_random(rows):
+    """Random (url, whole-second ts, unicode text) triplets survive the
+    WET shard byte format (gzip member split + header walk) exactly."""
+    from shapefile_rs_ray.sources.warc import (build_wet_shard,
+                                               parse_wet_records)
+    urls = [u.encode() for u, _, _ in rows]
+    ts = [t * 1_000_000 for _, t, _ in rows]
+    texts = [x.encode("utf-8") for _, _, x in rows]
+    got = parse_wet_records(build_wet_shard(1, urls, ts, texts))
+    assert got == list(zip(urls, ts, texts))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="ab*$/", min_size=0, max_size=10),
+       st.text(alphabet="ab/", min_size=0, max_size=12))
+def test_robots_wildcard_matches_reference_regex(pattern, path):
+    """The greedy segment matcher agrees with a re-based reference on
+    arbitrary patterns mixing literals, '*' and '$'."""
+    import re
+    from shapefile_rs_ray.stages.robots import _match_scalar
+    pat = pattern
+    anchored = pat.endswith("$")
+    core = pat[:-1] if anchored else pat
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in core)
+    rx = "^" + rx + ("$" if anchored else "")
+    want = re.match(rx, path) is not None
+    assert _match_scalar(pattern, path) == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=3000))
+def test_lzw_roundtrip_random(data):
+    """Engine LZW compress->decompress is identity on arbitrary bytes,
+    and the oracle's independent length accounting agrees."""
+    from shapefile_rs_ray.stages.multimodal import (_lzw_compress,
+                                                    _lzw_decompress)
+    z = _lzw_compress(data)
+    assert _lzw_decompress(z, 8, len(data)) == data
