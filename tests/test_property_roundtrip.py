@@ -239,3 +239,49 @@ def test_lzw_roundtrip_random(data):
                                                     _lzw_decompress)
     z = _lzw_compress(data)
     assert _lzw_decompress(z, 8, len(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10**6))
+def test_mp3_and_avi_synth_walk_random_ids(doc_id):
+    """Every synthesized MP3 stream walks cleanly and both twins agree;
+    every synthesized AVI demuxes with idx1 == sequential walk."""
+    from shapefile_rs_ray.pipelines.oracles import _mp3_scalar_row
+    from shapefile_rs_ray.stages.avi import parse_avi_index, synth_avi_bytes
+    from shapefile_rs_ray.stages.mp3 import parse_mp3_meta, synth_mp3_bytes
+    assert parse_mp3_meta(synth_mp3_bytes(doc_id)) == \
+        _mp3_scalar_row(doc_id)
+    w, h, rate, scale, n, spans = parse_avi_index(synth_avi_bytes(doc_id))
+    assert n == 3 + doc_id % 4 and len(spans) == n
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=8),
+                min_size=1, max_size=60),
+       st.integers(1, 12))
+def test_bpe_encode_reconstructs_words(words, n_merges):
+    """Property: BPE-encoding any word with merges learned from any
+    corpus concatenates back to the original word + EOW (merges only
+    join adjacent symbols, never drop or reorder)."""
+    from collections import Counter
+    from shapefile_rs_ray.stages.bpe import (EOW, encode_word,
+                                             merge_word, rank_table)
+    wc = Counter(words)
+    vocab = {tuple(list(w[:-1]) + [w[-1] + EOW]): c for w, c in wc.items()}
+    merges = []
+    for rank in range(n_merges):
+        pc_: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc_[(a, b)] += c
+        if not pc_:
+            break
+        (l, r), c = min(pc_.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, c))
+        vocab = {tuple(merge_word(list(s), l, r)): c
+                 for s, c in vocab.items()}
+    ranks = rank_table(merges)
+    for w in set(words):
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + EOW
