@@ -187,6 +187,22 @@ def quota_sample(pages, *, quotas: dict | None = None,
             "crc": pa.array(c, pa.int64()),
             id_col: pa.array(pid, pa.int64())})
 
+    def mid(part: pa.Table) -> pa.Table:
+        # per-partition collapse to <= kmax rows per lang BEFORE the
+        # final single-block merge: without this, the final merge
+        # receives blocks x langs x kmax rows — at CC block counts
+        # (millions) that is a single-task hot spot; with it, the final
+        # sees at most parts x langs x kmax rows regardless of corpus
+        li = np.asarray(part["li"], np.int64)
+        c = np.asarray(part["crc"], np.int64)
+        pid = np.asarray(part[id_col], np.int64)
+        langs = [langs_sorted[i] for i in li]
+        li, c, pid, _ = topk_kernel(langs, c, pid, per_batch=True)
+        return pa.table({
+            "li": pa.array(li, pa.int64()),
+            "crc": pa.array(c, pa.int64()),
+            id_col: pa.array(pid, pa.int64())})
+
     def final(part: pa.Table) -> pa.Table:
         li = np.asarray(part["li"], np.int64)
         c = np.asarray(part["crc"], np.int64)
@@ -198,7 +214,18 @@ def quota_sample(pages, *, quotas: dict | None = None,
             "rank": pa.array(rank, pa.int64()),
             id_col: pa.array(pid, pa.int64())})
 
+    def add_lp(batch: pa.Table) -> pa.Table:
+        # partition the mid-merge by crc hash (NOT by lang — one lang's
+        # candidates would still pile into one partition): per-lang
+        # top-k over any partitioning of the candidates is exact
+        c = np.asarray(batch["crc"], np.int64)
+        return batch.append_column("__p", pa.array(c % 61, pa.int64()))
+
     return (pages.map_batches(partial, batch_format="pyarrow")
+            .map_batches(add_lp, batch_format="pyarrow")
+            .groupby("__p").map_groups(
+                lambda p: mid(p.drop_columns(["__p"])),
+                batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow"))
 
@@ -239,33 +266,46 @@ def seq_pack(docs, *, cap: int = 64, group: int = 32,
         n = np.asarray(part["n"], np.int64)
         o = np.lexsort((ids, grp))
         grp, ids, n = grp[o], ids[o], n[o]
-        out = {k: [] for k in ("grp", "n_docs", "total_tokens", "n_seqs",
-                               "n_overflow", "padding")}
-        starts = np.flatnonzero(np.concatenate(
-            ([True], grp[1:] != grp[:-1]))) if len(grp) else []
-        bounds = np.append(starts, len(grp))
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            fill = -1            # sentinel: no open sequence
-            n_seqs = padding = 0
-            for v in n[s:e]:
-                v = int(v)
-                if fill >= 0 and fill + v <= cap:
-                    fill += v
-                else:
-                    if fill >= 0 and fill < cap:
-                        padding += cap - fill
-                    n_seqs += 1
-                    fill = v
-            if fill >= 0 and fill < cap:
-                padding += cap - fill
-            out["grp"].append(int(grp[s]))
-            out["n_docs"].append(int(e - s))
-            out["total_tokens"].append(int(n[s:e].sum()))
-            out["n_seqs"].append(n_seqs)
-            out["n_overflow"].append(int((n[s:e] > cap).sum()))
-            out["padding"].append(padding)
-        return pa.table({k: pa.array(v, pa.int64())
-                         for k, v in out.items()})
+        if len(grp) == 0:
+            return pa.table({k: pa.array([], pa.int64())
+                             for k in ("grp", "n_docs", "total_tokens",
+                                       "n_seqs", "n_overflow",
+                                       "padding")})
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                grp[1:] != grp[:-1])))
+        lens = np.diff(np.append(starts, len(grp)))
+        G = len(starts)
+        # LOCKSTEP greedy walk: the recurrence is sequential per group
+        # but independent ACROSS groups, so iterate doc-INDEX 0..max_len
+        # with all groups advancing as numpy vectors — `group` numpy
+        # steps total instead of a Python step per doc (the per-doc
+        # Python loop is the difference between minutes and hours per
+        # partition at 10^12 docs)
+        fill = np.full(G, -1, np.int64)
+        n_seqs = np.zeros(G, np.int64)
+        padding = np.zeros(G, np.int64)
+        for i in range(int(lens.max())):
+            act = lens > i                      # groups with an i-th doc
+            v = np.zeros(G, np.int64)
+            v[act] = n[starts[act] + i]
+            fits = act & (fill >= 0) & (fill + v <= cap)
+            cut = act & ~fits
+            pad_now = cut & (fill >= 0) & (fill < cap)
+            padding[pad_now] += cap - fill[pad_now]
+            n_seqs[cut] += 1
+            fill[fits] += v[fits]
+            fill[cut] = v[cut]
+        tail = (fill >= 0) & (fill < cap)
+        padding[tail] += cap - fill[tail]
+        tot = np.add.reduceat(n, starts)
+        ovf = np.add.reduceat((n > cap).astype(np.int64), starts)
+        return pa.table({
+            "grp": pa.array(grp[starts], pa.int64()),
+            "n_docs": pa.array(lens, pa.int64()),
+            "total_tokens": pa.array(tot, pa.int64()),
+            "n_seqs": pa.array(n_seqs, pa.int64()),
+            "n_overflow": pa.array(ovf, pa.int64()),
+            "padding": pa.array(padding, pa.int64())})
 
     return (docs.map_batches(partial, batch_format="pyarrow")
             .groupby("__p").map_groups(pack, batch_format="pyarrow"))
