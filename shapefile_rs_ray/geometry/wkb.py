@@ -265,3 +265,56 @@ def parse_wkb(buf: bytes):
     if pos != len(buf):
         raise ValueError(f"trailing bytes after geometry ({len(buf) - pos})")
     return out
+
+
+# --------------------------------------------------------------- GeoArrow
+
+def geoarrow_from_geometry(batch: pa.Table) -> pa.Table:
+    """map_batches kernel: decoded polygon records -> a GeoArrow-layout
+    `geometry` column (list<polygon: list<ring: list<vertex:
+    fixed_size_list<double, 2>>>>, interleaved coords) with the
+    ``ARROW:extension:name = geoarrow.multipolygon`` field metadata the
+    GeoArrow spec (public, geoarrow.org) defines — the nested-offsets
+    form geopandas/duckdb-spatial/lonboard consume WITHOUT parsing WKB.
+
+    Uses the SAME Outer-starts/Inner-attaches grouping and ring closing
+    as the WKB path (the reference's geo_types conversion semantics,
+    /root/reference/src/record/mod.rs:433-509), so the two interop
+    surfaces are vertex-identical — pytest-asserted against parse_wkb.
+    Null/empty records map to a null geometry."""
+    from .schema import explode_xy
+    ex = explode_xy(batch)
+    roles = np.asarray(pc.list_flatten(
+        batch["part_roles"].combine_chunks()), np.int8)
+    stypes = np.asarray(batch["shape_type"], np.int32)
+    x, y = ex["x"], ex["y"]
+    part_off, pt_cum = ex["part_off"], ex["pt_cum"]
+
+    geoms: list[list[list[list[list[float]]]] | None] = []
+    for i in range(len(stypes)):
+        t = int(stypes[i])
+        p0, p1 = int(part_off[i]), int(part_off[i + 1])
+        if t == 0 or p1 == p0 or not (t in _POLYGON_KIND
+                                      or t == MULTIPATCH):
+            geoms.append(None)
+            continue
+        if t == MULTIPATCH and any(int(r) in (0, 1)
+                                   for r in roles[p0:p1]):
+            geoms.append(None)               # strip/fan: unconvertible
+            continue
+        parts = [np.column_stack([x[int(pt_cum[p]):int(pt_cum[p + 1])],
+                                  y[int(pt_cum[p]):int(pt_cum[p + 1])]])
+                 for p in range(p0, p1)]
+        polys = _group_parts(parts, roles[p0:p1],
+                             multipatch=(t == MULTIPATCH))
+        geoms.append([[ring.tolist() for ring in rings]
+                      for rings in polys])
+
+    typ = pa.list_(pa.list_(pa.list_(pa.list_(pa.float64(), 2))))
+    geom = pa.array(geoms, typ)
+    field = pa.field("geometry", typ, metadata={
+        b"ARROW:extension:name": b"geoarrow.multipolygon",
+        b"ARROW:extension:metadata": b"{}"})
+    return pa.Table.from_arrays(
+        [batch["geom_id"].combine_chunks(), geom],
+        schema=pa.schema([pa.field("geom_id", pa.int64()), field]))

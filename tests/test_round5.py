@@ -1574,3 +1574,42 @@ def test_seq_pack_greedy_semantics(ray_session):
         g1 = out[1]
         assert (g1["n_seqs"], g1["padding"], g1["n_overflow"]) \
             == (2, 63, 0)
+
+
+# --------------------------------------------------------------- GeoArrow
+
+
+def test_geoarrow_matches_wkb_vertices(ray_session):
+    """The GeoArrow nested-offsets export and the WKB export are
+    vertex-identical over the full lakes corpus, and the field carries
+    the geoarrow.multipolygon extension metadata."""
+    import numpy as np
+    from shapefile_rs_ray.geometry.wkb import (geoarrow_from_geometry,
+                                               parse_wkb,
+                                               wkb_from_geometry)
+    from shapefile_rs_ray.sources.shapefile import read_shapefile_dataset
+    shp = ("/root/reference/tests/data/"
+           "ne_10m_lakes_north_america.shp")
+    ds = read_shapefile_dataset(shp)
+    checked = 0
+    for batch in ds.iter_batches(batch_format="pyarrow",
+                                 batch_size=256):
+        ga = geoarrow_from_geometry(batch)
+        wk = wkb_from_geometry(batch)
+        meta = ga.schema.field("geometry").metadata
+        assert meta[b"ARROW:extension:name"] == b"geoarrow.multipolygon"
+        for g, w in zip(ga["geometry"].to_pylist(),
+                        wk["wkb"].to_pylist()):
+            if w is None:
+                assert g is None
+                continue
+            kind, parsed = parse_wkb(w)
+            assert kind == 6                  # MultiPolygon
+            assert len(parsed) == len(g)
+            for rings_w, rings_g in zip(parsed, g):
+                assert len(rings_w) == len(rings_g)
+                for rw, rg in zip(rings_w, rings_g):
+                    assert np.array_equal(np.asarray(rw),
+                                          np.asarray(rg))
+            checked += 1
+    assert checked > 1000                     # the corpus is 1162 polys
