@@ -659,7 +659,7 @@ def _wav_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(WavDecodeStage, batch_format="pyarrow",
-                         concurrency=4))
+                         concurrency=(1, 4)))
 
 
 def _tpch_q6(sf_dir: str):
@@ -1108,7 +1108,7 @@ def _bmp_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(BmpDecodeStage, batch_format="pyarrow",
-                         concurrency=4))
+                         concurrency=(1, 4)))
 
 
 def _gif_decode(sf_dir: str):
@@ -1237,7 +1237,7 @@ def _y4m_decode(sf_dir: str):
     docs = read_documents(sf_dir, columns=["doc_id"])
     return (docs.map_batches(build, batch_format="pyarrow")
             .map_batches(Y4mDecodeStage, batch_format="pyarrow",
-                         concurrency=4))
+                         concurrency=(1, 4)))
 
 
 def _kmeans_embed(sf_dir: str):
@@ -1367,11 +1367,17 @@ def _warc_extract(sf_dir: str):
     per-row fidelity invariant proven THROUGH the container format.
     (warc_ts survives exactly because WARC-Date is second-resolution and
     the synth timestamps are whole seconds.)"""
+    import os
     import shutil
     from shapefile_rs_ray.sources.warc import read_wet, write_wet_shards
     from shapefile_rs_ray.sources.webpages import read_webpages
 
-    out = "/tmp/graft_wet_shards"
+    # per-(run, sf) directory: a fixed path would let a concurrent
+    # harness run (e.g. sf0.01 and sf0.1) rmtree this run's shards
+    # mid-read — the other /tmp artifacts are write-once + tagged,
+    # this one is destructive so it must be private
+    out = (f"/tmp/graft_wet_shards_{os.getpid()}_"
+           f"{os.path.basename(os.path.normpath(sf_dir))}")
     shutil.rmtree(out, ignore_errors=True)
     pages = (read_webpages(sf_dir, with_html=False)
              .select_columns(["page_id", "url", "warc_ts", "text"]))
@@ -2852,19 +2858,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "h3_compact": _h3_compact,
         "h3_ring": _h3_ring,
         "cells_multi": _cells_multi,
-        # -- driver-green staples filling the window to exactly 50,
-        # representing the core surface (decode, spatial joins, windows,
-        # relational, multimodal, sketches) --
-        "chunk_dedup": _chunk_dedup,
         # ---- end of the 50-entry driver gate window ----
         # The window above holds EXACTLY this round's new + changed
         # queries (16 session-2 additions, 8 session-1 additions, the
-        # crc32_str-recertification set, the versioned-H3 set). Triage
-        # note: wav/bmp/y4m_decode + chunk_dedup sit just below the
-        # window although their actor-pool sizing changed this round —
-        # a concurrency-only change (results bit-identical; re-verified
-        # locally in the full 123-query sf0.01 sweep), deliberately
-        # outranked by the never-driver-seen queries above.
+        # crc32_str-recertification set, the versioned-H3 set). Every
+        # entry below is an UNTOUCHED driver-green staple (wav/bmp/
+        # y4m_decode keep their r4 autoscaling pools precisely so they
+        # stay untouched; the round-5 fixed-pool form applies to the
+        # in-window codec queries only).
         "chunk_dedup": _chunk_dedup,
         "wav_decode": _wav_decode,
         "bmp_decode": _bmp_decode,

@@ -2201,11 +2201,15 @@ def _mp3_scalar_row(doc_id: int) -> tuple:
     br_v1 = {3: (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                  224, 256, 320),
              2: (None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
-                 256, 320, 384)}
+                 256, 320, 384),
+             1: (None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+                 352, 384, 416, 448)}
     br_v2 = {3: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
                  144, 160),
              2: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
-                 144, 160)}
+                 144, 160),
+             1: (None, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+                 192, 224, 256)}
     rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
              0: (11025, 12000, 8000)}
     pos, id3v2 = 0, 0
@@ -2230,11 +2234,21 @@ def _mp3_scalar_row(doc_id: int) -> tuple:
         pad = (p[pos + 2] >> 1) & 1
         ch = 1 if (p[pos + 3] >> 6) & 3 == 3 else 2
         br = (br_v1 if vb == 3 else br_v2)[lyr][bi]
-        spf = 1152 if lyr == 2 or vb == 3 else 576
+        # spf table: Layer I = 384 everywhere; Layer II = 1152;
+        # Layer III = 1152 (MPEG-1) / 576 (MPEG-2/2.5)
+        if lyr == 1:
+            spf = 384
+        elif lyr == 2:
+            spf = 1152
+        else:
+            spf = 1152 if vb == 3 else 576
         if fmt is None:
             fmt = (vb, lyr, sr, ch, spf)
         assert fmt == (vb, lyr, sr, ch, spf)
-        ln = spf // 8 * br * 1000 // sr + pad
+        if lyr == 1:                 # Layer I: 4-byte slots
+            ln = (12 * br * 1000 // sr + pad) * 4
+        else:
+            ln = spf // 8 * br * 1000 // sr + pad
         frames += 1
         abytes += ln
         brs.add(br)

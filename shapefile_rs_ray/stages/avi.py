@@ -118,11 +118,17 @@ def parse_avi_index(payload: bytes):
                             if sc == b"strh":
                                 typ, handler = struct.unpack(
                                     "<4s4s", sb[:8])
-                                if typ != b"vids" or handler != b"MJPG":
-                                    raise ValueError(
-                                        "avi: not an MJPEG video stream")
-                                scale, rate = struct.unpack(
-                                    "<II", sb[20:28])
+                                # skip non-video strls (real capture
+                                # AVIs carry an 'auds' PCM stream next
+                                # to the video); only a video stream
+                                # with a non-MJPEG codec is an error
+                                if typ == b"vids":
+                                    if handler != b"MJPG":
+                                        raise ValueError(
+                                            "avi: video stream codec is "
+                                            "not MJPG")
+                                    scale, rate = struct.unpack(
+                                        "<II", sb[20:28])
                             spos += 8 + sl + (sl & 1)
                     hpos += 8 + cl + (cl & 1)
             elif kind == b"movi":

@@ -79,21 +79,30 @@ def parse_robots(text: str):
 
 
 def select_group(groups, agent: str):
-    """RFC 9309 group selection for a product token: longest matching
-    specific agent wins; '*' only when no specific group matches."""
+    """RFC 9309 group selection for a product token: the longest
+    matching specific agent token wins; '*' only when no specific
+    token matches. Rules from ALL groups carrying the winning token
+    are COMBINED in file order (RFC 9309 §2.2.1 — concatenated and
+    generator-emitted policies routinely repeat a User-agent line);
+    crawl-delay takes the first value any combined group declares."""
     agent = agent.lower()
-    best = None
-    best_len = -1
-    for agents, rules, delay in groups:
+    best_tok = None
+    for agents, _rules, _delay in groups:
         for a in agents:
-            if a != "*" and a in agent and len(a) > best_len:
-                best, best_len = (rules, delay), len(a)
-    if best is not None:
-        return best
-    for agents, rules, delay in groups:
-        if "*" in agents:
-            return (rules, delay)
-    return ([], None)
+            if a != "*" and a in agent and (
+                    best_tok is None or len(a) > len(best_tok)):
+                best_tok = a
+    want = best_tok if best_tok is not None else "*"
+    rules: list = []
+    delay = None
+    found = False
+    for agents, grules, gdelay in groups:
+        if want in agents:
+            found = True
+            rules.extend(grules)
+            if delay is None:
+                delay = gdelay
+    return (rules, delay) if found else ([], None)
 
 
 def _match_scalar(pattern: str, path: str) -> bool:

@@ -1613,3 +1613,73 @@ def test_geoarrow_matches_wkb_vertices(ray_session):
                                           np.asarray(rg))
             checked += 1
     assert checked > 1000                     # the corpus is 1162 polys
+
+
+def test_avi_skips_audio_stream():
+    """A real-world AVI layout (MJPEG vids + PCM auds strl) parses; a
+    non-MJPEG VIDEO stream still refuses."""
+    import struct
+    import pytest as _pytest
+    from shapefile_rs_ray.stages.avi import (build_avi_mjpeg,
+                                             parse_avi_index,
+                                             synth_frame_rgb)
+    from shapefile_rs_ray.stages.jpeg import encode_jpeg_rgb
+    frames = [encode_jpeg_rgb(synth_frame_rgb(2, f, 24, 16))
+              for f in range(3)]
+    blob = build_avi_mjpeg(frames, 24, 16, 12)
+    # splice an auds strl into hdrl: rebuild hdrl with an extra strl
+    astrh = struct.pack("<4s4sI2H8I4h", b"auds", b"\x01\x00\x00\x00",
+                        0, 0, 0, 0, 1, 44100, 0, 1000, 0, 0xFFFFFFFF,
+                        0, 0, 0, 0, 0)
+    astrf = struct.pack("<2H2I2H", 1, 1, 44100, 88200, 2, 16)
+    from shapefile_rs_ray.stages.avi import _chunk, _list
+    extra = _list(b"strl", _chunk(b"strh", astrh)
+                  + _chunk(b"strf", astrf))
+    at = blob.index(b"LIST", 12)          # hdrl LIST header
+    hlen = struct.unpack("<I", blob[at + 4:at + 8])[0]
+    new_hdrl_body = blob[at + 8:at + 8 + hlen] + extra
+    rebuilt = (blob[:at] + b"LIST"
+               + struct.pack("<I", len(new_hdrl_body)) + new_hdrl_body
+               + blob[at + 8 + hlen:])
+    rebuilt = (rebuilt[:4]
+               + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:])
+    w, h, rate, scale, n, spans = parse_avi_index(rebuilt)
+    assert (w, h, n) == (24, 16, 3)
+    # a vids stream with a non-MJPG codec must still refuse
+    bad = bytearray(blob)
+    i = bad.index(b"vids") + 4
+    bad[i:i + 4] = b"H264"
+    with _pytest.raises(ValueError, match="codec"):
+        parse_avi_index(bytes(bad))
+
+
+def test_robots_combines_same_agent_groups():
+    """RFC 9309 2.2.1: rules of ALL groups matching the same token
+    combine — a second 'User-agent: *' block's Disallow must apply."""
+    from shapefile_rs_ray.stages.robots import parse_robots, select_group
+    txt = ("User-agent: *\nDisallow: /a\n\n"
+           "User-agent: *\nDisallow: /b\nCrawl-delay: 4\n\n"
+           "User-agent: bot\nDisallow: /c\n\n"
+           "User-agent: bot\nAllow: /c/ok\n")
+    g = parse_robots(txt)
+    rules, delay = select_group(g, "somebody")
+    assert rules == [(False, "/a"), (False, "/b")] and delay == 4
+    rules2, _ = select_group(g, "bot/2.0")
+    assert rules2 == [(False, "/c"), (True, "/c/ok")]
+
+
+def test_flac_reserved_codes_raise_valueerror():
+    import pytest as _pytest
+    import numpy as np
+    from shapefile_rs_ray.stages.flac import encode_flac, parse_flac
+    x = np.arange(700, dtype=np.int64) % 50
+    blob = bytearray(encode_flac(x, 44100, block_size=512))
+    # find the first frame sync and set bps code to reserved 011
+    # (frame byte 3 bits 3..1) — must surface as ValueError, not KeyError
+    i = blob.index(b"\xff\xf8", 42)
+    blob[i + 3] = (blob[i + 3] & 0b11110001) | (0b011 << 1)
+    with _pytest.raises(ValueError, match="bits-per-sample|CRC"):
+        parse_flac(bytes(blob))
+    # hard truncation mid-frame: ValueError (underrun), never IndexError
+    with _pytest.raises(ValueError):
+        parse_flac(bytes(blob[: i + 6]))
