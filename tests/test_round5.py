@@ -1683,3 +1683,86 @@ def test_flac_reserved_codes_raise_valueerror():
     # hard truncation mid-frame: ValueError (underrun), never IndexError
     with _pytest.raises(ValueError):
         parse_flac(bytes(blob[: i + 6]))
+
+
+def test_flac_decoder_verbatim_wasted_and_escape_paths():
+    """Hand-assembled frames exercise the decoder paths the in-repo
+    encoder never emits: VERBATIM subframes, wasted-bits shifts, and
+    the Rice escape (unencoded fixed-width) partition."""
+    import hashlib
+    import numpy as np
+    from shapefile_rs_ray.stages.flac import (_BitWriter, crc8, crc16,
+                                              parse_flac)
+
+    def stream(body_writer, n, md5_samples):
+        info = _BitWriter()
+        info.write(n, 16)
+        info.write(n, 16)
+        info.write(0, 24)
+        info.write(0, 24)
+        info.write(44100, 20)
+        info.write(0, 3)                # 1 channel
+        info.write(15, 5)               # 16 bps
+        info.write(len(md5_samples), 36)
+        md5 = hashlib.md5(np.asarray(md5_samples, "<i2").tobytes())
+        si = info.getvalue() + md5.digest()
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 2)
+        hdr.write(6, 4)                 # blocksize: 8-bit at end
+        hdr.write(0, 4)                 # rate from STREAMINFO
+        hdr.write(0, 4)                 # mono
+        hdr.write(0, 3)                 # bps from STREAMINFO
+        hdr.write(0, 1)
+        head = hdr.getvalue() + bytes([0])      # frame number 0
+        t = _BitWriter()
+        t.write(n - 1, 8)
+        head += t.getvalue()
+        head += bytes([crc8(head)])
+        body = _BitWriter()
+        body_writer(body)
+        body.align()
+        frame = head + body.getvalue()
+        frame += crc16(frame).to_bytes(2, "big")
+        return (b"fLaC" + bytes([0x80, 0, 0, len(si)]) + si + frame)
+
+    # 1) VERBATIM subframe
+    vals = [-5, 300, -32768, 32767, 0, 17, -1, 2]
+
+    def verbatim(w):
+        w.write(0, 1)
+        w.write(0b000001, 6)
+        w.write(0, 1)
+        for v in vals:
+            w.write(v & 0xFFFF, 16)
+
+    sr, ch, y = parse_flac(stream(verbatim, 8, vals))
+    assert y[:, 0].tolist() == vals
+
+    # 2) CONSTANT subframe with 3 wasted bits (decoder shifts back)
+    def wasted(w):
+        w.write(0, 1)
+        w.write(0b000000, 6)
+        w.write(1, 1)                   # wasted flag
+        w.write(0b001, 3)               # unary 2 -> wasted = 3
+        w.write(5, 13)                  # constant in bps-3 bits
+    want = 5 << 3
+    sr, ch, y = parse_flac(stream(wasted, 8, [want] * 8))
+    assert y[:, 0].tolist() == [want] * 8
+
+    # 3) FIXED order 0 with Rice ESCAPE partition (5-bit raw residuals)
+    res = [3, -4, 7, 0, -1, 2, 5, -8]
+
+    def escape(w):
+        w.write(0, 1)
+        w.write(0b001000, 6)            # FIXED order 0
+        w.write(0, 1)
+        w.write(0, 2)                   # method 0 (4-bit params)
+        w.write(0, 4)                   # partition order 0
+        w.write(0xF, 4)                 # ESCAPE
+        w.write(5, 5)                   # raw width 5
+        for r in res:
+            w.write(r & 0x1F, 5)
+
+    sr, ch, y = parse_flac(stream(escape, 8, res))
+    assert y[:, 0].tolist() == res
