@@ -1766,3 +1766,46 @@ def test_flac_decoder_verbatim_wasted_and_escape_paths():
 
     sr, ch, y = parse_flac(stream(escape, 8, res))
     assert y[:, 0].tolist() == res
+
+
+def test_mp3_layer1_and_mpeg25_paths():
+    """Hand-built streams cover the table rows synth never emits:
+    MPEG-1 Layer I (384 spf, 4-byte slots) and MPEG-2.5 Layer III
+    (11025 Hz family, 576 spf) — engine and twin formulas both."""
+    import numpy as np
+    import shapefile_rs_ray.pipelines.oracles as oracles
+    import shapefile_rs_ray.stages.mp3 as mp3
+    rng = np.random.default_rng(3)
+
+    def build(v_bits, layer, br_idx, sr_idx, frames):
+        parts = []
+        table = (mp3._BR_V1 if v_bits == 3 else mp3._BR_V2)[layer]
+        rate = mp3._RATES[v_bits][sr_idx]
+        for f in range(frames):
+            pad = f % 2 if layer != 1 else 0
+            ln = mp3.frame_length(v_bits, layer, table[br_idx], rate, pad)
+            parts.append(mp3.frame_header(v_bits, layer, br_idx, sr_idx,
+                                          pad)
+                         + bytes(rng.integers(0, 256, ln - 4,
+                                              dtype=np.uint8)))
+        return b"".join(parts)
+
+    def twin(blob):
+        orig = mp3.synth_mp3_bytes
+        mp3.synth_mp3_bytes = lambda d: blob
+        try:
+            return oracles._mp3_scalar_row(0)
+        finally:
+            mp3.synth_mp3_bytes = orig
+
+    l1 = build(3, 1, 7, 0, 6)            # MPEG-1 Layer I @44100
+    m = mp3.parse_mp3_meta(l1)
+    assert (m[0], m[1], m[2], m[4]) == (1, 1, 44100, 6)
+    assert m[6] == 6 * 384 * 1000 // 44100      # duration uses spf 384
+    assert m == twin(l1)
+
+    m25 = build(0, 3, 5, 0, 4)           # MPEG-2.5 Layer III @11025
+    m = mp3.parse_mp3_meta(m25)
+    assert (m[0], m[1], m[2], m[4]) == (25, 3, 11025, 4)
+    assert m[6] == 4 * 576 * 1000 // 11025
+    assert m == twin(m25)
